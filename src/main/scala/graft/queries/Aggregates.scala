@@ -1,0 +1,135 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import Det._
+
+/** Aggregation shapes — SURVEY §2.B Q03 (hash group-agg), Q04 (exact
+  * distinct), Q04x (approx distinct, tolerance-only), Q05 (rollup/cube).
+  *
+  * Spark executes these as partial (map-side) + final hash aggregates;
+  * COUNT(DISTINCT x, y-per-group) becomes Expand + two-phase agg. All
+  * measures follow the Det decimal discipline.
+  */
+object Aggregates {
+
+  // TPC-H Q1 shape.
+  val q03 = GQuery(
+    "q03_group_agg",
+    (s, d) => {
+      val c = Ctx(s, d)
+      val li = c.lineitem.filter(col("l_shipdate") <= lit("2000-09-02").cast("timestamp"))
+      // charge = price * (1-disc)*(1+tax): fold the two unit factors into
+      // one double product first (deterministic IEEE mul), then a single
+      // decimal*decimal product — three decimal factors would overflow
+      // precision 38 and hit engine-specific precision-loss rounding.
+      val charged = li.withColumn(
+        "charge_factor",
+        ((lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).cast(D188))
+      canon(
+        charged
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            moneySum(col("l_quantity")).as("sum_qty"),
+            moneySum(col("l_extendedprice")).as("sum_base_price"),
+            d6(sum(dec(col("l_extendedprice")) * dec(col("l_discount"))))
+              .as("sum_disc"),
+            d6(sum(dec(col("l_extendedprice")) * col("charge_factor")))
+              .as("sum_charge"),
+            meanOf(col("l_quantity")).as("avg_qty"),
+            meanOf(col("l_extendedprice")).as("avg_price"),
+            meanOf(col("l_discount")).as("avg_disc"),
+            count(lit(1)).as("count_order")))
+    },
+    Some(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_disc,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST((1.0-l_discount)*(1.0+l_tax) AS DECIMAL(18,8))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin +
+        orderAll("l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+          "sum_disc", "sum_charge", "avg_qty", "avg_price", "avg_disc", "count_order")),
+    headline = true)
+
+  val q04 = GQuery(
+    "q04_count_distinct",
+    (s, d) => {
+      val c = Ctx(s, d)
+      canon(
+        c.lineitem
+          .groupBy("l_returnflag")
+          .agg(
+            countDistinct(col("l_partkey")).as("nd_part"),
+            countDistinct(col("l_suppkey")).as("nd_supp"),
+            count(lit(1)).as("n_rows")))
+    },
+    Some(
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS nd_part,
+        |  COUNT(DISTINCT l_suppkey) AS nd_supp, COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin +
+        orderAll("l_returnflag", "nd_part", "nd_supp", "n_rows")),
+    headline = true)
+
+  // ⊘ approx sketch: tolerance-tested (±5% of q04 truth), not hash-matched.
+  val q04x = GQuery(
+    "q04x_approx_distinct",
+    (s, d) => {
+      val c = Ctx(s, d)
+      canon(
+        c.lineitem
+          .groupBy("l_returnflag")
+          .agg(
+            approx_count_distinct(col("l_partkey")).as("apx_part"),
+            approx_count_distinct(col("l_suppkey")).as("apx_supp")))
+    },
+    None)
+
+  val q05 = GQuery(
+    "q05_rollup",
+    (s, d) => {
+      val c = Ctx(s, d)
+      canon(
+        c.orders
+          .rollup("o_orderstatus", "o_orderpriority")
+          .agg(
+            count(lit(1)).as("n_orders"),
+            moneySum(col("o_totalprice")).as("total_price"),
+            grouping(col("o_orderstatus")).cast("int").as("g_status"),
+            grouping(col("o_orderpriority")).cast("int").as("g_prio")))
+    },
+    Some(
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price,
+        |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+        |  CAST(GROUPING(o_orderpriority) AS INT) AS g_prio
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin +
+        orderAll("o_orderstatus", "o_orderpriority", "n_orders", "total_price",
+          "g_status", "g_prio")),
+    headline = true)
+
+  val q05b = GQuery(
+    "q05b_cube",
+    (s, d) => {
+      val c = Ctx(s, d)
+      canon(
+        c.orders
+          .cube("o_orderstatus", "o_orderpriority")
+          .agg(
+            count(lit(1)).as("n_orders"),
+            grouping(col("o_orderstatus")).cast("int").as("g_status"),
+            grouping(col("o_orderpriority")).cast("int").as("g_prio")))
+    },
+    Some(
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+        |  CAST(GROUPING(o_orderpriority) AS INT) AS g_prio
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin +
+        orderAll("o_orderstatus", "o_orderpriority", "n_orders", "g_status", "g_prio")))
+
+  def queries: Seq[GQuery] = Seq(q03, q04, q04x, q05, q05b)
+}

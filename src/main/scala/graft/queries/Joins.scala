@@ -1,0 +1,200 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import Det._
+
+/** Join shapes — SURVEY §2.B Q06-Q13: broadcast, multi-way shuffled,
+  * outer, semi, anti, theta, as-of, cross.
+  *
+  * Scale posture: dimension tables (region/nation) are explicitly
+  * `broadcast()`-hinted — at 100 TB the fact side never shuffles for
+  * those joins. The big fact-fact joins (Q07/Q08) shuffle on their join
+  * keys and rely on AQE for skew handling; no repartition hints needed.
+  */
+object Joins {
+
+  val q06 = GQuery(
+    "q06_broadcast_join",
+    (s, d) => {
+      val c = Ctx(s, d)
+      canon(
+        c.customer
+          .join(broadcast(c.nation), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(c.region), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name")
+          .agg(count(lit(1)).as("n_customers")))
+    },
+    Some(
+      """SELECT r_name, COUNT(*) AS n_customers
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin + orderAll("r_name", "n_customers")),
+    headline = true)
+
+  // TPC-H Q3 shape: multi-way join + aggregate + top-k by measure.
+  val q07 = GQuery(
+    "q07_join_topk",
+    (s, d) => {
+      val c = Ctx(s, d)
+      val cust = c.customer.filter(col("c_mktsegment") === "BUILDING")
+      val ord = c.orders.filter(col("o_orderdate") < lit("1998-06-01").cast("timestamp"))
+      val li = c.lineitem.filter(col("l_shipdate") > lit("1998-06-01").cast("timestamp"))
+      val revenue = d6(sum(
+        dec(col("l_extendedprice")) * (lit(1.0) - col("l_discount")).cast(D188)))
+        .as("revenue")
+      canon(
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"),
+            col("o_orderpriority"))
+          .agg(revenue)
+          .orderBy(col("revenue").desc, col("l_orderkey").asc)
+          .limit(10))
+    },
+    Some(
+      """SELECT * FROM (
+        |  SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority,
+        |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0-l_discount AS DECIMAL(18,8))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment = 'BUILDING'
+        |    AND o_orderdate < TIMESTAMP '1998-06-01'
+        |    AND l_shipdate > TIMESTAMP '1998-06-01'
+        |  GROUP BY 1, 2, 3
+        |  ORDER BY revenue DESC, l_orderkey LIMIT 10)""".stripMargin +
+        orderAll("l_orderkey", "o_orderdate", "o_orderpriority", "revenue")),
+    headline = true)
+
+  // TPC-H Q13 shape: left outer join + two-level aggregation.
+  val q08 = GQuery(
+    "q08_outer_histogram",
+    (s, d) => {
+      val c = Ctx(s, d)
+      val ord = c.orders.filter(col("o_orderpriority") =!= "1-URGENT")
+      val perCust = c.customer
+        .join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+      canon(perCust.groupBy("c_count").agg(count(lit(1)).as("custdist")))
+    },
+    Some(
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey) GROUP BY c_count""".stripMargin +
+        orderAll("c_count", "custdist")),
+    headline = true)
+
+  val q09 = GQuery(
+    "q09_semi_join",
+    (s, d) => {
+      val c = Ctx(s, d)
+      val disc = c.lineitem.filter(col("l_discount") > 0.05)
+      canon(
+        c.orders
+          .join(disc, col("o_orderkey") === col("l_orderkey"), "left_semi")
+          .select("o_orderkey", "o_totalprice"))
+    },
+    Some(
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_discount > 0.05)""".stripMargin +
+        orderAll("o_orderkey", "o_totalprice")))
+
+  // NOT EXISTS with a predicate on the inner side (every customer has
+  // *some* order in this data, so the plain variant would be vacuous).
+  val q10 = GQuery(
+    "q10_anti_join",
+    (s, d) => {
+      val c = Ctx(s, d)
+      val urgent = c.orders.filter(col("o_orderpriority") === "1-URGENT")
+      canon(
+        c.customer
+          .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name"))
+    },
+    Some(
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin +
+        orderAll("c_custkey", "c_name")))
+
+  // Theta join: equi-key on region + strict-inequality residual.
+  val q11 = GQuery(
+    "q11_theta_join",
+    (s, d) => {
+      val c = Ctx(s, d)
+      val n1 = c.nation.select(
+        col("n_nationkey").as("k1"), col("n_name").as("nation_a"),
+        col("n_regionkey").as("rk"))
+      val n2 = c.nation.select(
+        col("n_nationkey").as("k2"), col("n_name").as("nation_b"),
+        col("n_regionkey").as("rk2"))
+      canon(
+        n1.join(n2, col("rk") === col("rk2") && col("k1") < col("k2"))
+          .select(col("rk").as("region_key"), col("nation_a"), col("nation_b")))
+    },
+    Some(
+      """SELECT n1.n_regionkey AS region_key, n1.n_name AS nation_a, n2.n_name AS nation_b
+        |FROM nation n1 JOIN nation n2
+        |  ON n1.n_regionkey = n2.n_regionkey AND n1.n_nationkey < n2.n_nationkey""".stripMargin +
+        orderAll("region_key", "nation_a", "nation_b")))
+
+  /** As-of join: for each order, the latest event of that customer with
+    * ts <= o_orderdate. Expressed as equi-join on user + residual range
+    * filter, then a deterministic latest-per-order ranked-window pick
+    * (ties on ts broken by event_id). At 100 TB the equi-join shuffles
+    * both sides by user key once; the window repartitions by order key —
+    * see graft.plans for the co-partitioned sort-merge design note.
+    */
+  val q12 = GQuery(
+    "q12_asof_join",
+    (s, d) => {
+      val c = Ctx(s, d)
+      // Order dates (1995-2001) predate the event stream (2024-01), so the
+      // as-of anchor is a deterministic per-order timestamp inside the
+      // stream's range: 2024-01-01 + (o_orderkey mod 43200) minutes.
+      val anchored = c.orders.withColumn(
+        "anchor_ts",
+        expr("TIMESTAMP '2024-01-01 00:00:00' + INTERVAL '1' MINUTE * (o_orderkey % 43200)"))
+      val j = anchored.join(
+        c.events,
+        col("user_id") === col("o_custkey") && col("ts") <= col("anchor_ts"))
+      val w = Window.partitionBy(col("o_orderkey"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      canon(
+        j.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("o_orderkey"), col("anchor_ts"), col("ts").as("asof_ts"),
+            col("value").as("asof_value")))
+    },
+    Some(
+      """SELECT o_orderkey, anchor_ts, asof_ts, asof_value FROM (
+        |  SELECT o_orderkey,
+        |    TIMESTAMP '2024-01-01 00:00:00' + (o_orderkey % 43200) * INTERVAL 1 MINUTE AS anchor_ts,
+        |    CAST(e.ts AS TIMESTAMP) AS asof_ts, e.value AS asof_value,
+        |    row_number() OVER (PARTITION BY o_orderkey ORDER BY e.ts DESC, e.event_id DESC) AS rn
+        |  FROM orders o JOIN events e
+        |    ON e.user_id = o_custkey
+        |    AND CAST(e.ts AS TIMESTAMP) <= TIMESTAMP '2024-01-01 00:00:00' + (o_orderkey % 43200) * INTERVAL 1 MINUTE)
+        |WHERE rn = 1""".stripMargin +
+        orderAll("o_orderkey", "anchor_ts", "asof_ts", "asof_value")))
+
+  val q13 = GQuery(
+    "q13_cross_join",
+    (s, d) => {
+      val c = Ctx(s, d)
+      val r1 = c.region.select(col("r_name").as("r1_name"))
+      val r2 = c.region.select(col("r_name").as("r2_name"))
+      canon(r1.crossJoin(r2))
+    },
+    Some(
+      """SELECT r1.r_name AS r1_name, r2.r_name AS r2_name
+        |FROM region r1 CROSS JOIN region r2""".stripMargin +
+        orderAll("r1_name", "r2_name")))
+
+  def queries: Seq[GQuery] =
+    Seq(q06, q07, q08, q09, q10, q11, q12, q13)
+}

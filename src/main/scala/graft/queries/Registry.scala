@@ -1,0 +1,12 @@
+package graft.queries
+
+/** Single source of truth for the declared query inventory (SURVEY §2.B).
+  * SparkEntry, Verify, and Bench all read from here.
+  */
+object Registry {
+  def all: Seq[GQuery] =
+    Scans.queries ++ Aggregates.queries ++ Joins.queries ++
+      Windows.queries ++ SetOps.queries ++ Scalars.queries
+
+  def byName: Map[String, GQuery] = all.map(q => q.name -> q).toMap
+}

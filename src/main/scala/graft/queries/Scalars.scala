@@ -1,0 +1,247 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import Det._
+
+/** Scalar-function surface — SURVEY §2.B Q22-Q28: string, date/time,
+  * math, conditional, array, map/JSON functions, and schema-enforcing
+  * casts (the query-layer mirror of reference P9, main.py:51-81).
+  *
+  * All per-row: these stay inside one WholeStageCodegen span over the
+  * parquet scan. Cross-engine notes: LENGTH/FLOOR/YEAR return BIGINT in
+  * DuckDB vs INT/LONG in Spark — both sides cast explicitly; Spark's
+  * DAYOFWEEK is 1=Sunday while DuckDB's is 0=Sunday; transcendental
+  * outputs (LN/EXP/SQRT/POWER) are ROUND(…,4) since libm last-ulp
+  * behavior differs between JVM and C.
+  */
+object Scalars {
+
+  val q22 = GQuery(
+    "q22_string_fns",
+    (s, d) => {
+      val c = Ctx(s, d)
+      canon(
+        c.part.select(
+          col("p_partkey"),
+          upper(col("p_name")).as("up_name"),
+          lower(col("p_type")).as("lo_type"),
+          substring(col("p_name"), 1, 5).as("name5"),
+          length(trim(col("p_name"))).cast("int").as("name_len"),
+          concat(col("p_brand"), lit("-"), col("p_type")).as("brand_type"),
+          regexp_replace(col("p_name"), lit(" "), lit("_")).as("name_us"),
+          split(col("p_name"), " ").getItem(0).as("first_word"),
+          col("p_name").like("%red%").cast("int").as("is_red"),
+          regexp_extract(col("p_name"), "^([a-z]+)", 1).as("first_alpha")))
+    },
+    Some(
+      """SELECT p_partkey,
+        |  upper(p_name) AS up_name,
+        |  lower(p_type) AS lo_type,
+        |  substr(p_name, 1, 5) AS name5,
+        |  CAST(length(trim(p_name)) AS INT) AS name_len,
+        |  p_brand || '-' || p_type AS brand_type,
+        |  replace(p_name, ' ', '_') AS name_us,
+        |  string_split(p_name, ' ')[1] AS first_word,
+        |  CAST(p_name LIKE '%red%' AS INT) AS is_red,
+        |  regexp_extract(p_name, '^([a-z]+)', 1) AS first_alpha
+        |FROM part""".stripMargin +
+        orderAll("p_partkey", "up_name", "lo_type", "name5", "name_len",
+          "brand_type", "name_us", "first_word", "is_red", "first_alpha")))
+
+  val q23 = GQuery(
+    "q23_date_fns",
+    (s, d) => {
+      val c = Ctx(s, d)
+      canon(
+        c.orders.select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"),
+          dayofweek(col("o_orderdate")).as("dow"),
+          date_trunc("month", col("o_orderdate")).as("month_start"),
+          datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+            .as("days_since_epoch0"),
+          date_add(col("o_orderdate").cast("date"), 30).as("due_date")))
+    },
+    Some(
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INT) AS yr,
+        |  CAST(month(o_orderdate) AS INT) AS mo,
+        |  CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+        |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+        |  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since_epoch0,
+        |  CAST(o_orderdate AS DATE) + 30 AS due_date
+        |FROM orders""".stripMargin +
+        orderAll("o_orderkey", "yr", "mo", "dow", "month_start",
+          "days_since_epoch0", "due_date")))
+
+  val q24 = GQuery(
+    "q24_math_fns",
+    (s, d) => {
+      val c = Ctx(s, d)
+      canon(
+        c.lineitem.select(
+          col("l_orderkey"),
+          col("l_linenumber"),
+          abs(col("l_quantity") - 25.0).as("qty_dev"),
+          round(col("l_extendedprice") / 7.0, 4).as("price_div"),
+          floor(col("l_discount") * 100).cast("bigint").as("disc_pct"),
+          ceil(col("l_tax") * 100).cast("bigint").as("tax_pct"),
+          round(pow(col("l_quantity"), 2), 4).as("qty_sq"),
+          round(sqrt(col("l_extendedprice")), 4).as("price_sqrt"),
+          round(log(col("l_extendedprice")), 4).as("price_ln"),
+          round(exp(col("l_discount")), 4).as("disc_exp"),
+          (col("l_orderkey") % 7).as("key_mod")))
+    },
+    Some(
+      """SELECT l_orderkey, l_linenumber,
+        |  abs(l_quantity - 25.0) AS qty_dev,
+        |  round(l_extendedprice / 7.0, 4) AS price_div,
+        |  CAST(floor(l_discount * 100) AS BIGINT) AS disc_pct,
+        |  CAST(ceil(l_tax * 100) AS BIGINT) AS tax_pct,
+        |  round(power(l_quantity, 2), 4) AS qty_sq,
+        |  round(sqrt(l_extendedprice), 4) AS price_sqrt,
+        |  round(ln(l_extendedprice), 4) AS price_ln,
+        |  round(exp(l_discount), 4) AS disc_exp,
+        |  l_orderkey % 7 AS key_mod
+        |FROM lineitem""".stripMargin +
+        orderAll("l_orderkey", "l_linenumber", "qty_dev", "price_div", "disc_pct",
+          "tax_pct", "qty_sq", "price_sqrt", "price_ln", "disc_exp", "key_mod")))
+
+  val q25 = GQuery(
+    "q25_conditional",
+    (s, d) => {
+      val c = Ctx(s, d)
+      canon(
+        c.orders.select(
+          col("o_orderkey"),
+          when(col("o_orderstatus") === "F", "finished")
+            .when(col("o_orderstatus") === "O", "open")
+            .otherwise("other").as("status_label"),
+          nullif(col("o_orderpriority"), lit("5-LOW")).as("prio_nonlow"),
+          coalesce(nullif(col("o_orderpriority"), lit("5-LOW")), lit("none"))
+            .as("prio_or_none"),
+          when(col("o_totalprice") > 250000.0, 1).otherwise(0).as("is_big")))
+    },
+    Some(
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderstatus = 'F' THEN 'finished'
+        |       WHEN o_orderstatus = 'O' THEN 'open'
+        |       ELSE 'other' END AS status_label,
+        |  NULLIF(o_orderpriority, '5-LOW') AS prio_nonlow,
+        |  COALESCE(NULLIF(o_orderpriority, '5-LOW'), 'none') AS prio_or_none,
+        |  CASE WHEN o_totalprice > 250000.0 THEN 1 ELSE 0 END AS is_big
+        |FROM orders""".stripMargin +
+        orderAll("o_orderkey", "status_label", "prio_nonlow", "prio_or_none", "is_big")))
+
+  val q26 = GQuery(
+    "q26_array_fns",
+    (s, d) => {
+      val c = Ctx(s, d)
+      canon(
+        c.embeddings.select(
+          col("vec_id"),
+          size(col("embedding")).cast("int").as("dim"),
+          round(element_at(col("embedding"), 1).cast("double"), 4).as("first_c"),
+          round(element_at(col("embedding"), -1).cast("double"), 4).as("last_c")))
+    },
+    Some(
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS INT) AS dim,
+        |  round(CAST(embedding[1] AS DOUBLE), 4) AS first_c,
+        |  round(CAST(embedding[-1] AS DOUBLE), 4) AS last_c
+        |FROM embeddings""".stripMargin +
+        orderAll("vec_id", "dim", "first_c", "last_c")))
+
+  // Grouped array building: collect_list + sort_array, emitted as a
+  // joined string so the hash compare stays scalar-typed.
+  val q26b = GQuery(
+    "q26b_collect_sorted",
+    (s, d) => {
+      val c = Ctx(s, d)
+      canon(
+        c.embeddings
+          .groupBy("label")
+          .agg(
+            count(lit(1)).as("n_vecs"),
+            concat_ws(",", sort_array(collect_list(col("vec_id")))).as("vec_ids")))
+    },
+    Some(
+      """SELECT label, COUNT(*) AS n_vecs,
+        |  array_to_string(list_sort(list(vec_id)), ',') AS vec_ids
+        |FROM embeddings GROUP BY label""".stripMargin +
+        orderAll("label", "n_vecs", "vec_ids")))
+
+  val q27 = GQuery(
+    "q27_map_json",
+    (s, d) => {
+      val c = Ctx(s, d)
+      val perType = c.events.groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("cnt"))
+      val m = perType.groupBy("user_id")
+        .agg(map_from_entries(
+          array_sort(collect_list(struct(col("event_type"), col("cnt"))))).as("m"))
+        .select(
+          col("user_id"),
+          size(col("m")).cast("int").as("n_types"),
+          concat_ws(",", map_keys(col("m"))).as("types"),
+          element_at(col("m"), "click").as("clicks"))
+      val k = c.events.groupBy("user_id")
+        .agg(sum(get_json_object(col("props"), "$.k").cast("bigint")).as("k_sum"))
+      canon(m.join(k, "user_id"))
+    },
+    Some(
+      """WITH pt AS (
+        |  SELECT user_id, event_type, COUNT(*) AS cnt FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT user_id, CAST(COUNT(*) AS INT) AS n_types,
+        |    string_agg(event_type, ',' ORDER BY event_type) AS types,
+        |    MAX(CASE WHEN event_type = 'click' THEN cnt END) AS clicks
+        |  FROM pt GROUP BY user_id),
+        |k AS (
+        |  SELECT user_id, SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum
+        |  FROM events GROUP BY user_id)
+        |SELECT m.user_id AS user_id, n_types, types, clicks, k_sum
+        |FROM m JOIN k ON m.user_id = k.user_id""".stripMargin +
+        orderAll("user_id", "n_types", "types", "clicks", "k_sum")))
+
+  // Schema-enforcing casts (reference P9 mirror): DOUBLE->DECIMAL(18,4),
+  // TIMESTAMP->DATE, BIGINT->STRING. Decimal is re-emitted as its plain
+  // string form so both engines serialize scale-4 identically.
+  val q28 = GQuery(
+    "q28_cast_enforce",
+    (s, d) => {
+      val c = Ctx(s, d)
+      canon(
+        c.orders.select(
+          col("o_orderkey"),
+          col("o_orderkey").cast("string").as("okey_str"),
+          col("o_orderdate").cast("date").as("odate"),
+          dec(col("o_totalprice")).cast("string").as("price_dec4")))
+    },
+    Some(
+      """SELECT o_orderkey,
+        |  CAST(o_orderkey AS VARCHAR) AS okey_str,
+        |  CAST(o_orderdate AS DATE) AS odate,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS VARCHAR) AS price_dec4
+        |FROM orders""".stripMargin +
+        orderAll("o_orderkey", "okey_str", "odate", "price_dec4")))
+
+  // REQUIRED-mode null audit (reference P9's reject channel, as counts).
+  val q28b = GQuery(
+    "q28b_null_audit",
+    (s, d) => {
+      val c = Ctx(s, d)
+      canon(
+        c.orders.agg(
+          count(lit(1)).as("n_total"),
+          count(col("o_custkey")).as("n_valid_key"),
+          sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("n_reject")))
+    },
+    Some(
+      """SELECT COUNT(*) AS n_total, COUNT(o_custkey) AS n_valid_key,
+        |  SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_reject
+        |FROM orders""".stripMargin + orderAll("n_total", "n_valid_key", "n_reject")))
+
+  def queries: Seq[GQuery] = Seq(q22, q23, q24, q25, q26, q26b, q27, q28, q28b)
+}

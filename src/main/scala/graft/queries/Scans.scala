@@ -1,0 +1,70 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import Det._
+
+/** Scan/projection/filter/top-k shapes — SURVEY §2.B Q01, Q02, Q18.
+  *
+  * All three compile to a single parquet scan stage; `.explain` must show
+  * PushedFilters + a pruned ReadSchema (Catalyst does this for free when
+  * the plan stays declarative).
+  */
+object Scans {
+
+  val q01 = GQuery(
+    "q01_scan_project",
+    (s, d) => {
+      val c = Ctx(s, d)
+      canon(c.lineitem.select("l_orderkey", "l_linenumber", "l_extendedprice"))
+    },
+    Some(
+      "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem" +
+        orderAll("l_orderkey", "l_linenumber", "l_extendedprice")),
+    headline = true)
+
+  // TPC-H Q6 shape: filter + single global aggregate.
+  val q02 = GQuery(
+    "q02_filter_agg",
+    (s, d) => {
+      val c = Ctx(s, d)
+      val li = c.lineitem
+        .filter(
+          col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+            col("l_discount").between(0.05, 0.07) &&
+            col("l_quantity") < 24)
+      canon(
+        li.agg(
+          d6(sum(dec(col("l_extendedprice")) * dec(col("l_discount"))))
+            .as("revenue")))
+    },
+    Some(
+      """SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin),
+    headline = true)
+
+  // Global sort + limit: Catalyst plans TakeOrderedAndProject (no full sort).
+  val q18 = GQuery(
+    "q18_topk",
+    (s, d) => {
+      val c = Ctx(s, d)
+      canon(
+        c.lineitem
+          .select("l_orderkey", "l_linenumber", "l_extendedprice")
+          .orderBy(
+            col("l_extendedprice").desc,
+            col("l_orderkey").asc,
+            col("l_linenumber").asc)
+          .limit(20))
+    },
+    Some(
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM
+        |(SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        | ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20)""".stripMargin +
+        orderAll("l_orderkey", "l_linenumber", "l_extendedprice")),
+    headline = true)
+
+  def queries: Seq[GQuery] = Seq(q01, q02, q18)
+}

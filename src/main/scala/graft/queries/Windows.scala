@@ -1,0 +1,120 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import Det._
+
+/** Window-function shapes — SURVEY §2.B Q14-Q17: ranking, lag/lead,
+  * frames, distribution.
+  *
+  * Every window is partitioned (never a single global partition — that
+  * would serialize on one task at scale) and its ORDER BY includes a key
+  * suffix so ranks are total and deterministic.
+  */
+object Windows {
+
+  val q14 = GQuery(
+    "q14_rank",
+    (s, d) => {
+      val c = Ctx(s, d)
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      canon(
+        c.orders
+          .withColumn("rn", row_number().over(w))
+          .withColumn("rnk", rank().over(w))
+          .withColumn("drnk", dense_rank().over(w))
+          .filter(col("rn") <= 3)
+          .select("o_custkey", "o_orderkey", "o_totalprice", "rn", "rnk", "drnk"))
+    },
+    Some(
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn, rnk, drnk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER w AS rn, rank() OVER w AS rnk, dense_rank() OVER w AS drnk
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC))
+        |WHERE rn <= 3""".stripMargin +
+        orderAll("o_custkey", "o_orderkey", "o_totalprice", "rn", "rnk", "drnk")),
+    headline = true)
+
+  val q15 = GQuery(
+    "q15_lag_lead",
+    (s, d) => {
+      val c = Ctx(s, d)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      canon(
+        c.events
+          .withColumn("prev_value", lag(col("value"), 1).over(w))
+          .withColumn("next_value", lead(col("value"), 1).over(w))
+          .withColumn("delta", col("value") - lag(col("value"), 1).over(w))
+          .select(col("user_id"), col("event_id"), col("ts"),
+            col("value"), col("prev_value"), col("next_value"), col("delta")))
+    },
+    Some(
+      """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |  lag(value, 1) OVER w AS prev_value,
+        |  lead(value, 1) OVER w AS next_value,
+        |  value - lag(value, 1) OVER w AS delta
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)""".stripMargin +
+        orderAll("user_id", "event_id", "ts", "value", "prev_value", "next_value", "delta")),
+    headline = true)
+
+  // Frames: running total (UNBOUNDED PRECEDING) + 3-row moving average.
+  // The moving average is emitted as exact-decimal frame sum -> double,
+  // divided by the frame row count — deterministic on both engines.
+  val q16 = GQuery(
+    "q16_frames",
+    (s, d) => {
+      val c = Ctx(s, d)
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val mov = w.rowsBetween(-2, Window.currentRow)
+      canon(
+        c.orders
+          .withColumn("cum_rev", sum(dec(col("o_totalprice"))).over(cum).cast("double"))
+          .withColumn("mov_avg",
+            sum(dec(col("o_totalprice"))).over(mov).cast("double") /
+              count(lit(1)).over(mov))
+          .select(col("o_custkey"), col("o_orderkey"),
+            col("o_orderdate").cast("date").as("o_orderdate"),
+            col("cum_rev"), col("mov_avg")))
+    },
+    Some(
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_rev,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / COUNT(*) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_avg
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)""".stripMargin +
+        orderAll("o_custkey", "o_orderkey", "o_orderdate", "cum_rev", "mov_avg")))
+
+  // Distribution: NTILE / PERCENT_RANK / CUME_DIST, partitioned by
+  // priority so no single task owns the whole table at scale.
+  val q17 = GQuery(
+    "q17_distribution",
+    (s, d) => {
+      val c = Ctx(s, d)
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      canon(
+        c.orders
+          .withColumn("quartile", ntile(4).over(w))
+          .withColumn("pr", percent_rank().over(w))
+          .withColumn("cd", cume_dist().over(w))
+          .select("o_orderpriority", "o_orderkey", "o_totalprice",
+            "quartile", "pr", "cd"))
+    },
+    Some(
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  ntile(4) OVER w AS quartile,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC, o_orderkey ASC)""".stripMargin +
+        orderAll("o_orderpriority", "o_orderkey", "o_totalprice", "quartile", "pr", "cd")))
+
+  def queries: Seq[GQuery] = Seq(q14, q15, q16, q17)
+}

@@ -1,0 +1,92 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** One declared query from SURVEY.md §2.B.
+  *
+  * @param name    stable id, becomes the SparkEntry.queries key
+  * @param fn      (spark, sfDir) => result DataFrame (canonically ordered)
+  * @param oracle  equivalent DuckDB SQL over the same parquet tables;
+  *                None => driver records a weaker rows-only check
+  * @param headline include in Bench's timed set
+  */
+final case class GQuery(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    headline: Boolean = false)
+
+/** Per-invocation context: table accessors over the given sf directory. */
+final case class Ctx(spark: SparkSession, dir: String) {
+  def table(n: String): DataFrame = spark.read.parquet(s"$dir/$n.parquet")
+  def region: DataFrame = table("region")
+  def nation: DataFrame = table("nation")
+  def customer: DataFrame = table("customer")
+  def supplier: DataFrame = table("supplier")
+  def part: DataFrame = table("part")
+  def orders: DataFrame = table("orders")
+  def lineitem: DataFrame = table("lineitem")
+
+  /** events.ts is TIMESTAMP(NANOS) in parquet, which Spark 4 refuses to
+    * read as a timestamp (PARQUET_TYPE_ILLEGAL). Read it as a raw int64
+    * (legacy nanosAsLong conf) and rebuild a µs-truncated TimestampType
+    * with exact integer division — ns-since-epoch (~1.7e18) overflows
+    * double precision, so a `/ 1000` double divide would corrupt it.
+    * DuckDB oracles must apply the same truncation: CAST(ts AS TIMESTAMP).
+    */
+  def events: DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table("events").withColumn(
+      "ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+  }
+  def documents: DataFrame = table("documents")
+  def embeddings: DataFrame = table("embeddings")
+}
+
+/** Determinism discipline (SURVEY §2.B rules + §7 hard parts).
+  *
+  * Cross-engine hash-matching against DuckDB forces:
+  *  - exact DECIMAL arithmetic for every aggregated measure (double sums
+  *    are order-dependent; Spark's partial aggregation order differs from
+  *    DuckDB's sequential scan), cast to DOUBLE only at the very end —
+  *    the decimal->double cast is a single deterministic rounding;
+  *  - at most TWO decimal factors per product (a third overflows 38
+  *    precision and triggers engine-specific precision-loss rounding);
+  *  - canonical ORDER BY over all output columns, NULLS FIRST (DuckDB's
+  *    default is NULLS LAST — oracle SQL must spell it out).
+  */
+object Det {
+  val D184: DecimalType = DecimalType(18, 4)
+  val D188: DecimalType = DecimalType(18, 8)
+
+  /** Measure cast at scan time: raw double -> DECIMAL(18,4). */
+  def dec(c: Column): Column = c.cast(D184)
+
+  /** Exact sum of a money/measure column, emitted as DOUBLE. */
+  def moneySum(c: Column): Column = sum(dec(c)).cast(DoubleType)
+
+  /** Deterministic mean: exact decimal sum -> double, one IEEE divide. */
+  def meanOf(c: Column): Column = sum(dec(c)).cast(DoubleType) / count(c)
+
+  /** Emit a high-scale decimal aggregate as DOUBLE, deterministically.
+    *
+    * DuckDB casts DECIMAL->DOUBLE as double(scaled_int128) / double(10^s)
+    * — two roundings — while Spark (BigDecimal.doubleValue) rounds once.
+    * They disagree by 1 ulp as soon as the scaled integer exceeds 2^53
+    * (observed on q03's scale-12 charge sum). Re-quantizing to scale 6
+    * first keeps the scaled integer exact in double for |x| < 9e9, making
+    * both engines' casts a single identical rounding.
+    * Oracle side: CAST(CAST(expr AS DECIMAL(38,6)) AS DOUBLE).
+    */
+  def d6(c: Column): Column = c.cast(DecimalType(38, 6)).cast(DoubleType)
+
+  /** Canonical output order: every column, ascending, nulls first. */
+  def canon(df: DataFrame): DataFrame =
+    df.orderBy(df.columns.toIndexedSeq.map(n => col(n).asc_nulls_first): _*)
+
+  /** Oracle-side canonical ORDER BY for the given output columns. */
+  def orderAll(cols: String*): String =
+    cols.map(c => s"$c ASC NULLS FIRST").mkString(" ORDER BY ", ", ", "")
+}
