@@ -1,0 +1,121 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import Det._
+
+/** Event-stream shapes — SURVEY §2.B Q29-Q32: deterministic dedup
+  * (reference P14's consumer-side key, main.py:174-183) and the three
+  * batch window families (tumbling / sliding / session). The streaming
+  * variants of Q30-Q32 live in graft.streaming; these batch forms are
+  * the hash-matched contract.
+  */
+object EventOps {
+
+  // Dedup with a *deterministic* survivor (min (ts, value) per event_id)
+  // — dropDuplicates keeps an arbitrary row and is not oracle-matchable.
+  val q29 = GQuery(
+    "q29_dedup",
+    (s, d) => {
+      val c = Ctx(s, d)
+      val w = Window.partitionBy(col("event_id"))
+        .orderBy(col("ts").asc, col("value").asc)
+      canon(
+        c.events
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("event_id", "ts", "user_id", "event_type", "value", "props"))
+    },
+    Some(
+      """SELECT event_id, ts, user_id, event_type, value, props FROM (
+        |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props,
+        |    row_number() OVER (PARTITION BY event_id ORDER BY ts ASC, value ASC) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin +
+        orderAll("event_id", "ts", "user_id", "event_type", "value", "props")))
+
+  // Tumbling 1-hour windows, epoch-aligned (Spark aligns window() to the
+  // unix epoch; date_trunc('hour') is the same alignment).
+  val q30 = GQuery(
+    "q30_tumbling_window",
+    (s, d) => {
+      val c = Ctx(s, d)
+      canon(
+        c.events
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"), moneySum(col("value")).as("sum_value"))
+          .select(
+            col("window.start").as("window_start"),
+            col("window.end").as("window_end"),
+            col("event_type"), col("n_events"), col("sum_value")))
+    },
+    Some(
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+        |  date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR AS window_end,
+        |  event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2, 3""".stripMargin +
+        orderAll("window_start", "window_end", "event_type", "n_events", "sum_value")),
+    headline = true)
+
+  // Sliding windows (1 h size, 30 min slide): each event belongs to the
+  // two windows starting at floor30(ts) and floor30(ts)-30min. The oracle
+  // reproduces that membership with pure epoch arithmetic (no session-TZ
+  // dependent to_timestamp).
+  val q31 = GQuery(
+    "q31_sliding_window",
+    (s, d) => {
+      val c = Ctx(s, d)
+      canon(
+        c.events
+          .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(
+            col("window.start").as("window_start"),
+            col("window.end").as("window_end"),
+            col("n_events")))
+    },
+    Some(
+      """WITH e AS (
+        |  SELECT TIMESTAMP '1970-01-01 00:00:00'
+        |    + CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 1800) * 1800 AS BIGINT) * INTERVAL 1 SECOND AS w0
+        |  FROM events),
+        |w AS (SELECT w0 AS ws FROM e UNION ALL SELECT w0 - INTERVAL 30 MINUTE FROM e)
+        |SELECT ws AS window_start, ws + INTERVAL 1 HOUR AS window_end, COUNT(*) AS n_events
+        |FROM w GROUP BY 1, 2""".stripMargin +
+        orderAll("window_start", "window_end", "n_events")))
+
+  // Session windows: 30-min inactivity gap per user. Spark merges an
+  // event into the open session iff ts < last_ts + gap, and reports
+  // end = last_ts + gap; the oracle's lag/cumsum reproduces both.
+  val q32 = GQuery(
+    "q32_session_window",
+    (s, d) => {
+      val c = Ctx(s, d)
+      canon(
+        c.events
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(
+            col("user_id"),
+            col("session_window.start").as("session_start"),
+            col("session_window.end").as("session_end"),
+            col("n_events")))
+    },
+    Some(
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |m AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT user_id, MIN(ts) AS session_start,
+        |  MAX(ts) + INTERVAL 30 MINUTE AS session_end, COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin +
+        orderAll("user_id", "session_start", "session_end", "n_events")))
+
+  def queries: Seq[GQuery] = Seq(q29, q30, q31, q32)
+}

@@ -1,0 +1,200 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import Det._
+
+/** LLM-training-data pipeline queries — SURVEY §2.B QX1-QX4: exact
+  * dedup, near-dup (Jaccard), similarity top-k, text analysis. The
+  * sketch-based scale variants (MinHash-LSH, SimHash, ANN) live in
+  * graft.queries.Dedup / graft.queries.Similarity.
+  */
+object Llm {
+
+  /** Tokenize: lowercase, split on non-alpha, drop empties — the exact
+    * tokenization FIXTURES.md declares safe for the documents table.
+    */
+  def tokens(c: Column): Column =
+    filter(split(lower(c), "[^a-z]+"), t => t =!= "")
+
+  val qx1 = GQuery(
+    "qx1_exact_dedup",
+    (s, d) => {
+      val c = Ctx(s, d)
+      canon(
+        c.documents
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            countDistinct(md5(col("text").cast("binary"))).as("n_distinct"),
+            (count(lit(1)) - countDistinct(md5(col("text").cast("binary"))))
+              .as("n_dup")))
+    },
+    Some(
+      """SELECT lang, COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_distinct,
+        |  COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dup
+        |FROM documents GROUP BY lang""".stripMargin +
+        orderAll("lang", "n_docs", "n_distinct", "n_dup")))
+
+  /** Exact pairwise Jaccard over token sets, pairs with J >= 0.8.
+    *
+    * Naive shape (explode tokens -> token self-join) is quadratic in
+    * per-token document frequency — with this corpus's 31-word
+    * vocabulary it explodes to ~10^8 intermediate rows at sf0.1. The
+    * corpus's tiny vocabulary admits an exact compressed form instead:
+    *
+    *   1. build the vocabulary (distinct tokens, rank-indexed);
+    *   2. encode each doc's token SET as a bitmask (vocab <= 64 bits);
+    *   3. group docs by identical mask — members are mutual J=1.0 pairs;
+    *   4. pairwise-compare only DISTINCT masks with popcount arithmetic:
+    *      J = bit_count(a&b) / bit_count(a|b);
+    *   5. expand qualifying mask pairs back to doc-id pairs.
+    *
+    * For unbounded vocabularies the scale path is MinHash-LSH
+    * (Dedup.minhashLsh); this exact form is the oracle-matched contract.
+    */
+  val qx2 = GQuery(
+    "qx2_jaccard_pairs",
+    (s, d) => {
+      val c = Ctx(s, d)
+      val tok = c.documents
+        .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+        .distinct()
+      // vocab index: 31 tokens — a one-partition window over a tiny
+      // distinct set (NOT over the corpus).
+      val vocab = tok.select("token").distinct()
+        .withColumn("idx", row_number().over(Window.orderBy("token")) - 1)
+      val masks = tok.join(broadcast(vocab), "token")
+        .groupBy("doc_id")
+        .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), idx)")).as("mask"))
+      val groups = masks.groupBy("mask")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      // same-mask doc pairs: J = 1.0 by construction
+      val intra = groups
+        .select(explode(expr(
+          """filter(flatten(transform(ids, a -> transform(ids, b -> named_struct('a', a, 'b', b)))),
+            |       p -> p.a < p.b)""".stripMargin)).as("p"))
+        .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"),
+          lit(1.0).as("jaccard"))
+      // cross-mask: popcount arithmetic on distinct masks only. The
+      // threshold uses the same double division as the oracle SQL —
+      // `inter >= uni * 0.8` is NOT equivalent at exact-0.8 ratios
+      // (0.8 has no exact binary form; 4/5 == literal 0.8 in double,
+      // but 5 * 0.8 > 4).
+      val g1 = groups.select(col("mask").as("m1"), col("ids").as("ids1"))
+      val g2 = groups.select(col("mask").as("m2"), col("ids").as("ids2"))
+      val cross = g1.join(g2, col("m1") < col("m2"))
+        .withColumn("inter", bit_count(col("m1").bitwiseAND(col("m2"))))
+        .withColumn("uni", bit_count(col("m1").bitwiseOR(col("m2"))))
+        .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+        .filter(col("jaccard") >= 0.8)
+        .select(explode(expr(
+          "flatten(transform(ids1, a -> transform(ids2, b -> named_struct('a', a, 'b', b))))")).as("p"),
+          col("jaccard"))
+        .select(least(col("p.a"), col("p.b")).as("doc_a"),
+          greatest(col("p.a"), col("p.b")).as("doc_b"), col("jaccard"))
+      canon(intra.unionByName(cross)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard")))
+    },
+    Some(
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, t.token FROM documents,
+        |    UNNEST(list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS t(token)),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY 1),
+        |pr AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
+        |  FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT da AS doc_a, db AS doc_b,
+        |  ROUND(inter / (sa.sz + sb.sz - inter), 4) AS jaccard
+        |FROM pr JOIN sz sa ON pr.da = sa.doc_id JOIN sz sb ON pr.db = sb.doc_id
+        |WHERE inter / (sa.sz + sb.sz - inter) >= 0.8""".stripMargin +
+        orderAll("doc_a", "doc_b", "jaccard")),
+    headline = true)
+
+  /** Exact cosine top-5 neighbors per vector (brute force). Norms are
+    * computed once per vector BEFORE the self-join; the pairwise stage
+    * is one fused dot product over pre-cast double arrays. Ranking uses
+    * the ROUNDED score (ties then broken by neighbor id) so the order is
+    * engine-independent. Scale path: Similarity.annLsh buckets by
+    * random-hyperplane signatures to cut the O(n^2) to O(n·bucket).
+    */
+  val qx3 = GQuery(
+    "qx3_cosine_topk",
+    (s, d) => {
+      val c = Ctx(s, d)
+      val e = c.embeddings.select(
+        col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      val withNorm = e.withColumn(
+        "nrm", sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+      val a = withNorm.select(col("vec_id").as("vec_id"), col("v").as("va"),
+        col("nrm").as("na"))
+      val b = withNorm.select(col("vec_id").as("neighbor_id"), col("v").as("vb"),
+        col("nrm").as("nb"))
+      val pairs = a.join(b, col("vec_id") =!= col("neighbor_id"))
+        .withColumn("dot",
+          aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
+            lit(0.0), (acc, x) => acc + x))
+        .withColumn("score", round(col("dot") / (col("na") * col("nb")), 4))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("score").desc, col("neighbor_id").asc)
+      canon(
+        pairs.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select("vec_id", "neighbor_id", "score"))
+    },
+    Some(
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+        |    ROUND(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS score
+        |  FROM e a, e b WHERE a.vec_id <> b.vec_id),
+        |r AS (SELECT vec_id, neighbor_id, score,
+        |        row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, neighbor_id ASC) AS rn
+        |      FROM p)
+        |SELECT vec_id, neighbor_id, score FROM r WHERE rn <= 5""".stripMargin +
+        orderAll("vec_id", "neighbor_id", "score")),
+    headline = true)
+
+  /** Text analysis per language: counts, char/token statistics, dominant
+    * source (deterministic tie-break by source name).
+    */
+  val qx4 = GQuery(
+    "qx4_text_stats",
+    (s, d) => {
+      val c = Ctx(s, d)
+      val toks = c.documents.withColumn("n_tokens", size(tokens(col("text"))))
+      val base = toks.groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("double").as("sum_chars"),
+        sum(col("n_tokens").cast("long")).as("total_tokens"))
+        .select(col("lang"), col("n_docs"),
+          (col("sum_chars") / col("n_docs")).as("avg_chars"), col("total_tokens"))
+      val bySrc = c.documents.groupBy("lang", "source").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("cnt").desc, col("source").asc)
+      val top = bySrc.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("lang"), col("source").as("top_source"),
+          col("cnt").as("top_source_docs"))
+      canon(base.join(top, "lang"))
+    },
+    Some(
+      """WITH base AS (
+        |  SELECT lang, COUNT(*) AS n_docs,
+        |    CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+        |    SUM(len(list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> ''))) AS total_tokens
+        |  FROM documents GROUP BY lang),
+        |src AS (
+        |  SELECT lang, source AS top_source, COUNT(*) AS top_source_docs,
+        |    row_number() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, source ASC) AS rn
+        |  FROM documents GROUP BY lang, source)
+        |SELECT base.lang AS lang, n_docs, avg_chars, total_tokens, top_source, top_source_docs
+        |FROM base JOIN src ON base.lang = src.lang AND src.rn = 1""".stripMargin +
+        orderAll("lang", "n_docs", "avg_chars", "total_tokens", "top_source",
+          "top_source_docs")))
+
+  def queries: Seq[GQuery] = Seq(qx1, qx2, qx3, qx4)
+}

@@ -6,7 +6,8 @@ package graft.queries
 object Registry {
   def all: Seq[GQuery] =
     Scans.queries ++ Aggregates.queries ++ Joins.queries ++
-      Windows.queries ++ SetOps.queries ++ Scalars.queries
+      Windows.queries ++ SetOps.queries ++ Scalars.queries ++
+      EventOps.queries ++ Udx.queries ++ Llm.queries
 
   def byName: Map[String, GQuery] = all.map(q => q.name -> q).toMap
 }
