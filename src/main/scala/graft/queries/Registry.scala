@@ -7,7 +7,8 @@ object Registry {
   def all: Seq[GQuery] =
     Scans.queries ++ Aggregates.queries ++ Joins.queries ++
       Windows.queries ++ SetOps.queries ++ Scalars.queries ++
-      EventOps.queries ++ Udx.queries ++ Llm.queries
+      EventOps.queries ++ Udx.queries ++ Llm.queries ++
+      Dedup.queries ++ Similarity.queries ++ TextAnalysis.queries
 
   def byName: Map[String, GQuery] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,141 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import Det._
+
+/** Text-analysis operators for a training-data pipeline: quality
+  * scoring, document fingerprinting, token statistics, language-ID.
+  * All per-document passes stay in one codegen stage over the scan.
+  */
+object TextAnalysis {
+
+  // Per-doc quality features: token counts, vocabulary diversity,
+  // repetition. Oracle-matched (pure integer/double arithmetic).
+  val xt1 = GQuery(
+    "xt1_quality_score",
+    (s, d) => {
+      val c = Ctx(s, d)
+      canon(c.documents
+        .withColumn("toks", Llm.tokens(col("text")))
+        .select(
+          col("doc_id"),
+          col("n_chars"),
+          size(col("toks")).cast("int").as("n_tokens"),
+          size(array_distinct(col("toks"))).cast("int").as("n_distinct"),
+          round(size(array_distinct(col("toks"))).cast("double") /
+            size(col("toks")), 4).as("distinct_ratio"),
+          round(aggregate(col("toks"), lit(0L), (a, t) => a + length(t))
+            .cast("double") / size(col("toks")), 4).as("avg_token_len")))
+    },
+    Some(
+      """SELECT doc_id, n_chars,
+        |  CAST(len(t.toks) AS INT) AS n_tokens,
+        |  CAST(len(list_distinct(t.toks)) AS INT) AS n_distinct,
+        |  ROUND(CAST(len(list_distinct(t.toks)) AS DOUBLE) / len(t.toks), 4) AS distinct_ratio,
+        |  ROUND(CAST(list_sum(list_transform(t.toks, x -> length(x))) AS DOUBLE) / len(t.toks), 4) AS avg_token_len
+        |FROM (SELECT doc_id, n_chars,
+        |        list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS toks
+        |      FROM documents) t""".stripMargin +
+        orderAll("doc_id", "n_chars", "n_tokens", "n_distinct", "distinct_ratio",
+          "avg_token_len")))
+
+  // Document fingerprint: rolling polynomial hash over the token stream
+  // (order-sensitive, unlike the set-based Jaccard). Engine-portable:
+  // token value = 131*len + ascii(first char); fold (acc*31+tv) mod 1e9+7
+  // keeps every intermediate < 2^63 on both engines.
+  val xt2 = GQuery(
+    "xt2_fingerprint",
+    (s, d) => {
+      val c = Ctx(s, d)
+      val fp = c.documents
+        .withColumn("toks", Llm.tokens(col("text")))
+        .withColumn("fingerprint", expr(
+          """aggregate(toks, CAST(0 AS BIGINT),
+            |  (acc, t) -> (acc * 31 + length(t) * 131 + ascii(t)) % 1000000007)"""
+            .stripMargin))
+      val w = Window.partitionBy(col("fingerprint"))
+      canon(fp
+        .withColumn("n_same_fp", count(lit(1)).over(w))
+        .select("doc_id", "fingerprint", "n_same_fp"))
+    },
+    Some(
+      """WITH fp AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> ''),
+        |                       t -> CAST(length(t) * 131 + ascii(t) AS BIGINT))),
+        |      (acc, tv) -> (acc * 31 + tv) % 1000000007) AS fingerprint
+        |  FROM documents)
+        |SELECT doc_id, fingerprint,
+        |  COUNT(*) OVER (PARTITION BY fingerprint) AS n_same_fp
+        |FROM fp""".stripMargin + orderAll("doc_id", "fingerprint", "n_same_fp")))
+
+  // Language-ID: character-bigram profiles learned from the corpus
+  // itself (top bigrams per language), docs classified by profile
+  // overlap. Self-referential accuracy report per language. ⊘ rows-only
+  // (the training join is beyond reasonable oracle SQL).
+  val xt3 = GQuery(
+    "xt3_lang_id",
+    (s, d) => {
+      val c = Ctx(s, d)
+      val grams = c.documents
+        .select(col("doc_id"), col("lang"),
+          explode(expr(
+            """transform(sequence(1, length(text) - 1),
+              |  i -> substring(text, i, 2))""".stripMargin)).as("gram"))
+        .filter(col("gram").rlike("^[a-z]{2}$"))
+      // profile: top-20 bigrams per language by frequency
+      val profile = grams.groupBy("lang", "gram").agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("gram"))))
+        .filter(col("rn") <= 20)
+        .select(col("lang").as("profile_lang"), col("gram"))
+      // score each doc against each profile by distinct-gram overlap
+      val docGrams = grams.select("doc_id", "lang", "gram").distinct()
+      val scored = docGrams.join(broadcast(profile), Seq("gram"))
+        .groupBy("doc_id", "lang", "profile_lang")
+        .agg(count(lit(1)).as("overlap"))
+      val best = scored.withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("overlap").desc, col("profile_lang"))))
+        .filter(col("rn") === 1)
+      canon(best.groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("lang") === col("profile_lang"), 1L).otherwise(0L))
+          .as("n_predicted_self"),
+        round(sum(when(col("lang") === col("profile_lang"), 1L).otherwise(0L))
+          .cast("double") / count(lit(1)), 4).as("self_accuracy")))
+    },
+    None)
+
+  // Token counting at corpus scale: whitespace tokens vs a BPE-ish
+  // subword estimate (ceil(len/4) per word — the common ~4 chars/token
+  // heuristic), per source. Oracle-matched.
+  val xt4 = GQuery(
+    "xt4_token_counts",
+    (s, d) => {
+      val c = Ctx(s, d)
+      canon(c.documents
+        .withColumn("toks", Llm.tokens(col("text")))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(col("toks")).cast("long")).as("ws_tokens"),
+          sum(aggregate(col("toks"), lit(0L),
+            (a, t) => a + ceil(length(t) / lit(4.0)).cast("long")))
+            .as("subword_tokens")))
+    },
+    Some(
+      """SELECT source, COUNT(*) AS n_docs,
+        |  SUM(len(t.toks)) AS ws_tokens,
+        |  SUM(list_sum(list_transform(t.toks, x -> CAST(ceil(length(x) / 4.0) AS BIGINT)))) AS subword_tokens
+        |FROM (SELECT source,
+        |        list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS toks
+        |      FROM documents) t
+        |GROUP BY source""".stripMargin +
+        orderAll("source", "n_docs", "ws_tokens", "subword_tokens")))
+
+  def queries: Seq[GQuery] = Seq(xt1, xt2, xt3, xt4)
+}

@@ -1,0 +1,91 @@
+package graft.queries
+
+import graft.SparkTestSession
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based invariants (SURVEY §5.2.4): dedup idempotence,
+  * set-operation algebra, window-frame sums vs brute force. ScalaCheck
+  * generators sampled at fixed seeds (scalatestplus bridge is not in
+  * the offline dependency cache).
+  */
+class PropertySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val rows = Gen.listOfN(60,
+    Gen.zip(Gen.choose(0L, 20L), Gen.choose(0, 5), Gen.choose(-100.0, 100.0)))
+
+  /** Deterministic forAll: sample the generator at seeds 0..n-1. */
+  private def forAll[A](g: Gen[A], n: Int = 5)(body: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      body(g.apply(Gen.Parameters.default, Seed(i.toLong))
+        .getOrElse(fail(s"generator exhausted at seed $i")))
+    }
+
+  private def forAll2[A](g: Gen[A], n: Int)(body: (A, A) => Unit): Unit =
+    (0 until n).foreach { i =>
+      val a = g.apply(Gen.Parameters.default, Seed(i.toLong)).get
+      val b = g.apply(Gen.Parameters.default, Seed(1000L + i)).get
+      body(a, b)
+    }
+
+  private def dedup(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy($"k").orderBy($"a".asc, $"v".asc)
+    df.withColumn("rn", row_number().over(w)).filter($"rn" === 1).drop("rn")
+  }
+
+  test("ranked-window dedup is idempotent: f(f(x)) == f(x)") {
+    forAll(rows) { data =>
+      val df = data.toDF("k", "a", "v")
+      val once = dedup(df).collect().toSet
+      val twice = dedup(dedup(df)).collect().toSet
+      assert(once == twice)
+    }
+  }
+
+  test("set algebra: (A except B) union (A intersect B) == distinct A") {
+    forAll2(rows, 5) { (da, db) =>
+      val a = da.toDF("k", "a", "v").select($"k")
+      val b = db.toDF("k", "a", "v").select($"k")
+      val lhs = a.except(b).union(a.intersect(b)).collect().map(_.getLong(0)).toSet
+      val rhs = a.distinct().collect().map(_.getLong(0)).toSet
+      assert(lhs == rhs)
+    }
+  }
+
+  test("running-frame sum equals brute-force prefix sum") {
+    forAll(rows) { data =>
+      val df = data.zipWithIndex
+        .map { case ((k, a, v), i) => (k, i.toLong, v) }.toDF("k", "seq", "v")
+      val w = Window.partitionBy($"k").orderBy($"seq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val got = df.withColumn("cum", sum($"v").over(w))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+      val expect = data.zipWithIndex
+        .map { case ((k, a, v), i) => (k, i.toLong, v) }
+        .groupBy(_._1).flatMap { case (k, rs) =>
+          val sorted = rs.sortBy(_._2)
+          sorted.inits.toList.reverse.drop(1).map { prefix =>
+            (k, prefix.last._2) -> prefix.map(_._3).sum
+          }
+        }
+      for ((key, v) <- expect)
+        assert(math.abs(got(key) - v) < 1e-9, s"at $key")
+    }
+  }
+
+  test("union-all count is additive; union-distinct bounded by sum") {
+    forAll2(rows, 5) { (da, db) =>
+      val a = da.toDF("k", "a", "v")
+      val b = db.toDF("k", "a", "v")
+      assert(a.unionAll(b).count() == a.count() + b.count())
+      assert(a.select($"k").union(b.select($"k")).distinct().count() <=
+        a.select($"k").distinct().count() + b.select($"k").distinct().count())
+    }
+  }
+}
