@@ -1,0 +1,61 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import Det._
+import graft.multimodal.Multimodal
+
+/** Multimodal-column queries over the synthetic media table (binary
+  * payload + typed metadata derived deterministically from documents —
+  * see graft.multimodal.Multimodal for the decode-stub contract).
+  */
+object Media {
+
+  // Aggregate stats over the binary column — oracle-matched (payload
+  // bytes == utf8 text bytes, modality == doc_id % 3 by construction).
+  val xm1 = GQuery(
+    "xm1_media_stats",
+    (s, d) => {
+      val media = Multimodal.mediaTable(s, d).toDF()
+      canon(media
+        .groupBy("media_type")
+        .agg(
+          count(lit(1)).as("n_media"),
+          sum(length(col("content")).cast("long")).as("total_bytes"),
+          max(col("meta.duration_ms")).as("max_duration_ms")))
+    },
+    Some(
+      """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |  COUNT(*) AS n_media,
+        |  SUM(strlen(text)) AS total_bytes,
+        |  MAX(CASE doc_id % 3 WHEN 0 THEN 0
+        |      WHEN 1 THEN 1000 + (doc_id % 60) * 1000
+        |      ELSE 2000 + (doc_id % 30) * 1000 END) AS max_duration_ms
+        |FROM documents GROUP BY 1""".stripMargin +
+        orderAll("media_type", "n_media", "total_bytes", "max_duration_ms")))
+
+  // Stub-decoded features (mapPartitions batch shape) — ⊘ rows-only;
+  // invariants are asserted in MultimodalSpec.
+  val xm2 = GQuery(
+    "xm2_media_features",
+    (s, d) => {
+      val feats = Multimodal.extractFeatures(Multimodal.mediaTable(s, d)).toDF()
+      canon(feats.select(
+        col("doc_id"), col("media_type"), col("n_bytes"), col("checksum"),
+        round(element_at(col("embedding"), 1).cast("double"), 4).as("e0")))
+    },
+    None)
+
+  // Frame sampling generator — oracle-matched (pure metadata explode).
+  val xm3 = GQuery(
+    "xm3_frame_sample",
+    (s, d) => {
+      canon(Multimodal.frameSample(Multimodal.mediaTable(s, d), 1000L))
+    },
+    Some(
+      """SELECT doc_id,
+        |  UNNEST(range(0, CAST(2000 + (doc_id % 30) * 1000 AS BIGINT), 1000)) AS frame_ms
+        |FROM documents WHERE doc_id % 3 = 2""".stripMargin +
+        orderAll("doc_id", "frame_ms")))
+
+  def queries: Seq[GQuery] = Seq(xm1, xm2, xm3)
+}

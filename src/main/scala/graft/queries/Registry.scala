@@ -8,7 +8,8 @@ object Registry {
     Scans.queries ++ Aggregates.queries ++ Joins.queries ++
       Windows.queries ++ SetOps.queries ++ Scalars.queries ++
       EventOps.queries ++ Udx.queries ++ Llm.queries ++
-      Dedup.queries ++ Similarity.queries ++ TextAnalysis.queries
+      Dedup.queries ++ Similarity.queries ++ TextAnalysis.queries ++
+      Media.queries
 
   def byName: Map[String, GQuery] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import graft.SparkTestSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+/** Behavioral streaming tests (SURVEY §5.2.3): batch/stream
+  * transformation equivalence, watermark late-data drop, custom
+  * stateful sessionization vs the built-in session_window.
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def runToCompletion(name: String,
+      df: org.apache.spark.sql.DataFrame): Unit = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+  }
+
+  test("streaming tumbling counts == batch transformation on closed windows") {
+    val input = MemoryStream[StreamingWindows.Ev](spark)
+    val events = Seq(
+      StreamingWindows.Ev(ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+      StreamingWindows.Ev(ts("2024-01-01 10:45:00"), 1, "click", 2.0),
+      StreamingWindows.Ev(ts("2024-01-01 11:10:00"), 2, "view", 3.0),
+      StreamingWindows.Ev(ts("2024-01-01 13:00:00"), 2, "view", 4.0))
+    input.addData(events: _*)
+    runToCompletion("tumbling", StreamingWindows.tumblingCounts(input.toDF()))
+    val streamed = spark.table("tumbling")
+      .select("window_start", "event_type", "n_events").collect().toSet
+    // batch over the same rows; windows still open at end-of-stream
+    // (watermark = max ts - 30min = 12:30 -> the 13:00 window is open)
+    val batch = StreamingWindows.tumblingCounts(events.toDF())
+      .filter(col("window_end") <= ts("2024-01-01 12:30:00"))
+      .select("window_start", "event_type", "n_events").collect().toSet
+    assert(streamed == batch)
+    assert(streamed.size == 2) // 10:00 click window (2 events), 11:00 view
+  }
+
+  test("late event beyond the watermark is dropped") {
+    val input = MemoryStream[StreamingWindows.Ev](spark)
+    input.addData(
+      StreamingWindows.Ev(ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+      StreamingWindows.Ev(ts("2024-01-01 13:00:00"), 1, "click", 1.0))
+    val q1 = StreamingWindows.tumblingCounts(input.toDF())
+      .writeStream.format("memory").queryName("late")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q1.awaitTermination(60000)
+    // watermark now 12:30; this event's window (9:00-10:00) is closed
+    input.addData(StreamingWindows.Ev(ts("2024-01-01 09:30:00"), 1, "click", 9.0))
+    val qq = StreamingWindows.tumblingCounts(input.toDF())
+      .writeStream.format("memory").queryName("late2")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    qq.awaitTermination(60000)
+    val all = spark.table("late").union(spark.table("late2"))
+    assert(all.filter(col("window_start") === ts("2024-01-01 09:00:00")).isEmpty,
+      "late event must not open a closed window")
+  }
+
+  test("custom flatMapGroupsWithState sessionizer matches session_window") {
+    val events = Seq(
+      StreamingWindows.Ev(ts("2024-01-01 10:00:00"), 1, "a", 1.0),
+      StreamingWindows.Ev(ts("2024-01-01 10:10:00"), 1, "a", 1.0),
+      StreamingWindows.Ev(ts("2024-01-01 11:30:00"), 1, "a", 1.0),
+      StreamingWindows.Ev(ts("2024-01-01 10:00:00"), 2, "a", 1.0))
+    // streaming custom sessionizer
+    val input = MemoryStream[StreamingWindows.Ev](spark)
+    input.addData(events: _*)
+    // a final far-future event per user closes all sessions via timeout
+    input.addData(
+      StreamingWindows.Ev(ts("2024-01-02 10:00:00"), 1, "a", 0.0),
+      StreamingWindows.Ev(ts("2024-01-02 10:00:00"), 2, "a", 0.0))
+    runToCompletion("sessions",
+      StreamingWindows.customSessionize(input.toDS()).toDF())
+    val custom = spark.table("sessions")
+      .select("user_id", "session_start", "session_end", "n_events")
+      .collect().toSet
+    // batch session_window over only the original events
+    val builtin = StreamingWindows.sessionCounts(events.toDF())
+      .collect().toSet
+    assert(builtin.subsetOf(custom),
+      s"built-in sessions $builtin must appear in custom $custom")
+  }
+}
