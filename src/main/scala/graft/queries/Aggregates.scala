@@ -131,5 +131,28 @@ object Aggregates {
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin +
         orderAll("o_orderstatus", "o_orderpriority", "n_orders", "g_status", "g_prio")))
 
-  def queries: Seq[GQuery] = Seq(q03, q04, q04x, q05, q05b)
+  // GROUPING SETS via SQL (the third §2.B Q05 form; Spark has no
+  // DataFrame-API spelling for arbitrary sets).
+  val q05c = GQuery(
+    "q05c_grouping_sets",
+    (s, d) => {
+      val c = Ctx(s, d)
+      c.orders.createOrReplaceTempView("orders_v")
+      canon(s.sql(
+        """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+          |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+          |  CAST(GROUPING(o_orderpriority) AS INT) AS g_prio
+          |FROM orders_v
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"""
+          .stripMargin))
+    },
+    Some(
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+        |  CAST(GROUPING(o_orderpriority) AS INT) AS g_prio
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin +
+        orderAll("o_orderstatus", "o_orderpriority", "n_orders", "g_status", "g_prio")))
+
+  def queries: Seq[GQuery] = Seq(q03, q04, q04x, q05, q05b, q05c)
 }

@@ -20,18 +20,19 @@ object EventOps {
       val c = Ctx(s, d)
       val w = Window.partitionBy(col("event_id"))
         .orderBy(col("ts").asc, col("value").asc)
-      canon(
+      canonBy(
         c.events
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1)
-          .select("event_id", "ts", "user_id", "event_type", "value", "props"))
+          .select("event_id", "ts", "user_id", "event_type", "value", "props"),
+        "event_id")
     },
     Some(
       """SELECT event_id, ts, user_id, event_type, value, props FROM (
         |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props,
         |    row_number() OVER (PARTITION BY event_id ORDER BY ts ASC, value ASC) AS rn
         |  FROM events) WHERE rn = 1""".stripMargin +
-        orderAll("event_id", "ts", "user_id", "event_type", "value", "props")))
+        orderAll("event_id")))
 
   // Tumbling 1-hour windows, epoch-aligned (Spark aligns window() to the
   // unix epoch; date_trunc('hour') is the same alignment).

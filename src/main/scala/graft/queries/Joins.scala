@@ -92,16 +92,16 @@ object Joins {
     (s, d) => {
       val c = Ctx(s, d)
       val disc = c.lineitem.filter(col("l_discount") > 0.05)
-      canon(
+      canonBy(
         c.orders
           .join(disc, col("o_orderkey") === col("l_orderkey"), "left_semi")
-          .select("o_orderkey", "o_totalprice"))
+          .select("o_orderkey", "o_totalprice"), "o_orderkey")
     },
     Some(
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE EXISTS (SELECT 1 FROM lineitem
         |  WHERE l_orderkey = o_orderkey AND l_discount > 0.05)""".stripMargin +
-        orderAll("o_orderkey", "o_totalprice")))
+        orderAll("o_orderkey")))
 
   // NOT EXISTS with a predicate on the inner side (every customer has
   // *some* order in this data, so the plain variant would be vacuous).
@@ -110,16 +110,16 @@ object Joins {
     (s, d) => {
       val c = Ctx(s, d)
       val urgent = c.orders.filter(col("o_orderpriority") === "1-URGENT")
-      canon(
+      canonBy(
         c.customer
           .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
-          .select("c_custkey", "c_name"))
+          .select("c_custkey", "c_name"), "c_custkey")
     },
     Some(
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin +
-        orderAll("c_custkey", "c_name")))
+        orderAll("c_custkey")))
 
   // Theta join: equi-key on region + strict-inequality residual.
   val q11 = GQuery(
@@ -164,11 +164,11 @@ object Joins {
         col("user_id") === col("o_custkey") && col("ts") <= col("anchor_ts"))
       val w = Window.partitionBy(col("o_orderkey"))
         .orderBy(col("ts").desc, col("event_id").desc)
-      canon(
+      canonBy(
         j.withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1)
           .select(col("o_orderkey"), col("anchor_ts"), col("ts").as("asof_ts"),
-            col("value").as("asof_value")))
+            col("value").as("asof_value")), "o_orderkey")
     },
     Some(
       """SELECT o_orderkey, anchor_ts, asof_ts, asof_value FROM (
@@ -180,7 +180,7 @@ object Joins {
         |    ON e.user_id = o_custkey
         |    AND CAST(e.ts AS TIMESTAMP) <= TIMESTAMP '2024-01-01 00:00:00' + (o_orderkey % 43200) * INTERVAL 1 MINUTE)
         |WHERE rn = 1""".stripMargin +
-        orderAll("o_orderkey", "anchor_ts", "asof_ts", "asof_value")))
+        orderAll("o_orderkey")))
 
   val q13 = GQuery(
     "q13_cross_join",

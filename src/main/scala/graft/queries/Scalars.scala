@@ -20,7 +20,7 @@ object Scalars {
     "q22_string_fns",
     (s, d) => {
       val c = Ctx(s, d)
-      canon(
+      canonBy(
         c.part.select(
           col("p_partkey"),
           upper(col("p_name")).as("up_name"),
@@ -31,7 +31,7 @@ object Scalars {
           regexp_replace(col("p_name"), lit(" "), lit("_")).as("name_us"),
           split(col("p_name"), " ").getItem(0).as("first_word"),
           col("p_name").like("%red%").cast("int").as("is_red"),
-          regexp_extract(col("p_name"), "^([a-z]+)", 1).as("first_alpha")))
+          regexp_extract(col("p_name"), "^([a-z]+)", 1).as("first_alpha")), "p_partkey")
     },
     Some(
       """SELECT p_partkey,
@@ -45,14 +45,13 @@ object Scalars {
         |  CAST(p_name LIKE '%red%' AS INT) AS is_red,
         |  regexp_extract(p_name, '^([a-z]+)', 1) AS first_alpha
         |FROM part""".stripMargin +
-        orderAll("p_partkey", "up_name", "lo_type", "name5", "name_len",
-          "brand_type", "name_us", "first_word", "is_red", "first_alpha")))
+        orderAll("p_partkey")))
 
   val q23 = GQuery(
     "q23_date_fns",
     (s, d) => {
       val c = Ctx(s, d)
-      canon(
+      canonBy(
         c.orders.select(
           col("o_orderkey"),
           year(col("o_orderdate")).as("yr"),
@@ -61,7 +60,7 @@ object Scalars {
           date_trunc("month", col("o_orderdate")).as("month_start"),
           datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
             .as("days_since_epoch0"),
-          date_add(col("o_orderdate").cast("date"), 30).as("due_date")))
+          date_add(col("o_orderdate").cast("date"), 30).as("due_date")), "o_orderkey")
     },
     Some(
       """SELECT o_orderkey,
@@ -72,26 +71,33 @@ object Scalars {
         |  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since_epoch0,
         |  CAST(o_orderdate AS DATE) + 30 AS due_date
         |FROM orders""".stripMargin +
-        orderAll("o_orderkey", "yr", "mo", "dow", "month_start",
-          "days_since_epoch0", "due_date")))
+        orderAll("o_orderkey")))
 
   val q24 = GQuery(
     "q24_math_fns",
     (s, d) => {
       val c = Ctx(s, d)
-      canon(
-        c.lineitem.select(
-          col("l_orderkey"),
-          col("l_linenumber"),
-          abs(col("l_quantity") - 25.0).as("qty_dev"),
-          round(col("l_extendedprice") / 7.0, 4).as("price_div"),
-          floor(col("l_discount") * 100).cast("bigint").as("disc_pct"),
-          ceil(col("l_tax") * 100).cast("bigint").as("tax_pct"),
-          round(pow(col("l_quantity"), 2), 4).as("qty_sq"),
-          round(sqrt(col("l_extendedprice")), 4).as("price_sqrt"),
-          round(log(col("l_extendedprice")), 4).as("price_ln"),
-          round(exp(col("l_discount")), 4).as("disc_exp"),
-          (col("l_orderkey") % 7).as("key_mod")))
+      // Sort FIRST on the narrow unique key, project the 9 math
+      // expressions after: the range-partitioned sort runs its sampling
+      // pass over the 6 source columns instead of re-executing the
+      // transcendental projection twice.
+      val sorted = c.lineitem
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice", "l_discount", "l_tax")
+        .orderBy(col("l_orderkey").asc_nulls_first,
+          col("l_linenumber").asc_nulls_first)
+      sorted.select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        abs(col("l_quantity") - 25.0).as("qty_dev"),
+        round(col("l_extendedprice") / 7.0, 4).as("price_div"),
+        floor(col("l_discount") * 100).cast("bigint").as("disc_pct"),
+        ceil(col("l_tax") * 100).cast("bigint").as("tax_pct"),
+        round(pow(col("l_quantity"), 2), 4).as("qty_sq"),
+        round(sqrt(col("l_extendedprice")), 4).as("price_sqrt"),
+        round(log(col("l_extendedprice")), 4).as("price_ln"),
+        round(exp(col("l_discount")), 4).as("disc_exp"),
+        (col("l_orderkey") % 7).as("key_mod"))
     },
     Some(
       """SELECT l_orderkey, l_linenumber,
@@ -105,14 +111,13 @@ object Scalars {
         |  round(exp(l_discount), 4) AS disc_exp,
         |  l_orderkey % 7 AS key_mod
         |FROM lineitem""".stripMargin +
-        orderAll("l_orderkey", "l_linenumber", "qty_dev", "price_div", "disc_pct",
-          "tax_pct", "qty_sq", "price_sqrt", "price_ln", "disc_exp", "key_mod")))
+        orderAll("l_orderkey", "l_linenumber")))
 
   val q25 = GQuery(
     "q25_conditional",
     (s, d) => {
       val c = Ctx(s, d)
-      canon(
+      canonBy(
         c.orders.select(
           col("o_orderkey"),
           when(col("o_orderstatus") === "F", "finished")
@@ -121,7 +126,7 @@ object Scalars {
           nullif(col("o_orderpriority"), lit("5-LOW")).as("prio_nonlow"),
           coalesce(nullif(col("o_orderpriority"), lit("5-LOW")), lit("none"))
             .as("prio_or_none"),
-          when(col("o_totalprice") > 250000.0, 1).otherwise(0).as("is_big")))
+          when(col("o_totalprice") > 250000.0, 1).otherwise(0).as("is_big")), "o_orderkey")
     },
     Some(
       """SELECT o_orderkey,
@@ -132,18 +137,18 @@ object Scalars {
         |  COALESCE(NULLIF(o_orderpriority, '5-LOW'), 'none') AS prio_or_none,
         |  CASE WHEN o_totalprice > 250000.0 THEN 1 ELSE 0 END AS is_big
         |FROM orders""".stripMargin +
-        orderAll("o_orderkey", "status_label", "prio_nonlow", "prio_or_none", "is_big")))
+        orderAll("o_orderkey")))
 
   val q26 = GQuery(
     "q26_array_fns",
     (s, d) => {
       val c = Ctx(s, d)
-      canon(
+      canonBy(
         c.embeddings.select(
           col("vec_id"),
           size(col("embedding")).cast("int").as("dim"),
           round(element_at(col("embedding"), 1).cast("double"), 4).as("first_c"),
-          round(element_at(col("embedding"), -1).cast("double"), 4).as("last_c")))
+          round(element_at(col("embedding"), -1).cast("double"), 4).as("last_c")), "vec_id")
     },
     Some(
       """SELECT vec_id,
@@ -151,7 +156,7 @@ object Scalars {
         |  round(CAST(embedding[1] AS DOUBLE), 4) AS first_c,
         |  round(CAST(embedding[-1] AS DOUBLE), 4) AS last_c
         |FROM embeddings""".stripMargin +
-        orderAll("vec_id", "dim", "first_c", "last_c")))
+        orderAll("vec_id")))
 
   // Grouped array building: collect_list + sort_array, emitted as a
   // joined string so the hash compare stays scalar-typed.
@@ -212,12 +217,12 @@ object Scalars {
     "q28_cast_enforce",
     (s, d) => {
       val c = Ctx(s, d)
-      canon(
+      canonBy(
         c.orders.select(
           col("o_orderkey"),
           col("o_orderkey").cast("string").as("okey_str"),
           col("o_orderdate").cast("date").as("odate"),
-          dec(col("o_totalprice")).cast("string").as("price_dec4")))
+          dec(col("o_totalprice")).cast("string").as("price_dec4")), "o_orderkey")
     },
     Some(
       """SELECT o_orderkey,
@@ -225,7 +230,7 @@ object Scalars {
         |  CAST(o_orderdate AS DATE) AS odate,
         |  CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS VARCHAR) AS price_dec4
         |FROM orders""".stripMargin +
-        orderAll("o_orderkey", "okey_str", "odate", "price_dec4")))
+        orderAll("o_orderkey")))
 
   // REQUIRED-mode null audit (reference P9's reject channel, as counts).
   val q28b = GQuery(

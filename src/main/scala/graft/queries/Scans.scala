@@ -15,11 +15,12 @@ object Scans {
     "q01_scan_project",
     (s, d) => {
       val c = Ctx(s, d)
-      canon(c.lineitem.select("l_orderkey", "l_linenumber", "l_extendedprice"))
+      canonBy(c.lineitem.select("l_orderkey", "l_linenumber", "l_extendedprice"),
+        "l_orderkey", "l_linenumber")
     },
     Some(
       "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem" +
-        orderAll("l_orderkey", "l_linenumber", "l_extendedprice")),
+        orderAll("l_orderkey", "l_linenumber")),
     headline = true)
 
   // TPC-H Q6 shape: filter + single global aggregate.

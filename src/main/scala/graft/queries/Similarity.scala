@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import Det._
+import graft.functions.VectorOps
 
 /** Approximate nearest-neighbor search — the scale path behind QX3's
   * brute-force cosine top-k.
@@ -12,8 +13,12 @@ import Det._
   * vectors are candidates if they share a key in ANY table. Hyperplanes
   * are derived deterministically from xxhash64(plane*dim+j) — no RNG
   * state, every executor and every run derives identical planes.
-  * Candidates come from equality joins on (table, signature) — shuffle,
-  * not all-pairs — then exact cosine ranks the survivors.
+  *
+  * Plan shape for scale: the bucket equi-join emits bare id pairs,
+  * which are DISTINCT'ed while still narrow (two longs) — only the
+  * surviving pairs re-attach vectors (broadcast of the small embedding
+  * table; at 100 TB this becomes a shuffled join on vec_id) and pay the
+  * codegen'd vec_dot. Never carry 64-double arrays through a distinct.
   *
   * Tuning note: this corpus's nearest neighbors are weak (cos ~0.5, a
   * ~60° angle), so per-bit collision is only ~2/3 and recall needs many
@@ -31,38 +36,47 @@ object Similarity {
     "xs1_ann_lsh",
     (s, d) => {
       val c = Ctx(s, d)
+      VectorOps.register(s)
       val e = c.embeddings.select(
         col("vec_id"), col("embedding").cast("array<double>").as("v"))
       // plane p (p = l*Bits + i): r[p][j] in [-0.5, 0.5), deterministic
-      val plane = (p: String) =>
-        s"""transform(sequence(0, ${Dim - 1}), j ->
-           |  CAST(pmod(xxhash64(($p) * $Dim + j), 1000000) AS DOUBLE) / 1000000.0 - 0.5)"""
-          .stripMargin
-      val signed = e
-        .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
-        .withColumn("keys", expr(
-          s"""transform(sequence(0, ${Tables - 1}), l ->
-             |  aggregate(sequence(0, ${Bits - 1}), l * ${1 << Bits},
-             |    (acc, i) -> acc + shiftleft(CAST(
-             |      aggregate(zip_with(v, ${plane(s"l * $Bits + i")}, (x, y) -> x * y),
-             |                CAST(0.0 AS DOUBLE), (a, x) -> a + x) > 0 AS INT), i)))"""
+      // plane table: Tables*Bits deterministic hyperplanes, built once
+      // and broadcast — NOT re-derived inside a per-vector lambda
+      // (recomputing 96 plane arrays per row dominated the first cut).
+      val planes = s.range(Tables.toLong * Bits)
+        .select(col("id").cast("int").as("p"))
+        .withColumn("r", expr(
+          s"""transform(sequence(0, ${Dim - 1}), j ->
+             |  CAST(pmod(xxhash64(p * $Dim + j), 1000000) AS DOUBLE) / 1000000.0 - 0.5)"""
             .stripMargin))
-      val bucketed = signed.select(col("vec_id"), col("v"), col("nrm"),
-        explode(col("keys")).as("bucket"))
-      val a = bucketed.select(col("bucket"), col("vec_id"), col("v"), col("nrm"))
-      val b = bucketed.select(col("bucket"), col("vec_id").as("neighbor_id"),
-        col("v").as("vb"), col("nrm").as("nb"))
-      val pairs = a.join(b, Seq("bucket"))
+      // one codegen'd dot per (vector, plane); signature = bit-sum per table
+      val bucketed = e.crossJoin(broadcast(planes))
+        .select(col("vec_id"),
+          (col("p") / Bits).cast("int").as("tbl"),
+          (col("p") % Bits).as("bit"),
+          (expr("vec_dot(v, r)") > 0).cast("int").as("b"))
+        .groupBy("vec_id", "tbl")
+        .agg(sum(expr("shiftleft(b, CAST(bit AS INT))")).as("sig"))
+        .select(col("vec_id"),
+          (col("tbl") * (1 << Bits) + col("sig")).as("bucket"))
+      // narrow candidate pairs, deduped before any vector work
+      val cand = bucketed.as("a")
+        .join(bucketed.as("b"), Seq("bucket"))
+        .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"))
         .filter(col("vec_id") =!= col("neighbor_id"))
-        .select(col("vec_id"), col("neighbor_id"), col("v"), col("vb"),
-          col("nrm"), col("nb"))
         .distinct()
-        .withColumn("score", round(
-          aggregate(zip_with(col("v"), col("vb"), (x, y) => x * y),
-            lit(0.0), (acc, x) => acc + x) / (col("nrm") * col("nb")), 4))
+      val withNorm = e.withColumn("nrm", sqrt(expr("vec_dot(v, v)")))
+      val va = withNorm.select(col("vec_id"), col("v").as("va"), col("nrm").as("na"))
+      val vb = withNorm.select(col("vec_id").as("neighbor_id"),
+        col("v").as("vb"), col("nrm").as("nb"))
+      val scored = cand
+        .join(broadcast(va), "vec_id")
+        .join(broadcast(vb), "neighbor_id")
+        .withColumn("score",
+          round(expr("vec_dot(va, vb)") / (col("na") * col("nb")), 4))
       val w = Window.partitionBy(col("vec_id"))
         .orderBy(col("score").desc, col("neighbor_id").asc)
-      canon(pairs
+      canon(scored
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 5)
         .select("vec_id", "neighbor_id", "score"))

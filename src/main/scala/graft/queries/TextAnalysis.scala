@@ -16,7 +16,7 @@ object TextAnalysis {
     "xt1_quality_score",
     (s, d) => {
       val c = Ctx(s, d)
-      canon(c.documents
+      canonBy(c.documents
         .withColumn("toks", Llm.tokens(col("text")))
         .select(
           col("doc_id"),
@@ -26,7 +26,7 @@ object TextAnalysis {
           round(size(array_distinct(col("toks"))).cast("double") /
             size(col("toks")), 4).as("distinct_ratio"),
           round(aggregate(col("toks"), lit(0L), (a, t) => a + length(t))
-            .cast("double") / size(col("toks")), 4).as("avg_token_len")))
+            .cast("double") / size(col("toks")), 4).as("avg_token_len")), "doc_id")
     },
     Some(
       """SELECT doc_id, n_chars,
@@ -37,8 +37,7 @@ object TextAnalysis {
         |FROM (SELECT doc_id, n_chars,
         |        list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS toks
         |      FROM documents) t""".stripMargin +
-        orderAll("doc_id", "n_chars", "n_tokens", "n_distinct", "distinct_ratio",
-          "avg_token_len")))
+        orderAll("doc_id")))
 
   // Document fingerprint: rolling polynomial hash over the token stream
   // (order-sensitive, unlike the set-based Jaccard). Engine-portable:
@@ -55,9 +54,9 @@ object TextAnalysis {
             |  (acc, t) -> (acc * 31 + length(t) * 131 + ascii(t)) % 1000000007)"""
             .stripMargin))
       val w = Window.partitionBy(col("fingerprint"))
-      canon(fp
+      canonBy(fp
         .withColumn("n_same_fp", count(lit(1)).over(w))
-        .select("doc_id", "fingerprint", "n_same_fp"))
+        .select("doc_id", "fingerprint", "n_same_fp"), "doc_id")
     },
     Some(
       """WITH fp AS (
@@ -70,7 +69,7 @@ object TextAnalysis {
         |  FROM documents)
         |SELECT doc_id, fingerprint,
         |  COUNT(*) OVER (PARTITION BY fingerprint) AS n_same_fp
-        |FROM fp""".stripMargin + orderAll("doc_id", "fingerprint", "n_same_fp")))
+        |FROM fp""".stripMargin + orderAll("doc_id")))
 
   // Language-ID: character-bigram profiles learned from the corpus
   // itself (top bigrams per language), docs classified by profile

@@ -19,16 +19,16 @@ object Udx {
     (s, d) => {
       val c = Ctx(s, d)
       s.udf.register("wei2eth", (v: Double) => v / 1e18)
-      canon(
+      canonBy(
         c.events
           .withColumn("eth", expr("wei2eth(value)"))
           .filter(col("eth") > lit(5e-17))
-          .select("event_id", "event_type", "value", "eth"))
+          .select("event_id", "event_type", "value", "eth"), "event_id")
     },
     Some(
       """SELECT event_id, event_type, value, value / 1e18 AS eth
         |FROM events WHERE value / 1e18 > 5e-17""".stripMargin +
-        orderAll("event_id", "event_type", "value", "eth")))
+        orderAll("event_id")))
 
   // UDAF: geometric mean per event_type. ROUND(...,4) because the ln-sum
   // accumulates in double — Spark's partial-merge order differs from
@@ -57,18 +57,19 @@ object Udx {
     "q35_posexplode",
     (s, d) => {
       val c = Ctx(s, d)
-      canon(
+      canonBy(
         c.embeddings
           .select(col("vec_id"), posexplode(col("embedding")))
           .filter(col("pos") < 4)
           .select(
             col("vec_id"), col("pos"),
-            round(col("col").cast("double"), 4).as("component")))
+            round(col("col").cast("double"), 4).as("component")),
+        "vec_id", "pos")
     },
     Some(
       """SELECT vec_id, CAST(i - 1 AS INT) AS pos, ROUND(CAST(embedding[i] AS DOUBLE), 4) AS component
         |FROM embeddings, generate_series(1, 4) AS t(i)""".stripMargin +
-        orderAll("vec_id", "pos", "component")))
+        orderAll("vec_id", "pos")))
 
   def queries: Seq[GQuery] = Seq(q33, q34, q35)
 }

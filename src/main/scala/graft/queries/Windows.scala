@@ -19,13 +19,14 @@ object Windows {
       val c = Ctx(s, d)
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-      canon(
+      canonBy(
         c.orders
           .withColumn("rn", row_number().over(w))
           .withColumn("rnk", rank().over(w))
           .withColumn("drnk", dense_rank().over(w))
           .filter(col("rn") <= 3)
-          .select("o_custkey", "o_orderkey", "o_totalprice", "rn", "rnk", "drnk"))
+          .select("o_custkey", "o_orderkey", "o_totalprice", "rn", "rnk", "drnk"),
+        "o_orderkey")
     },
     Some(
       """SELECT o_custkey, o_orderkey, o_totalprice, rn, rnk, drnk FROM (
@@ -34,7 +35,7 @@ object Windows {
         |  FROM orders
         |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC))
         |WHERE rn <= 3""".stripMargin +
-        orderAll("o_custkey", "o_orderkey", "o_totalprice", "rn", "rnk", "drnk")),
+        orderAll("o_orderkey")),
     headline = true)
 
   val q15 = GQuery(
@@ -43,13 +44,14 @@ object Windows {
       val c = Ctx(s, d)
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts").asc, col("event_id").asc)
-      canon(
+      canonBy(
         c.events
           .withColumn("prev_value", lag(col("value"), 1).over(w))
           .withColumn("next_value", lead(col("value"), 1).over(w))
           .withColumn("delta", col("value") - lag(col("value"), 1).over(w))
           .select(col("user_id"), col("event_id"), col("ts"),
-            col("value"), col("prev_value"), col("next_value"), col("delta")))
+            col("value"), col("prev_value"), col("next_value"), col("delta")),
+        "event_id")
     },
     Some(
       """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
@@ -58,7 +60,7 @@ object Windows {
         |  value - lag(value, 1) OVER w AS delta
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)""".stripMargin +
-        orderAll("user_id", "event_id", "ts", "value", "prev_value", "next_value", "delta")),
+        orderAll("event_id")),
     headline = true)
 
   // Frames: running total (UNBOUNDED PRECEDING) + 3-row moving average.
@@ -72,7 +74,7 @@ object Windows {
         .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
       val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val mov = w.rowsBetween(-2, Window.currentRow)
-      canon(
+      canonBy(
         c.orders
           .withColumn("cum_rev", sum(dec(col("o_totalprice"))).over(cum).cast("double"))
           .withColumn("mov_avg",
@@ -80,7 +82,7 @@ object Windows {
               count(lit(1)).over(mov))
           .select(col("o_custkey"), col("o_orderkey"),
             col("o_orderdate").cast("date").as("o_orderdate"),
-            col("cum_rev"), col("mov_avg")))
+            col("cum_rev"), col("mov_avg")), "o_orderkey")
     },
     Some(
       """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
@@ -89,7 +91,7 @@ object Windows {
         |    / COUNT(*) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_avg
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)""".stripMargin +
-        orderAll("o_custkey", "o_orderkey", "o_orderdate", "cum_rev", "mov_avg")))
+        orderAll("o_orderkey")))
 
   // Distribution: NTILE / PERCENT_RANK / CUME_DIST, partitioned by
   // priority so no single task owns the whole table at scale.
@@ -99,13 +101,13 @@ object Windows {
       val c = Ctx(s, d)
       val w = Window.partitionBy(col("o_orderpriority"))
         .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
-      canon(
+      canonBy(
         c.orders
           .withColumn("quartile", ntile(4).over(w))
           .withColumn("pr", percent_rank().over(w))
           .withColumn("cd", cume_dist().over(w))
           .select("o_orderpriority", "o_orderkey", "o_totalprice",
-            "quartile", "pr", "cd"))
+            "quartile", "pr", "cd"), "o_orderkey")
     },
     Some(
       """SELECT o_orderpriority, o_orderkey, o_totalprice,
@@ -114,7 +116,7 @@ object Windows {
         |  cume_dist() OVER w AS cd
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC, o_orderkey ASC)""".stripMargin +
-        orderAll("o_orderpriority", "o_orderkey", "o_totalprice", "quartile", "pr", "cd")))
+        orderAll("o_orderkey")))
 
   def queries: Seq[GQuery] = Seq(q14, q15, q16, q17)
 }

@@ -86,6 +86,15 @@ object Det {
   def canon(df: DataFrame): DataFrame =
     df.orderBy(df.columns.toIndexedSeq.map(n => col(n).asc_nulls_first): _*)
 
+  /** Canonical order by a UNIQUE key prefix only — same determinism,
+    * fraction of the sort cost for wide per-row outputs (the sort keys
+    * are a couple of longs instead of every column). The caller
+    * guarantees the keys are unique and non-null; the oracle must
+    * ORDER BY the same keys (orderAll with the same list).
+    */
+  def canonBy(df: DataFrame, keys: String*): DataFrame =
+    df.orderBy(keys.toIndexedSeq.map(n => col(n).asc_nulls_first): _*)
+
   /** Oracle-side canonical ORDER BY for the given output columns. */
   def orderAll(cols: String*): String =
     cols.map(c => s"$c ASC NULLS FIRST").mkString(" ORDER BY ", ", ", "")
