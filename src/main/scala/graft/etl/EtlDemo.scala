@@ -50,7 +50,28 @@ object EtlDemo {
     println(s"[etl-demo] dedup view rows=$dedup " +
       s"(raw=${spark.read.parquet(s"${cfg.sinkDir}/marketplace").count()})")
     println(s"[etl-demo] cursor=${Cursor(cfg.cursorDir).read()}")
-    val ok = sec <= 15.0 && s1.ran && s2.ran && !s3.ran
+
+    // DSv2 streaming form of the same source: offsets in the checkpoint
+    // log play the etl_cursor role (graft.etl.ChainStreamSource).
+    val q = spark.readStream.format("graft.etl.ChainStreamSource")
+      .option("chainDir", chain.toString)
+      .option("startBlock", ChainFixture.Epoch)
+      .option("blockLag", 4).option("batchSize", 1000)
+      .load()
+      .writeStream.format("parquet")
+      .option("path", root.resolve("stream_sink").toString)
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.read.parquet(root.resolve("stream_sink").toString)
+    val streamedMax = streamed.agg(org.apache.spark.sql.functions
+      .max("block_number")).head.getLong(0)
+    println(s"[etl-demo] dsv2 stream: rows=${streamed.count()} maxBlock=$streamedMax " +
+      s"(head=${ChainFixture.Epoch + ChainFixture.Span - 1}, lag 4 held=" +
+      s"${streamedMax <= ChainFixture.Epoch + ChainFixture.Span - 5})")
+
+    val ok = sec <= 15.0 && s1.ran && s2.ran && !s3.ran &&
+      streamedMax <= ChainFixture.Epoch + ChainFixture.Span - 5
     println(s"[etl-demo] PASS=$ok")
     spark.stop()
     if (!ok) sys.exit(1)
