@@ -99,15 +99,21 @@ object EtlJob {
   private def load(df: DataFrame, path: String, cfg: Config): Long = {
     val withBucket = df.withColumn(
       "block_bucket", col("block_number") - (col("block_number") % cfg.batchSize))
-    val n = withBucket.count()
-    if (n > 0) {                                    // P11 empty short-circuit
-      val mode = if (cfg.idempotent) SaveMode.Overwrite else SaveMode.Append
-      val writer = withBucket.write.mode(mode).partitionBy("block_bucket")
-      if (cfg.idempotent)
-        df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      writer.parquet(path)
-    }
-    n
+    // The emptiness probe (P11) and the write are two actions over the
+    // same extraction plan — cache across them so the scan+parse+enrich
+    // work runs once, not twice.
+    withBucket.persist()
+    try {
+      val n = withBucket.count()
+      if (n > 0) {                                  // P11 empty short-circuit
+        val mode = if (cfg.idempotent) SaveMode.Overwrite else SaveMode.Append
+        val writer = withBucket.write.mode(mode).partitionBy("block_bucket")
+        if (cfg.idempotent)
+          df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        writer.parquet(path)
+      }
+      n
+    } finally withBucket.unpersist()
   }
 
   /** P14: consumer-side dedup view over an at-least-once sink.

@@ -154,5 +154,40 @@ object Aggregates {
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin +
         orderAll("o_orderstatus", "o_orderpriority", "n_orders", "g_status", "g_prio")))
 
-  def queries: Seq[GQuery] = Seq(q03, q04, q04x, q05, q05b, q05c)
+  // Statistical aggregates: stddev/variance/correlation/median/skewness.
+  // These are inherently floating (merge-order dependent at ~1e-12
+  // relative), so each output is ROUNDed at a precision where that
+  // error cannot flip the rounding (stddev ~1e5 -> 2 decimals, etc).
+  val q03b = GQuery(
+    "q03b_stats_agg",
+    (s, d) => {
+      val c = Ctx(s, d)
+      canon(
+        c.orders
+          .groupBy("o_orderstatus")
+          .agg(
+            count(lit(1)).as("n"),
+            round(stddev_samp(col("o_totalprice")), 2).as("sd_price"),
+            round(var_samp(col("o_totalprice")) / 1e6, 2).as("var_price_m"),
+            round(corr(col("o_totalprice"), col("o_custkey").cast("double")), 4)
+              .as("corr_pc"),
+            round(median(col("o_totalprice")), 2).as("med_price"),
+            // Spark's skewness is the population g1; DuckDB's is the
+            // bias-corrected sample G1 = g1 * sqrt(n(n-1))/(n-2).
+            round(skewness(col("o_totalprice")) *
+              sqrt(count(lit(1)) * (count(lit(1)) - 1)) / (count(lit(1)) - 2), 4)
+              .as("skew_price")))
+    },
+    Some(
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  ROUND(stddev_samp(o_totalprice), 2) AS sd_price,
+        |  ROUND(var_samp(o_totalprice) / 1e6, 2) AS var_price_m,
+        |  ROUND(corr(o_totalprice, CAST(o_custkey AS DOUBLE)), 4) AS corr_pc,
+        |  ROUND(median(o_totalprice), 2) AS med_price,
+        |  ROUND(skewness(o_totalprice), 4) AS skew_price
+        |FROM orders GROUP BY o_orderstatus""".stripMargin +
+        orderAll("o_orderstatus", "n", "sd_price", "var_price_m", "corr_pc",
+          "med_price", "skew_price")))
+
+  def queries: Seq[GQuery] = Seq(q03, q03b, q04, q04x, q05, q05b, q05c)
 }

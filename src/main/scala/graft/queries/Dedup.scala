@@ -100,9 +100,10 @@ object Dedup {
         .withColumn("jaccard",
           round(col("inter").cast("double") / col("uni"), 4))
         .filter(col("inter").cast("double") / col("uni") >= 0.8)
-      canon(
-        intraPairs(groups, lit(1.0), "jaccard")
-          .unionByName(expandPairs(qualifying, "jaccard")))
+      // ⊘ rows-only contract: no canonical sort — ordering a ~3M-pair
+      // output would dominate the query's own cost.
+      intraPairs(groups, lit(1.0), "jaccard")
+        .unionByName(expandPairs(qualifying, "jaccard"))
     },
     None)
 
@@ -135,9 +136,8 @@ object Dedup {
       val g1 = groups.select(col("mask").as("mask_a"), col("ids").as("ids_a"))
       val g2 = groups.select(col("mask").as("mask_b"), col("ids").as("ids_b"))
       val cross = candMasks.join(g1, "mask_a").join(g2, "mask_b")
-      canon(
-        intraPairs(groups, lit(0L), "hamming")
-          .unionByName(expandPairs(cross, "hamming")))
+      intraPairs(groups, lit(0L), "hamming")
+        .unionByName(expandPairs(cross, "hamming"))
     },
     None)
 
