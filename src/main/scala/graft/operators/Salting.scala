@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation operators for hot keys at 100 TB.
+  *
+  * A single pathological key (one user generating 10% of all events)
+  * funnels its whole group through one reducer. AQE's skew-join split
+  * handles joins; skewed AGGREGATION needs salting: aggregate in two
+  * phases, first on (key, salt) — spreading the hot key over `buckets`
+  * reducers — then re-aggregate on key. Works for any algebraic
+  * aggregate expressed as (partial, merge) pairs.
+  */
+object Salting {
+
+  /** Two-phase salted sum/count-style aggregation.
+    *
+    * @param aggs  (inputColumn -> outputName) pairs; each is summed —
+    *              SUM and COUNT (sum of 1s) are the algebraic aggregates
+    *              a salted re-merge composes trivially; AVG = salted
+    *              SUM / salted COUNT at the caller.
+    */
+  def saltedSum(
+      df: DataFrame,
+      keys: Seq[String],
+      aggs: Seq[(Column, String)],
+      buckets: Int = 16): DataFrame = {
+    require(buckets > 0)
+    // deterministic spread: hash of the whole row modulo buckets (a
+    // random salt would break retry idempotence)
+    val salted = df.withColumn(
+      "__salt", pmod(hash(df.columns.map(col).toIndexedSeq: _*), lit(buckets)))
+    val phase1 = salted
+      .groupBy((keys :+ "__salt").map(col): _*)
+      .agg(aggs.head._1.as(aggs.head._2),
+        aggs.tail.map { case (c, n) => c.as(n) }: _*)
+    phase1
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col(aggs.head._2)).as(aggs.head._2),
+        aggs.tail.map { case (_, n) => sum(col(n)).as(n) }: _*)
+  }
+}
