@@ -28,7 +28,11 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val results = Registry.all.map { q =>
+    // optional focus list for targeted tuning: SPARK_GRAFT_ONLY=q1,q2
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = Registry.all.filter(q => only.forall(_.contains(q.name)))
+    val results = selected.map { q =>
       val t = try {
         once(q.name) // warm-up (codegen + page cache), discarded
         val runs = Seq(once(q.name), once(q.name), once(q.name)).sorted

@@ -141,5 +141,115 @@ object Dedup {
     },
     None)
 
-  def queries: Seq[GQuery] = Seq(xd1, xd2)
+  /** n-gram (3-shingle) Jaccard: ORDER-SENSITIVE near-dup, unlike the
+    * token-set Jaccard (QX2). Candidates come from an equality join on
+    * shingles (docs sharing none can't have J>0), counted once per
+    * pair; sizes via a per-doc distinct-shingle count. Oracle-matched.
+    */
+  val xd3 = GQuery(
+    "xd3_shingle_jaccard",
+    (s, d) => {
+      val c = Ctx(s, d)
+      // The shingle arrays are the expensive projection (interpreted
+      // HOF over every document) and three plan branches need them —
+      // materialize ONCE via localCheckpoint (5000 narrow rows), then
+      // an equality self-join on xxhash64(shingle) LONG keys feeds the
+      // pair-count aggregation; the packed (doc_id*2^10 + size) long
+      // carries the set size through so no lookup join is needed.
+      // (At corpus sizes where the shingle join outgrows memory the
+      // scale path is PPJoin prefix filtering — join only each set's
+      // rarest n-ceil(t*n)+1 shingles under a global rarity order, then
+      // verify survivors exactly; measured slower here because its two
+      // ranking windows exceed the whole join's cost at 5k docs.)
+      val base = c.documents
+        .select(col("doc_id"), Llm.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), expr(
+          "array_distinct(transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3))))")
+          .as("shings"))
+        .select((col("doc_id") * 1024 + size(col("shings"))).as("packed"),
+          col("shings"))
+        .localCheckpoint()
+      val sh = base.select(col("packed"),
+        explode(expr("transform(shings, s -> xxhash64(s))")).as("sid"))
+      val j = sh.as("a").join(sh.as("b"),
+          col("a.sid") === col("b.sid") && col("a.packed") < col("b.packed"))
+        .groupBy(col("a.packed").as("pa"), col("b.packed").as("pb"))
+        .agg(count(lit(1)).as("inter"))
+        .withColumn("sa", col("pa") % 1024).withColumn("sb", col("pb") % 1024)
+        .withColumn("jaccard",
+          col("inter").cast("double") / (col("sa") + col("sb") - col("inter")))
+        .filter(col("jaccard") >= 0.7)
+      canon(j.select(expr("pa DIV 1024").as("doc_a"),
+        expr("pb DIV 1024").as("doc_b"),
+        round(col("jaccard"), 4).as("jaccard")))
+    },
+    Some(
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, t.shingle FROM (
+        |    SELECT doc_id,
+        |      list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS toks
+        |    FROM documents) d,
+        |    UNNEST(list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS t(shingle)
+        |  WHERE len(toks) >= 3),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+        |pr AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  ROUND(inter / (sa.sz + sb.sz - inter), 4) AS jaccard
+        |FROM pr JOIN sz sa ON pr.doc_a = sa.doc_id JOIN sz sb ON pr.doc_b = sb.doc_id
+        |WHERE inter / (sa.sz + sb.sz - inter) >= 0.7""".stripMargin +
+        orderAll("doc_a", "doc_b", "jaccard")))
+
+  /** Embedding-cosine near-dup pairs (threshold form of QX3): all
+    * ordered pairs with cosine >= 0.45. Norms precomputed, pairwise via
+    * codegen'd vec_dot, no window. Oracle-matched.
+    */
+  val xd4 = GQuery(
+    "xd4_cosine_dup",
+    (s, d) => {
+      val c = Ctx(s, d)
+      import s.implicits._
+      // Block-broadcast pairwise pass (same shape as QX3's kNN): the
+      // BNLJ form materializes n^2/2 rows each carrying two 512-byte
+      // arrays; here each partition streams its vectors against the
+      // broadcast matrix and emits only threshold survivors.
+      def dot(a: Array[Double], b: Array[Double]): Double = {
+        var acc = 0.0; var i = 0
+        while (i < a.length && i < b.length) { acc += a(i) * b(i); i += 1 }
+        acc
+      }
+      def r4(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
+      val e = c.embeddings
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .as[(Long, Array[Double])]
+      val ref = e.collect().sortBy(_._1)
+      val norms = ref.map { case (_, v) => math.sqrt(dot(v, v)) }
+      val bc = s.sparkContext.broadcast((ref, norms))
+      val pairs = e.mapPartitions { it =>
+        val (refs, rn) = bc.value
+        it.flatMap { case (id, v) =>
+          val n = math.sqrt(dot(v, v))
+          refs.iterator.zipWithIndex
+            .filter { case ((nid, _), _) => nid > id }
+            .map { case ((nid, w), j) => (id, nid, r4(dot(v, w) / (n * rn(j)))) }
+            .filter(_._3 >= 0.45)
+        }
+      }.toDF("doc_a", "doc_b", "score")
+      canon(pairs)
+    },
+    Some(
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+        |  ROUND(list_dot_product(a.v, b.v) /
+        |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS score
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE ROUND(list_dot_product(a.v, b.v) /
+        |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.45""".stripMargin +
+        orderAll("doc_a", "doc_b", "score")))
+
+  def queries: Seq[GQuery] = Seq(xd1, xd2, xd3, xd4)
 }

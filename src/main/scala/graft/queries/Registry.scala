@@ -7,6 +7,7 @@ object Registry {
   def all: Seq[GQuery] =
     Scans.queries ++ Aggregates.queries ++ Joins.queries ++
       Windows.queries ++ SetOps.queries ++ Scalars.queries ++
+      Reshape.queries ++
       EventOps.queries ++ Udx.queries ++ Llm.queries ++
       Dedup.queries ++ Similarity.queries ++ TextAnalysis.queries ++
       Media.queries
