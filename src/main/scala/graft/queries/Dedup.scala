@@ -150,12 +150,13 @@ object Dedup {
     "xd3_shingle_jaccard",
     (s, d) => {
       val c = Ctx(s, d)
-      // The shingle arrays are the expensive projection (interpreted
-      // HOF over every document) and three plan branches need them —
-      // materialize ONCE via localCheckpoint (5000 narrow rows), then
-      // an equality self-join on xxhash64(shingle) LONG keys feeds the
-      // pair-count aggregation; the packed (doc_id*2^10 + size) long
-      // carries the set size through so no lookup join is needed.
+      // The hashed-shingle arrays are the expensive projection
+      // (interpreted HOF over every document) and both self-join sides
+      // need them — persist() the 5000 narrow rows so the HOF runs once
+      // (persist beats localCheckpoint here: no eager job, no disk
+      // write). The equality self-join on the LONG shingle hashes feeds
+      // the pair-count aggregation; the packed (doc_id*2^10 + size)
+      // long carries the set size through so no lookup join is needed.
       // (At corpus sizes where the shingle join outgrows memory the
       // scale path is PPJoin prefix filtering — join only each set's
       // rarest n-ceil(t*n)+1 shingles under a global rarity order, then
@@ -165,13 +166,12 @@ object Dedup {
         .select(col("doc_id"), Llm.tokens(col("text")).as("toks"))
         .filter(size(col("toks")) >= 3)
         .select(col("doc_id"), expr(
-          "array_distinct(transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3))))")
-          .as("shings"))
-        .select((col("doc_id") * 1024 + size(col("shings"))).as("packed"),
-          col("shings"))
-        .localCheckpoint()
-      val sh = base.select(col("packed"),
-        explode(expr("transform(shings, s -> xxhash64(s))")).as("sid"))
+          "array_distinct(transform(sequence(1, size(toks) - 2), i -> xxhash64(concat_ws(' ', slice(toks, i, 3)))))")
+          .as("sids"))
+        .select((col("doc_id") * 1024 + size(col("sids"))).as("packed"),
+          col("sids"))
+        .persist()
+      val sh = base.select(col("packed"), explode(col("sids")).as("sid"))
       val j = sh.as("a").join(sh.as("b"),
           col("a.sid") === col("b.sid") && col("a.packed") < col("b.packed"))
         .groupBy(col("a.packed").as("pa"), col("b.packed").as("pb"))
