@@ -46,11 +46,15 @@ object Dedup {
         sort_array(collect_list("token")).as("toks"))
   }
 
-  /** One row per distinct token set: mask, member ids, the set. */
+  /** One row per distinct token set: mask, member ids, the set.
+    * persist(): four plan branches consume this (signatures, intra
+    * pairs, both sides of the verify join) — without it the whole
+    * tokenize+vocab+groupBy subplan re-executes per branch. */
   private def maskGroups(c: Ctx): DataFrame =
     docMasks(c).groupBy("mask")
       .agg(sort_array(collect_list("doc_id")).as("ids"),
         first(col("toks")).as("toks"))
+      .persist()
 
   /** Expand qualifying group pairs to ordered doc-id pairs. */
   private def expandPairs(groupPairs: DataFrame, extra: String): DataFrame =

@@ -70,6 +70,7 @@ object Llm {
         .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), idx)")).as("mask"))
       val groups = masks.groupBy("mask")
         .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .persist() // consumed by intra pairs + both cross-join sides
       // same-mask doc pairs: J = 1.0 by construction
       val intra = groups
         .select(explode(expr(

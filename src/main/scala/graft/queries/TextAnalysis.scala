@@ -79,12 +79,16 @@ object TextAnalysis {
     "xt3_lang_id",
     (s, d) => {
       val c = Ctx(s, d)
+      // persist: the profile branch and the per-doc scoring branch both
+      // consume the exploded bigrams — one execution instead of two.
+      // (Space-free check replaces the regex: text is lowercase words.)
       val grams = c.documents
         .select(col("doc_id"), col("lang"),
           explode(expr(
             """transform(sequence(1, length(text) - 1),
               |  i -> substring(text, i, 2))""".stripMargin)).as("gram"))
-        .filter(col("gram").rlike("^[a-z]{2}$"))
+        .filter(!col("gram").contains(" ") && length(col("gram")) === 2)
+        .persist()
       // profile: top-20 bigrams per language by frequency
       val profile = grams.groupBy("lang", "gram").agg(count(lit(1)).as("cnt"))
         .withColumn("rn", row_number().over(
