@@ -77,5 +77,45 @@ object SetOps {
         |SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin +
         orderAll("custkey")))
 
-  def queries: Seq[GQuery] = Seq(q19, q19b, q20, q21)
+  // Scalar subquery: orders priced above the global average. Catalyst
+  // plans the subquery as an independent aggregate broadcast into the
+  // filter; the average follows the Det decimal discipline.
+  val q38 = GQuery(
+    "q38_scalar_subquery",
+    (s, d) => {
+      val c = Ctx(s, d)
+      c.orders.createOrReplaceTempView("orders_v38")
+      canonBy(s.sql(
+        """SELECT o_orderkey, o_totalprice FROM orders_v38
+          |WHERE o_totalprice > (
+          |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+          |  FROM orders_v38)""".stripMargin), "o_orderkey")
+    },
+    Some(
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > (
+        |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+        |  FROM orders)""".stripMargin + orderAll("o_orderkey")))
+
+  // Correlated EXISTS written as SQL — Catalyst decorrelates it into a
+  // left-semi join (SURVEY §4.2); the DataFrame-API twin is Q09.
+  val q39 = GQuery(
+    "q39_correlated_exists",
+    (s, d) => {
+      val c = Ctx(s, d)
+      c.orders.createOrReplaceTempView("orders_v39")
+      c.lineitem.createOrReplaceTempView("lineitem_v39")
+      canonBy(s.sql(
+        """SELECT o_orderkey FROM orders_v39 o
+          |WHERE EXISTS (SELECT 1 FROM lineitem_v39 l
+          |  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45)""".stripMargin),
+        "o_orderkey")
+    },
+    Some(
+      """SELECT o_orderkey FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45)""".stripMargin +
+        orderAll("o_orderkey")))
+
+  def queries: Seq[GQuery] = Seq(q19, q19b, q20, q21, q38, q39)
 }
