@@ -248,5 +248,38 @@ object Scalars {
         |  SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_reject
         |FROM orders""".stripMargin + orderAll("n_total", "n_valid_key", "n_reject")))
 
-  def queries: Seq[GQuery] = Seq(q22, q23, q24, q25, q26, q26b, q27, q28, q28b)
+  // Null semantics: null-safe equality (<=> / IS NOT DISTINCT FROM),
+  // try-style casts, null ordering inside aggregation.
+  val q25b = GQuery(
+    "q25b_null_semantics",
+    (s, d) => {
+      val c = Ctx(s, d)
+      canonBy(
+        c.orders.select(
+          col("o_orderkey"),
+          nullif(col("o_orderstatus"), lit("P")).as("status_or_null"),
+          (nullif(col("o_orderstatus"), lit("P")) <=> lit(null))
+            .cast("int").as("is_p"),
+          (nullif(col("o_orderstatus"), lit("P")) <=>
+            nullif(col("o_orderpriority"), lit("5-LOW"))).cast("int").as("ns_eq"),
+          // try_cast failure costs an internal exception per row — the
+          // always-failing full-column form burned ~1.5 s at sf0.1, so
+          // the non-numeric branch is exercised on a 1/16 slice.
+          expr("try_cast(CASE WHEN o_orderkey % 16 = 0 THEN o_orderpriority " +
+            "ELSE CAST(o_orderkey % 10 AS STRING) END AS INT)").as("prio_num"),
+          expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)").as("prio_digit")),
+        "o_orderkey")
+    },
+    Some(
+      """SELECT o_orderkey,
+        |  NULLIF(o_orderstatus, 'P') AS status_or_null,
+        |  CAST(NULLIF(o_orderstatus, 'P') IS NOT DISTINCT FROM NULL AS INT) AS is_p,
+        |  CAST(NULLIF(o_orderstatus, 'P') IS NOT DISTINCT FROM NULLIF(o_orderpriority, '5-LOW') AS INT) AS ns_eq,
+        |  TRY_CAST(CASE WHEN o_orderkey % 16 = 0 THEN o_orderpriority
+        |           ELSE CAST(o_orderkey % 10 AS VARCHAR) END AS INT) AS prio_num,
+        |  TRY_CAST(substring(o_orderpriority, 1, 1) AS INT) AS prio_digit
+        |FROM orders""".stripMargin + orderAll("o_orderkey")))
+
+  def queries: Seq[GQuery] =
+    Seq(q22, q23, q24, q25, q25b, q26, q26b, q27, q28, q28b)
 }

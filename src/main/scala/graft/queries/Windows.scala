@@ -118,5 +118,33 @@ object Windows {
         |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC, o_orderkey ASC)""".stripMargin +
         orderAll("o_orderkey")))
 
-  def queries: Seq[GQuery] = Seq(q14, q15, q16, q17)
+  // Window value functions: first/last/nth over an explicit full frame
+  // (default frames differ between engines for last_value — both sides
+  // pin ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING).
+  val q17b = GQuery(
+    "q17b_value_windows",
+    (s, d) => {
+      val c = Ctx(s, d)
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      canonBy(
+        c.orders
+          .withColumn("first_key", first(col("o_orderkey")).over(w))
+          .withColumn("last_key", last(col("o_orderkey")).over(w))
+          .withColumn("second_key", nth_value(col("o_orderkey"), 2).over(w))
+          .select("o_custkey", "o_orderkey", "first_key", "last_key", "second_key"),
+        "o_orderkey")
+    },
+    Some(
+      """SELECT o_custkey, o_orderkey,
+        |  first_value(o_orderkey) OVER w AS first_key,
+        |  last_value(o_orderkey) OVER w AS last_key,
+        |  nth_value(o_orderkey, 2) OVER w AS second_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin +
+        orderAll("o_orderkey")))
+
+  def queries: Seq[GQuery] = Seq(q14, q15, q16, q17, q17b)
 }
