@@ -189,5 +189,25 @@ object Aggregates {
         orderAll("o_orderstatus", "n", "sd_price", "var_price_m", "corr_pc",
           "med_price", "skew_price")))
 
-  def queries: Seq[GQuery] = Seq(q03, q03b, q04, q04x, q05, q05b, q05c)
+  // ⊘ approx percentile sketch (quantile summaries): tolerance-tested
+  // against the exact median/quartiles in SketchRecallSpec, rows-only
+  // for the driver (sketch internals are not oracle-matchable).
+  val q03c = GQuery(
+    "q03c_approx_percentile",
+    (s, d) => {
+      val c = Ctx(s, d)
+      canon(
+        c.orders
+          .groupBy("o_orderstatus")
+          .agg(
+            percentile_approx(col("o_totalprice"), lit(0.5), lit(1000))
+              .as("apx_median"),
+            percentile_approx(col("o_totalprice"), lit(0.25), lit(1000))
+              .as("apx_q1"),
+            percentile_approx(col("o_totalprice"), lit(0.75), lit(1000))
+              .as("apx_q3")))
+    },
+    None)
+
+  def queries: Seq[GQuery] = Seq(q03, q03b, q03c, q04, q04x, q05, q05b, q05c)
 }

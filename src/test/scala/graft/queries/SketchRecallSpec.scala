@@ -47,6 +47,15 @@ class SketchRecallSpec extends AnyFunSuite {
     }
   }
 
+  test("approx_percentile within 2% of the exact median (q03c vs q03b)") {
+    val exact = Aggregates.q03b.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(5)).toMap // med_price
+    val approx = Aggregates.q03c.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap // apx_median
+    for ((k, m) <- exact)
+      assert(math.abs(approx(k) - m) / m <= 0.02, s"$k median estimate off")
+  }
+
   test("simhash finds only true near-dups at hamming<=3 (spot precision)") {
     val pairs = Dedup.xd2.fn(spark, sf).collect()
     val exact = Llm.qx2.fn(spark, sf).select("doc_a", "doc_b").collect()
