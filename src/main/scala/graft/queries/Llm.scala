@@ -226,7 +226,7 @@ object Llm {
       """WITH base AS (
         |  SELECT lang, COUNT(*) AS n_docs,
         |    CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
-        |    SUM(len(list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> ''))) AS total_tokens
+        |    CAST(SUM(len(list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> ''))) AS BIGINT) AS total_tokens
         |  FROM documents GROUP BY lang),
         |src AS (
         |  SELECT lang, source AS top_source, COUNT(*) AS top_source_docs,

@@ -26,7 +26,7 @@ object Media {
     Some(
       """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
         |  COUNT(*) AS n_media,
-        |  SUM(strlen(text)) AS total_bytes,
+        |  CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
         |  MAX(CASE doc_id % 3 WHEN 0 THEN 0
         |      WHEN 1 THEN 1000 + (doc_id % 60) * 1000
         |      ELSE 2000 + (doc_id % 30) * 1000 END) AS max_duration_ms

@@ -204,7 +204,7 @@ object Scalars {
         |    MAX(CASE WHEN event_type = 'click' THEN cnt END) AS clicks
         |  FROM pt GROUP BY user_id),
         |k AS (
-        |  SELECT user_id, SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum
+        |  SELECT user_id, CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
         |  FROM events GROUP BY user_id)
         |SELECT m.user_id AS user_id, n_types, types, clicks, k_sum
         |FROM m JOIN k ON m.user_id = k.user_id""".stripMargin +
@@ -245,7 +245,7 @@ object Scalars {
     },
     Some(
       """SELECT COUNT(*) AS n_total, COUNT(o_custkey) AS n_valid_key,
-        |  SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_reject
+        |  CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_reject
         |FROM orders""".stripMargin + orderAll("n_total", "n_valid_key", "n_reject")))
 
   // Null semantics: null-safe equality (<=> / IS NOT DISTINCT FROM),

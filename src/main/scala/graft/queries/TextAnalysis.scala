@@ -132,8 +132,8 @@ object TextAnalysis {
     },
     Some(
       """SELECT source, COUNT(*) AS n_docs,
-        |  SUM(len(t.toks)) AS ws_tokens,
-        |  SUM(list_sum(list_transform(t.toks, x -> CAST(ceil(length(x) / 4.0) AS BIGINT)))) AS subword_tokens
+        |  CAST(SUM(len(t.toks)) AS BIGINT) AS ws_tokens,
+        |  CAST(SUM(list_sum(list_transform(t.toks, x -> CAST(ceil(length(x) / 4.0) AS BIGINT)))) AS BIGINT) AS subword_tokens
         |FROM (SELECT source,
         |        list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS toks
         |      FROM documents) t

@@ -11,6 +11,8 @@ row-by-row. Reports PASS/FAIL plus max float deviation for debugging.
 """
 import json, math, os, subprocess, sys
 
+import pandas as pd
+
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -28,7 +30,10 @@ for t in TABLES:
 oracle = json.load(open(os.path.join(OUT, "oracle_sql.json")))
 
 def canon_cell(v):
-    if v is None:
+    # numpy scalars -> python scalars so repr/str is stable across versions
+    if type(v).__module__ == "numpy" and hasattr(v, "item"):
+        v = v.item()
+    if v is None or v is pd.NaT:
         return "\\N"
     if isinstance(v, float):
         if math.isnan(v):
@@ -37,6 +42,20 @@ def canon_cell(v):
     if isinstance(v, bool):
         return "true" if v else "false"
     return str(v)
+
+def fetch_df(rel):
+    """Fetch a duckdb relation the way the driver does: through pandas.
+
+    This is load-bearing for type fidelity — DuckDB types bare integer SUM
+    as HUGEINT, which .df() converts to float64 ("0.0"), while a BIGINT
+    column stays int64 ("0").  fetchall() would hand back Python ints on
+    both and mask exactly that class of hash mismatch (it hid all five
+    round-1 failures).
+    """
+    df = rel.df()
+    cols = list(df.columns)
+    rows = [tuple(r) for r in df.itertuples(index=False, name=None)]
+    return cols, rows
 
 def canon_rows(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
@@ -50,10 +69,8 @@ names = sorted(d for d in os.listdir(OUT)
 for name in names:
     pq = os.path.join(OUT, name)
     try:
-        scols, srows = None, None
-        rel = con.execute(f"SELECT * FROM read_parquet('{pq}/*.parquet')")
-        scols = [c[0] for c in rel.description]
-        srows = rel.fetchall()
+        scols, srows = fetch_df(
+            con.execute(f"SELECT * FROM read_parquet('{pq}/*.parquet')"))
     except Exception as e:
         print(f"FAIL {name}: cannot read spark result: {e}")
         n_fail += 1; fails.append(name); continue
@@ -61,9 +78,7 @@ for name in names:
         print(f"SKIP {name}: rows-only ({len(srows)} rows)")
         continue
     try:
-        orel = con.execute(oracle[name])
-        ocols = [c[0] for c in orel.description]
-        orows = orel.fetchall()
+        ocols, orows = fetch_df(con.execute(oracle[name]))
     except Exception as e:
         print(f"FAIL {name}: oracle error: {e}")
         n_fail += 1; fails.append(name); continue
