@@ -18,42 +18,48 @@ import Det._
   * scaling): duplicate-heavy corpora put whole near-dup clusters into
   * the same LSH bucket, so banding *documents* makes bucket joins
   * quadratic in cluster size. Both sketches therefore run over DISTINCT
-  * token-set groups (mask-keyed): signatures are computed once per
-  * distinct set, band joins emit narrow (mask_a, mask_b) pairs that are
-  * DISTINCT'ed before verification, and member doc-ids are expanded
-  * only for the final qualifying pairs (the output itself).
+  * token-set groups: signatures are computed once per distinct set,
+  * band joins emit narrow (gid_a, gid_b) pairs that are DISTINCT'ed
+  * before verification, and member doc-ids are expanded only for the
+  * final qualifying pairs (the output itself).
+  *
+  * Groups are keyed by the token set ITSELF (grouping on the sorted
+  * array is exact at any vocabulary size), with a derived xxhash64 gid
+  * as the narrow join/band key. Candidate verification compares the
+  * actual token arrays (size-prefiltered array_intersect) — there is
+  * deliberately NO bitmask anywhere in this file: Spark's shiftleft
+  * wraps its shift amount mod 64, so a vocab-indexed `1 << idx` mask
+  * silently aliases token #65 onto token #1. The mask form survives
+  * only in Llm.qx2 as a fast path gated on a measured vocab <= 64.
   *
   * Deterministic throughout (xxhash64, fixed seeds) ⇒ stable across
   * runs and cluster sizes; ⊘ rows-only for the driver, recall-tested
-  * against the exact variants in SketchRecallSpec.
+  * against the exact variants in SketchRecallSpec and on a >64-token
+  * corpus in GeneralVocabSpec.
   */
 object Dedup {
 
   private val NumPerms = 64
   private val BandRows = 4 // 16 bands x 4 rows: P(cand | J=0.8) ~ 0.9998
 
-  /** (doc_id, toks, mask): distinct-token array + vocab bitmask per doc. */
-  private[queries] def docMasks(c: Ctx): DataFrame = {
-    val tok = c.documents
-      .select(col("doc_id"), explode(Llm.tokens(col("text"))).as("token"))
-      .distinct()
-    val vocab = tok.select("token").distinct()
-      .withColumn("idx", row_number().over(Window.orderBy("token")) - 1)
-    tok.join(broadcast(vocab), "token")
-      .groupBy("doc_id")
-      .agg(
-        sum(expr("shiftleft(CAST(1 AS BIGINT), idx)")).as("mask"),
-        sort_array(collect_list("token")).as("toks"))
-  }
-
-  /** One row per distinct token set: mask, member ids, the set.
+  /** One row per distinct token SET over the given documents:
+    * (gid, toks, sz, ids) — deterministic 64-bit group id, the sorted
+    * set, its size, sorted member doc-ids. gid collisions (~n^2/2^64)
+    * could only merge two groups' member lists, never corrupt a
+    * verified Jaccard, because verification reads the real arrays.
     * persist(): four plan branches consume this (signatures, intra
     * pairs, both sides of the verify join) — without it the whole
-    * tokenize+vocab+groupBy subplan re-executes per branch. */
-  private def maskGroups(c: Ctx): DataFrame =
-    docMasks(c).groupBy("mask")
-      .agg(sort_array(collect_list("doc_id")).as("ids"),
-        first(col("toks")).as("toks"))
+    * tokenize+groupBy subplan re-executes per branch. */
+  private[queries] def setGroups(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(Llm.tokens(col("text"))).as("token"))
+      .distinct()
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list("token")).as("toks"))
+      .groupBy("toks")
+      .agg(sort_array(collect_list("doc_id")).as("ids"))
+      .withColumn("gid", xxhash64(col("toks")))
+      .withColumn("sz", size(col("toks")))
       .persist()
 
   /** Expand qualifying group pairs to ordered doc-id pairs. */
@@ -79,37 +85,52 @@ object Dedup {
     "xd1_minhash_lsh",
     (s, d) => {
       val c = Ctx(s, d)
-      val groups = maskGroups(c)
-      val sigs = groups
-        .withColumn("sig", expr(
-          s"""transform(sequence(0, ${NumPerms - 1}),
-             |  i -> array_min(transform(toks, t -> xxhash64(i, t))))""".stripMargin))
-      // band keys over distinct sets; emit narrow (band_key, mask) rows
-      val banded = sigs
-        .select(col("mask"),
-          explode(expr(
-            s"transform(sequence(0, ${NumPerms / BandRows - 1}), " +
-              s"b -> xxhash64(b, slice(sig, b * $BandRows + 1, $BandRows)))"))
-            .as("band_key"))
-      val candMasks = banded.as("a").join(banded.as("b"), Seq("band_key"))
-        .select(col("a.mask").as("mask_a"), col("b.mask").as("mask_b"))
-        .filter(col("mask_a") < col("mask_b"))
-        .distinct()
-      // exact popcount verify, then expand member ids
-      val g1 = groups.select(col("mask").as("mask_a"), col("ids").as("ids_a"))
-      val g2 = groups.select(col("mask").as("mask_b"), col("ids").as("ids_b"))
-      val qualifying = candMasks.join(g1, "mask_a").join(g2, "mask_b")
-        .withColumn("inter", bit_count(col("mask_a").bitwiseAND(col("mask_b"))))
-        .withColumn("uni", bit_count(col("mask_a").bitwiseOR(col("mask_b"))))
-        .withColumn("jaccard",
-          round(col("inter").cast("double") / col("uni"), 4))
-        .filter(col("inter").cast("double") / col("uni") >= 0.8)
-      // ⊘ rows-only contract: no canonical sort — ordering a ~3M-pair
-      // output would dominate the query's own cost.
-      intraPairs(groups, lit(1.0), "jaccard")
-        .unionByName(expandPairs(qualifying, "jaccard"))
+      minhashPairs(setGroups(c.documents), 0.8)
     },
     None)
+
+  /** MinHash + banded LSH over distinct token-set groups, verified
+    * EXACTLY against the real token arrays (so output pairs are true
+    * J >= threshold pairs at any vocabulary; only recall depends on the
+    * banding). Factored out so specs can run it on synthetic corpora.
+    */
+  private[queries] def minhashPairs(groups: DataFrame, threshold: Double): DataFrame = {
+    val sigs = groups
+      .withColumn("sig", expr(
+        s"""transform(sequence(0, ${NumPerms - 1}),
+           |  i -> array_min(transform(toks, t -> xxhash64(i, t))))""".stripMargin))
+    // band keys over distinct sets; emit narrow (band_key, gid) rows
+    val banded = sigs
+      .select(col("gid"),
+        explode(expr(
+          s"transform(sequence(0, ${NumPerms / BandRows - 1}), " +
+            s"b -> xxhash64(b, slice(sig, b * $BandRows + 1, $BandRows)))"))
+          .as("band_key"))
+    val cand = banded.as("a").join(banded.as("b"), Seq("band_key"))
+      .select(col("a.gid").as("gid_a"), col("b.gid").as("gid_b"))
+      .filter(col("gid_a") < col("gid_b"))
+      .distinct()
+    // exact verify on the real token arrays. Size prefilter first:
+    // J <= min(sz)/max(sz), so pairs failing min >= t*max can't qualify
+    // (epsilon keeps the float form conservative at exact-t ratios);
+    // array_intersect runs only on survivors.
+    val g1 = groups.select(col("gid").as("gid_a"), col("ids").as("ids_a"),
+      col("toks").as("toks_a"), col("sz").as("sz_a"))
+    val g2 = groups.select(col("gid").as("gid_b"), col("ids").as("ids_b"),
+      col("toks").as("toks_b"), col("sz").as("sz_b"))
+    val qualifying = cand.join(g1, "gid_a").join(g2, "gid_b")
+      .filter(least(col("sz_a"), col("sz_b")).cast("double")
+        >= greatest(col("sz_a"), col("sz_b")) * (threshold - 1e-9))
+      .withColumn("inter",
+        size(array_intersect(col("toks_a"), col("toks_b"))).cast("double"))
+      .withColumn("uni", (col("sz_a") + col("sz_b")).cast("double") - col("inter"))
+      .withColumn("jaccard", round(col("inter") / col("uni"), 4))
+      .filter(col("inter") / col("uni") >= threshold)
+    // ⊘ rows-only contract: no canonical sort — ordering a ~3M-pair
+    // output would dominate the query's own cost.
+    intraPairs(groups, lit(1.0), "jaccard")
+      .unionByName(expandPairs(qualifying, "jaccard"))
+  }
 
   /** SimHash over the token SET (unweighted variant — consistent with
     * the set-based Jaccard family above; term-weighted SimHash would
@@ -119,31 +140,63 @@ object Dedup {
     "xd2_simhash",
     (s, d) => {
       val c = Ctx(s, d)
-      val groups = maskGroups(c)
+      val groups = setGroups(c.documents)
+      // The 64-bit SimHash signature is the sketch itself (bit j set iff
+      // the per-token hash-bit majority at position j is positive) —
+      // this shiftleft's shift amounts are 0..63 by construction, unlike
+      // a vocab-indexed mask.
       val sigs = groups.withColumn("sim", expr(
         """aggregate(sequence(0, 63), CAST(0 AS BIGINT),
           |  (acc, j) -> acc + shiftleft(CAST(
           |    aggregate(toks, 0,
           |      (s, t) -> s + CASE WHEN (shiftright(xxhash64(t), j) % 2) != 0
           |                         THEN 1 ELSE -1 END) > 0 AS BIGINT), j))""".stripMargin))
-      val banded = sigs.select(col("mask"), col("sim"),
+      val banded = sigs.select(col("gid"), col("sim"),
         explode(expr(
           "transform(sequence(0, 3), b -> shiftright(sim, b * 16) % 65536 + b * 65536)"))
           .as("band_key"))
-      val candMasks = banded.as("a").join(banded.as("b"), Seq("band_key"))
-        .select(col("a.mask").as("mask_a"), col("a.sim").as("sim_a"),
-          col("b.mask").as("mask_b"), col("b.sim").as("sim_b"))
-        .filter(col("mask_a") < col("mask_b"))
+      val cand = banded.as("a").join(banded.as("b"), Seq("band_key"))
+        .select(col("a.gid").as("gid_a"), col("a.sim").as("sim_a"),
+          col("b.gid").as("gid_b"), col("b.sim").as("sim_b"))
+        .filter(col("gid_a") < col("gid_b"))
         .distinct()
         .withColumn("hamming", bit_count(expr("sim_a ^ sim_b")))
         .filter(col("hamming") <= 3)
-      val g1 = groups.select(col("mask").as("mask_a"), col("ids").as("ids_a"))
-      val g2 = groups.select(col("mask").as("mask_b"), col("ids").as("ids_b"))
-      val cross = candMasks.join(g1, "mask_a").join(g2, "mask_b")
+      val g1 = groups.select(col("gid").as("gid_a"), col("ids").as("ids_a"))
+      val g2 = groups.select(col("gid").as("gid_b"), col("ids").as("ids_b"))
+      val cross = cand.join(g1, "gid_a").join(g2, "gid_b")
       intraPairs(groups, lit(0L), "hamming")
         .unionByName(expandPairs(cross, "hamming"))
     },
     None)
+
+  /** EXACT pairwise Jaccard >= threshold at ANY vocabulary size — the
+    * general path behind Llm.qx2's gated <=64-vocab mask fast path.
+    *
+    * Same compression trick as the sketches (distinct token-set groups,
+    * so duplicate-heavy corpora don't explode), but candidates come from
+    * an exploded token-equality join BETWEEN GROUPS — the oracle's own
+    * co-occurrence shape, shuffled on token, linear in sum-of-set-sizes
+    * with per-token group frequency bounding the pair fan-out. No mask,
+    * no vocab index, no driver-side anything.
+    */
+  private[queries] def exactJaccardPairs(groups: DataFrame, threshold: Double): DataFrame = {
+    val gtok = groups.select(col("gid"), col("sz"), explode(col("toks")).as("token"))
+    val pr = gtok.as("a").join(gtok.as("b"),
+        col("a.token") === col("b.token") && col("a.gid") < col("b.gid"))
+      .groupBy(col("a.gid").as("gid_a"), col("a.sz").as("sa"),
+        col("b.gid").as("gid_b"), col("b.sz").as("sb"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sa") + col("sb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .withColumn("jaccard", round(col("jaccard"), 4))
+    val g1 = groups.select(col("gid").as("gid_a"), col("ids").as("ids_a"))
+    val g2 = groups.select(col("gid").as("gid_b"), col("ids").as("ids_b"))
+    val cross = pr.join(g1, "gid_a").join(g2, "gid_b")
+    intraPairs(groups, lit(1.0), "jaccard")
+      .unionByName(expandPairs(cross, "jaccard"))
+  }
 
   /** n-gram (3-shingle) Jaccard: ORDER-SENSITIVE near-dup, unlike the
     * token-set Jaccard (QX2). Candidates come from an equality join on

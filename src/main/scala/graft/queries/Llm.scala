@@ -39,64 +39,73 @@ object Llm {
 
   /** Exact pairwise Jaccard over token sets, pairs with J >= 0.8.
     *
-    * Naive shape (explode tokens -> token self-join) is quadratic in
-    * per-token document frequency — with this corpus's 31-word
-    * vocabulary it explodes to ~10^8 intermediate rows at sf0.1. The
-    * corpus's tiny vocabulary admits an exact compressed form instead:
+    * Naive shape (explode tokens -> per-DOCUMENT token self-join) is
+    * quadratic in per-token document frequency — with this corpus's
+    * 31-word vocabulary it explodes to ~10^8 intermediate rows at
+    * sf0.1. Two exact compressed forms instead, both over DISTINCT
+    * token-set groups, picked by a measured vocabulary probe:
     *
-    *   1. build the vocabulary (distinct tokens, rank-indexed);
-    *   2. encode each doc's token SET as a bitmask (vocab <= 64 bits);
-    *   3. group docs by identical mask — members are mutual J=1.0 pairs;
-    *   4. pairwise-compare only DISTINCT masks with popcount arithmetic:
-    *      J = bit_count(a&b) / bit_count(a|b);
-    *   5. expand qualifying mask pairs back to doc-id pairs.
-    *
-    * For unbounded vocabularies the scale path is MinHash-LSH
-    * (Dedup.minhashLsh); this exact form is the oracle-matched contract.
+    *  - vocab <= 64 (this fixture): encode each distinct set as a
+    *    bitmask and pairwise-compare only distinct masks with popcount
+    *    arithmetic — J = bit_count(a&b) / bit_count(a|b). The probe
+    *    (limit-65 collect of distinct tokens) is what makes the mask
+    *    form safe: Spark's shiftleft wraps shifts mod 64, so an
+    *    ungated mask silently aliases token #65 onto token #1.
+    *  - general vocabulary: group-level token co-occurrence counting
+    *    (Dedup.exactJaccardPairs) — the oracle's own join shape,
+    *    linear in sum-of-set-sizes, no driver-side state. Equivalence
+    *    of the two paths is spec-tested (GeneralVocabSpec).
     */
   val qx2 = GQuery(
     "qx2_jaccard_pairs",
     (s, d) => {
       val c = Ctx(s, d)
+      import s.implicits._
       val tok = c.documents
         .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
         .distinct()
-      // vocab index: 31 tokens — a one-partition window over a tiny
-      // distinct set (NOT over the corpus).
-      val vocab = tok.select("token").distinct()
-        .withColumn("idx", row_number().over(Window.orderBy("token")) - 1)
-      val masks = tok.join(broadcast(vocab), "token")
-        .groupBy("doc_id")
-        .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), idx)")).as("mask"))
-      val groups = masks.groupBy("mask")
-        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-        .persist() // consumed by intra pairs + both cross-join sides
-      // same-mask doc pairs: J = 1.0 by construction
-      val intra = groups
-        .select(explode(expr(
-          """filter(flatten(transform(ids, a -> transform(ids, b -> named_struct('a', a, 'b', b)))),
-            |       p -> p.a < p.b)""".stripMargin)).as("p"))
-        .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"),
-          lit(1.0).as("jaccard"))
-      // cross-mask: popcount arithmetic on distinct masks only. The
-      // threshold uses the same double division as the oracle SQL —
-      // `inter >= uni * 0.8` is NOT equivalent at exact-0.8 ratios
-      // (0.8 has no exact binary form; 4/5 == literal 0.8 in double,
-      // but 5 * 0.8 > 4).
-      val g1 = groups.select(col("mask").as("m1"), col("ids").as("ids1"))
-      val g2 = groups.select(col("mask").as("m2"), col("ids").as("ids2"))
-      val cross = g1.join(g2, col("m1") < col("m2"))
-        .withColumn("inter", bit_count(col("m1").bitwiseAND(col("m2"))))
-        .withColumn("uni", bit_count(col("m1").bitwiseOR(col("m2"))))
-        .withColumn("jaccard", col("inter").cast("double") / col("uni"))
-        .filter(col("jaccard") >= 0.8)
-        .select(explode(expr(
-          "flatten(transform(ids1, a -> transform(ids2, b -> named_struct('a', a, 'b', b))))")).as("p"),
-          col("jaccard"))
-        .select(least(col("p.a"), col("p.b")).as("doc_a"),
-          greatest(col("p.a"), col("p.b")).as("doc_b"), col("jaccard"))
-      canon(intra.unionByName(cross)
-        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard")))
+      // vocabulary probe: one bounded action — 65 rows cap no matter
+      // the corpus; full vocab is only ever collected when <= 64.
+      val probe = tok.select("token").distinct().limit(65).as[String].collect()
+      if (probe.length > 64) {
+        val pairs = Dedup.exactJaccardPairs(Dedup.setGroups(c.documents), 0.8)
+        canon(pairs.select(col("doc_a"), col("doc_b"), col("jaccard")))
+      } else {
+        val vocab = broadcast(
+          probe.sorted.zipWithIndex.toSeq.toDF("token", "idx"))
+        val masks = tok.join(vocab, "token")
+          .groupBy("doc_id")
+          .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), idx)")).as("mask"))
+        val groups = masks.groupBy("mask")
+          .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+          .persist() // consumed by intra pairs + both cross-join sides
+        // same-mask doc pairs: J = 1.0 by construction
+        val intra = groups
+          .select(explode(expr(
+            """filter(flatten(transform(ids, a -> transform(ids, b -> named_struct('a', a, 'b', b)))),
+              |       p -> p.a < p.b)""".stripMargin)).as("p"))
+          .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"),
+            lit(1.0).as("jaccard"))
+        // cross-mask: popcount arithmetic on distinct masks only. The
+        // threshold uses the same double division as the oracle SQL —
+        // `inter >= uni * 0.8` is NOT equivalent at exact-0.8 ratios
+        // (0.8 has no exact binary form; 4/5 == literal 0.8 in double,
+        // but 5 * 0.8 > 4).
+        val g1 = groups.select(col("mask").as("m1"), col("ids").as("ids1"))
+        val g2 = groups.select(col("mask").as("m2"), col("ids").as("ids2"))
+        val cross = g1.join(g2, col("m1") < col("m2"))
+          .withColumn("inter", bit_count(col("m1").bitwiseAND(col("m2"))))
+          .withColumn("uni", bit_count(col("m1").bitwiseOR(col("m2"))))
+          .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+          .filter(col("jaccard") >= 0.8)
+          .select(explode(expr(
+            "flatten(transform(ids1, a -> transform(ids2, b -> named_struct('a', a, 'b', b))))")).as("p"),
+            col("jaccard"))
+          .select(least(col("p.a"), col("p.b")).as("doc_a"),
+            greatest(col("p.a"), col("p.b")).as("doc_b"), col("jaccard"))
+        canon(intra.unionByName(cross)
+          .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard")))
+      }
     },
     Some(
       """WITH tok AS (
