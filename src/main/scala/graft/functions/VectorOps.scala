@@ -17,23 +17,40 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * sequential left-to-right fold as the HOF form and DuckDB's
   * list_dot_product, so results are bit-identical to both.
   *
-  * Null contract: null if either array is null; elements are assumed
-  * non-null (embedding vectors), matching zip_with+aggregate on the
-  * same data. Inputs must already be ARRAY<DOUBLE> (cast at the call
-  * site); no implicit coercion is attempted.
+  * Null contract — EXACTLY the HOF form's, so the optimizer rewrite in
+  * graft.plans.RewriteDotProduct is semantics-preserving on every
+  * input, not just fixed-dim embeddings: null if either array is null,
+  * null on length mismatch (zip_with pads the shorter side with nulls
+  * and a null product poisons the aggregate), null if any element is
+  * null. The per-element null check is emitted only when the child
+  * types say elements can be null (containsNull), so the embedding hot
+  * path stays a branch-free fused loop. Inputs must already be
+  * ARRAY<DOUBLE> (cast at the call site); no implicit coercion.
   */
 case class VectorDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
 
+  // may produce null on ragged/null-element inputs even when children
+  // are non-nullable columns
+  override def nullable: Boolean = true
+
+  private def elemsNullable(e: Expression): Boolean = e.dataType match {
+    case org.apache.spark.sql.types.ArrayType(_, cn) => cn
+    case _ => true
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    val checkNulls = elemsNullable(left) || elemsNullable(right)
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
       acc += x.getDouble(i) * y.getDouble(i)
       i += 1
     }
@@ -45,13 +62,24 @@ case class VectorDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val bad = ctx.freshName("bad")
+      val nullCheck =
+        if (elemsNullable(left) || elemsNullable(right))
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }"
+        else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  boolean $bad = false;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -17,6 +17,12 @@ import graft.functions.VectorDot
   * graft.functions.VectorDot — same sequential fold, bit-identical).
   * Users write the natural declarative form; the optimizer supplies the
   * fast path — the Catalyst way of making an idiom free.
+  *
+  * The rewrite is semantics-preserving on ALL inputs — ragged lengths
+  * and null elements included — because VectorDot propagates null for
+  * exactly the cases where zip_with's null-padding poisons the HOF
+  * aggregate (see VectorDot's null contract + ExtensionsSpec's
+  * ragged/null-element cases). No type guard is needed.
   */
 object RewriteDotProduct extends Rule[LogicalPlan] {
 

@@ -201,46 +201,48 @@ object Dedup {
   /** n-gram (3-shingle) Jaccard: ORDER-SENSITIVE near-dup, unlike the
     * token-set Jaccard (QX2). Candidates come from an equality join on
     * shingles (docs sharing none can't have J>0), counted once per
-    * pair; sizes via a per-doc distinct-shingle count. Oracle-matched.
+    * pair; sizes ride the exploded rows as an explicit column.
+    * Oracle-matched.
     */
+  private[queries] def shinglePairs(docs: DataFrame, threshold: Double): DataFrame = {
+    // The hashed-shingle arrays are the expensive projection
+    // (interpreted HOF over every document) and both self-join sides
+    // need them — persist() the narrow rows so the HOF runs once
+    // (persist beats localCheckpoint here: no eager job, no disk
+    // write). The equality self-join on the LONG shingle hashes feeds
+    // the pair-count aggregation; the distinct-shingle count rides
+    // along as its own column (an earlier packed doc_id*2^10+size long
+    // silently corrupted docs with >=1024 distinct shingles — spec'd
+    // against in GeneralVocabSpec). (At corpus sizes where the shingle
+    // join outgrows memory the scale path is PPJoin prefix filtering —
+    // join only each set's rarest n-ceil(t*n)+1 shingles under a
+    // global rarity order, then verify survivors exactly; measured
+    // slower here because its two ranking windows exceed the whole
+    // join's cost at 5k docs.)
+    val base = docs
+      .select(col("doc_id"), Llm.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), expr(
+        "array_distinct(transform(sequence(1, size(toks) - 2), i -> xxhash64(concat_ws(' ', slice(toks, i, 3)))))")
+        .as("sids"))
+      .select(col("doc_id"), size(col("sids")).as("sz"), col("sids"))
+      .persist()
+    val sh = base.select(col("doc_id"), col("sz"), explode(col("sids")).as("sid"))
+    val j = sh.as("a").join(sh.as("b"),
+        col("a.sid") === col("b.sid") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("a.sz").as("sa"),
+        col("b.doc_id").as("doc_b"), col("b.sz").as("sb"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sa") + col("sb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+    canon(j.select(col("doc_a"), col("doc_b"),
+      round(col("jaccard"), 4).as("jaccard")))
+  }
+
   val xd3 = GQuery(
     "xd3_shingle_jaccard",
-    (s, d) => {
-      val c = Ctx(s, d)
-      // The hashed-shingle arrays are the expensive projection
-      // (interpreted HOF over every document) and both self-join sides
-      // need them — persist() the 5000 narrow rows so the HOF runs once
-      // (persist beats localCheckpoint here: no eager job, no disk
-      // write). The equality self-join on the LONG shingle hashes feeds
-      // the pair-count aggregation; the packed (doc_id*2^10 + size)
-      // long carries the set size through so no lookup join is needed.
-      // (At corpus sizes where the shingle join outgrows memory the
-      // scale path is PPJoin prefix filtering — join only each set's
-      // rarest n-ceil(t*n)+1 shingles under a global rarity order, then
-      // verify survivors exactly; measured slower here because its two
-      // ranking windows exceed the whole join's cost at 5k docs.)
-      val base = c.documents
-        .select(col("doc_id"), Llm.tokens(col("text")).as("toks"))
-        .filter(size(col("toks")) >= 3)
-        .select(col("doc_id"), expr(
-          "array_distinct(transform(sequence(1, size(toks) - 2), i -> xxhash64(concat_ws(' ', slice(toks, i, 3)))))")
-          .as("sids"))
-        .select((col("doc_id") * 1024 + size(col("sids"))).as("packed"),
-          col("sids"))
-        .persist()
-      val sh = base.select(col("packed"), explode(col("sids")).as("sid"))
-      val j = sh.as("a").join(sh.as("b"),
-          col("a.sid") === col("b.sid") && col("a.packed") < col("b.packed"))
-        .groupBy(col("a.packed").as("pa"), col("b.packed").as("pb"))
-        .agg(count(lit(1)).as("inter"))
-        .withColumn("sa", col("pa") % 1024).withColumn("sb", col("pb") % 1024)
-        .withColumn("jaccard",
-          col("inter").cast("double") / (col("sa") + col("sb") - col("inter")))
-        .filter(col("jaccard") >= 0.7)
-      canon(j.select(expr("pa DIV 1024").as("doc_a"),
-        expr("pb DIV 1024").as("doc_b"),
-        round(col("jaccard"), 4).as("jaccard")))
-    },
+    (s, d) => shinglePairs(Ctx(s, d).documents, 0.7),
     Some(
       """WITH sh AS (
         |  SELECT DISTINCT doc_id, t.shingle FROM (
@@ -262,40 +264,32 @@ object Dedup {
         orderAll("doc_a", "doc_b", "jaccard")))
 
   /** Embedding-cosine near-dup pairs (threshold form of QX3): all
-    * ordered pairs with cosine >= 0.45. Norms precomputed, pairwise via
-    * codegen'd vec_dot, no window. Oracle-matched.
+    * ordered pairs with cosine >= 0.45. Norms precomputed once per
+    * vector, pairwise via the codegen'd vec_dot over a size-gated
+    * broadcast nested-loop join — nothing collect()ed by this code;
+    * if the reference side outgrows the broadcast threshold the gate
+    * falls back to a shuffled plan. The join output is projected to
+    * narrow (doc_a, doc_b, score) rows immediately, and the threshold
+    * filter runs inside the same codegen stage, so only survivors are
+    * ever materialized. Oracle-matched.
     */
   val xd4 = GQuery(
     "xd4_cosine_dup",
     (s, d) => {
       val c = Ctx(s, d)
-      import s.implicits._
-      // Block-broadcast pairwise pass (same shape as QX3's kNN): the
-      // BNLJ form materializes n^2/2 rows each carrying two 512-byte
-      // arrays; here each partition streams its vectors against the
-      // broadcast matrix and emits only threshold survivors.
-      def dot(a: Array[Double], b: Array[Double]): Double = {
-        var acc = 0.0; var i = 0
-        while (i < a.length && i < b.length) { acc += a(i) * b(i); i += 1 }
-        acc
-      }
-      def r4(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
+      graft.functions.VectorOps.register(s)
       val e = c.embeddings
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        .as[(Long, Array[Double])]
-      val ref = e.collect().sortBy(_._1)
-      val norms = ref.map { case (_, v) => math.sqrt(dot(v, v)) }
-      val bc = s.sparkContext.broadcast((ref, norms))
-      val pairs = e.mapPartitions { it =>
-        val (refs, rn) = bc.value
-        it.flatMap { case (id, v) =>
-          val n = math.sqrt(dot(v, v))
-          refs.iterator.zipWithIndex
-            .filter { case ((nid, _), _) => nid > id }
-            .map { case ((nid, w), j) => (id, nid, r4(dot(v, w) / (n * rn(j)))) }
-            .filter(_._3 >= 0.45)
-        }
-      }.toDF("doc_a", "doc_b", "score")
+        .withColumn("nrm", sqrt(expr("vec_dot(v, v)")))
+      // see qx3: spread the BNLJ stream side across cores (fixture
+      // parquet is a single split)
+      val a = e.repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id").as("doc_a"), col("v").as("va"), col("nrm").as("na"))
+      val b = e.select(col("vec_id").as("doc_b"), col("v").as("vb"), col("nrm").as("nb"))
+      val pairs = a.join(Scale.maybeBroadcast(b), col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          round4(expr("vec_dot(va, vb)") / (col("na") * col("nb"))).as("score"))
+        .filter(col("score") >= 0.45)
       canon(pairs)
     },
     Some(

@@ -143,11 +143,18 @@ object Joins {
         orderAll("region_key", "nation_a", "nation_b")))
 
   /** As-of join: for each order, the latest event of that customer with
-    * ts <= o_orderdate. Expressed as equi-join on user + residual range
-    * filter, then a deterministic latest-per-order ranked-window pick
-    * (ties on ts broken by event_id). At 100 TB the equi-join shuffles
-    * both sides by user key once; the window repartitions by order key —
-    * see graft.plans for the co-partitioned sort-merge design note.
+    * ts <= the order's anchor. Expressed as equi-join on user + residual
+    * range filter, then latest-per-order via max_by over the lexicographic
+    * (ts, event_id) order — a declarative aggregate, so Catalyst plans a
+    * PARTIAL max_by before the exchange: each map task reduces its
+    * (order × prior-event) matches to one row per order, and only those
+    * survivors shuffle. The earlier ranked-window form shipped every
+    * matched pair through the exchange and sorted it. At 100 TB with
+    * long user histories the true scale shape is a bucketed merge-asof:
+    * bucket both sides by user key (co-located, no exchange), sort each
+    * bucket by ts, and merge per bucket — the equi-join + partial-agg
+    * form here is the declarative approximation that keeps Catalyst in
+    * charge of the join strategy.
     */
   val q12 = GQuery(
     "q12_asof_join",
@@ -162,13 +169,13 @@ object Joins {
       val j = anchored.join(
         c.events,
         col("user_id") === col("o_custkey") && col("ts") <= col("anchor_ts"))
-      val w = Window.partitionBy(col("o_orderkey"))
-        .orderBy(col("ts").desc, col("event_id").desc)
       canonBy(
-        j.withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select(col("o_orderkey"), col("anchor_ts"), col("ts").as("asof_ts"),
-            col("value").as("asof_value")), "o_orderkey")
+        j.groupBy(col("o_orderkey"), col("anchor_ts"))
+          .agg(max_by(struct(col("ts"), col("value")),
+            struct(col("ts"), col("event_id"))).as("m"))
+          .select(col("o_orderkey"), col("anchor_ts"),
+            col("m.ts").as("asof_ts"), col("m.value").as("asof_value")),
+        "o_orderkey")
     },
     Some(
       """SELECT o_orderkey, anchor_ts, asof_ts, asof_value FROM (

@@ -129,71 +129,47 @@ object Llm {
     * zip_with+aggregate HOF form and DuckDB's list_dot_product, so
     * scores are bit-identical — but no per-pair array allocation).
     * Ranking uses the ROUNDED score (ties then broken by neighbor id)
-    * so the order is engine-independent. Scale path: Similarity.xs1
-    * buckets by random-hyperplane signatures to cut O(n^2) to
-    * O(n·bucket).
+    * so the order is engine-independent.
+    *
+    * Plan shape: size-gated broadcast nested-loop join (the reference
+    * side rides Spark's broadcast machinery — nothing is collect()ed
+    * by this code, and if the side outgrows the threshold the gate
+    * falls back to a shuffled plan instead of OOMing the driver),
+    * immediately projected down to narrow (vec_id, neighbor_id, score)
+    * rows, then a partial-aggregating bounded TopK Aggregator: each map
+    * task reduces to ≤5 candidates per key BEFORE the exchange, so the
+    * shuffle is keys·5 rows, never the n² pair count. Scale path for
+    * the join itself: Similarity.xs1 buckets by random-hyperplane
+    * signatures to cut O(n²) to O(n·bucket).
     */
   val qx3 = GQuery(
     "qx3_cosine_topk",
     (s, d) => {
       val c = Ctx(s, d)
-      import s.implicits._
-      // Block-broadcast kNN: the reference set (small side) is broadcast
-      // once as a flat matrix; each partition streams its query vectors
-      // against it keeping a 5-element best list. Same flops as the
-      // join+window form but no 4M-row join materialization (each joined
-      // row carried two 512-byte arrays), no shuffle, no sort. This is
-      // the same broadcast envelope Spark's BNLJ needed; corpora whose
-      // reference side exceeds broadcast go through Similarity.xs1.
-      def dot(a: Array[Double], b: Array[Double]): Double = {
-        var acc = 0.0; var i = 0
-        while (i < a.length && i < b.length) { acc += a(i) * b(i); i += 1 }
-        acc
-      }
-      // Matches Spark's round(double, 4) (BigDecimal HALF_UP) for every
-      // value not within ~1e-12 of a 0.00005 boundary — cosine scores
-      // from 64-dim float dots sit >=1e-11 away in this data, and the
-      // BigDecimal form costs ~4M string-parses on the hot path. The
-      // oracle hash-compare is the guard if the assumption ever breaks.
-      def r4(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
+      graft.functions.VectorOps.register(s)
+      val topk = udaf(new graft.functions.TopK(5),
+        org.apache.spark.sql.Encoders.product[graft.functions.Scored])
       val e = c.embeddings
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        .as[(Long, Array[Double])]
-      val ref = e.collect().sortBy(_._1)
-      val refNorms = ref.map { case (_, v) => math.sqrt(dot(v, v)) }
-      val bc = s.sparkContext.broadcast((ref, refNorms))
-      val topk = e.mapPartitions { it =>
-        val (refs, norms) = bc.value
-        it.flatMap { case (id, v) =>
-          val n = math.sqrt(dot(v, v))
-          // best-5 by (score desc, neighbor_id asc), insertion-maintained
-          val bestS = Array.fill(5)(Double.NegativeInfinity)
-          val bestI = Array.fill(5)(Long.MaxValue)
-          var j = 0
-          while (j < refs.length) {
-            val (nid, w) = refs(j)
-            if (nid != id) {
-              val sc = r4(dot(v, w) / (n * norms(j)))
-              var k = 0
-              var done = false
-              while (k < 5 && !done) {
-                if (sc > bestS(k) || (sc == bestS(k) && nid < bestI(k))) {
-                  var m = 4
-                  while (m > k) { bestS(m) = bestS(m - 1); bestI(m) = bestI(m - 1); m -= 1 }
-                  bestS(k) = sc; bestI(k) = nid
-                  done = true
-                }
-                k += 1
-              }
-            }
-            j += 1
-          }
-          (0 until 5).iterator
-            .filter(k => bestI(k) != Long.MaxValue)
-            .map(k => (id, bestI(k), bestS(k)))
-        }
-      }.toDF("vec_id", "neighbor_id", "score")
-      canon(topk)
+        .withColumn("nrm", sqrt(expr("vec_dot(v, v)")))
+      // stream side spread across cores: the fixture parquet is one
+      // ~1 MB split, which would run the whole O(n²) BNLJ stream side
+      // in ONE task (at 100 TB the scan yields thousands of splits and
+      // this repartition is a no-op-sized shuffle of narrow rows)
+      val qside = e.repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id"), col("v").as("va"), col("nrm").as("na"))
+      val ref = e.select(col("vec_id").as("neighbor_id"),
+        col("v").as("vb"), col("nrm").as("nb"))
+      val scored = qside.join(Scale.maybeBroadcast(ref),
+          col("vec_id") =!= col("neighbor_id"))
+        .select(col("vec_id"), col("neighbor_id"),
+          round4(expr("vec_dot(va, vb)") / (col("na") * col("nb"))).as("score"))
+      canon(scored
+        .groupBy("vec_id")
+        .agg(topk(col("score"), col("neighbor_id")).as("top"))
+        .select(col("vec_id"), explode(col("top")).as("t"))
+        .select(col("vec_id"), col("t.id").as("neighbor_id"),
+          col("t.score").as("score")))
     },
     Some(
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -16,9 +16,12 @@ import graft.functions.VectorOps
   *
   * Plan shape for scale: the bucket equi-join emits bare id pairs,
   * which are DISTINCT'ed while still narrow (two longs) — only the
-  * surviving pairs re-attach vectors (broadcast of the small embedding
-  * table; at 100 TB this becomes a shuffled join on vec_id) and pay the
-  * codegen'd vec_dot. Never carry 64-double arrays through a distinct.
+  * surviving pairs re-attach vectors and pay the codegen'd vec_dot.
+  * The re-attach is size-gated (Scale.maybeBroadcast): broadcast while
+  * the embedding table fits the session threshold, an ordinary
+  * shuffled equi-join on vec_id beyond it — both paths are spec'd
+  * equivalent (SketchRecallSpec). Never carry 64-double arrays through
+  * a distinct.
   *
   * Tuning note: this corpus's nearest neighbors are weak (cos ~0.5, a
   * ~60° angle), so per-bit collision is only ~2/3 and recall needs many
@@ -70,8 +73,8 @@ object Similarity {
       val vb = withNorm.select(col("vec_id").as("neighbor_id"),
         col("v").as("vb"), col("nrm").as("nb"))
       val scored = cand
-        .join(broadcast(va), "vec_id")
-        .join(broadcast(vb), "neighbor_id")
+        .join(Scale.maybeBroadcast(va), "vec_id")
+        .join(Scale.maybeBroadcast(vb), "neighbor_id")
         .withColumn("score",
           round(expr("vec_dot(va, vb)") / (col("na") * col("nb")), 4))
       val w = Window.partitionBy(col("vec_id"))

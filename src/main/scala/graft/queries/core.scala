@@ -82,6 +82,17 @@ object Det {
     */
   def d6(c: Column): Column = c.cast(DecimalType(38, 6)).cast(DoubleType)
 
+  /** Codegen-friendly 4-decimal rounding: floor(x*1e4 + 0.5)/1e4.
+    * Spark's round() routes every double through BigDecimal.valueOf
+    * (a Double.toString parse per row) — measured +2.3 s over a 4M-row
+    * similarity join. This form stays in whole-stage codegen and equals
+    * BigDecimal HALF_UP for every value not within ~1e-12 of a 0.00005
+    * boundary (cosine scores from 64-dim double dots sit >=1e-11 away;
+    * the oracle hash-compare is the guard if that ever breaks). Use on
+    * per-pair hot paths; post-aggregation rounding can stay round().
+    */
+  def round4(c: Column): Column = floor(c * 1e4 + 0.5) / 1e4
+
   /** Canonical output order: every column, ascending, nulls first. */
   def canon(df: DataFrame): DataFrame =
     df.orderBy(df.columns.toIndexedSeq.map(n => col(n).asc_nulls_first): _*)
@@ -98,4 +109,21 @@ object Det {
   /** Oracle-side canonical ORDER BY for the given output columns. */
   def orderAll(cols: String*): String =
     cols.map(c => s"$c ASC NULLS FIRST").mkString(" ORDER BY ", ", ", "")
+}
+
+/** Scale-dependent plan choices shared across queries. */
+object Scale {
+
+  /** Broadcast-hint `df` only when its optimizer size estimate fits the
+    * session's broadcast threshold; otherwise return it unhinted so the
+    * planner falls back to a shuffled join on the join keys. An
+    * unconditional broadcast() hint OVERRIDES the threshold — at 100 TB
+    * that is a driver/executor OOM, not a slow plan. The gate reads the
+    * same statistics AQE uses, so the choice tracks the actual input.
+    */
+  def maybeBroadcast(df: DataFrame): DataFrame = {
+    val thr = df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (thr > 0 && est <= thr) broadcast(df) else df
+  }
 }
