@@ -47,4 +47,26 @@ class ExtensionsSpec extends AnyFunSuite {
       .head.getDouble(0)
     assert(r == 32.0)
   }
+
+  // The rewrite is only sound if VectorDot matches the HOF form on the
+  // edge inputs too: zip_with pads ragged arrays with nulls and a null
+  // element poisons the aggregate, so both must yield NULL.
+  test("VectorDot null contract matches zip_with+aggregate on ragged and null-element inputs") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](3.0, 4.0)),
+      (2L, Seq[java.lang.Double](1.0, 2.0, 3.0), Seq[java.lang.Double](3.0, 4.0)),
+      (3L, Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](3.0, 4.0)),
+      (4L, null, Seq[java.lang.Double](3.0, 4.0)))
+      .toDF("id", "a", "b")
+      .select(col("id"), col("a").cast("array<double>"), col("b").cast("array<double>"))
+    val hof = df.select(col("id"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x).as("dot"))
+    val native = df.selectExpr("id", "vec_dot(a, b) AS dot")
+    val h = hof.collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    val n = native.collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(h == n, s"hof=$h native=$n")
+    assert(h(1L) == 11.0 && h(2L) == null && h(3L) == null && h(4L) == null)
+  }
 }

@@ -1,0 +1,106 @@
+package graft.queries
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The dedup family at vocabularies the 64-bit mask fast path cannot
+  * represent (VERDICT r1 "what's wrong" #2): a deterministic synthetic
+  * corpus over a 200-token vocabulary, verified against a brute-force
+  * Jaccard oracle computed in plain Scala. Also the >=1024-distinct-
+  * shingle regression for the (since removed) packed-long key in xd3.
+  */
+class GeneralVocabSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  /** 200 two-letter alphabetic tokens (tokenizer-safe: Llm.tokens
+    * splits on non-alpha).
+    */
+  private val vocab: IndexedSeq[String] =
+    for (i <- 0 until 200)
+      yield s"${('a' + i / 26).toChar}${('a' + i % 26).toChar}"
+
+  /** 10 clusters; per cluster: a base 40-token set, an exact duplicate,
+    * and a near-dup sharing 38 of its tokens plus 2 fresh (J = 38/42 ≈
+    * 0.905). Cluster bases stride by 13 so neighboring clusters overlap
+    * at J ≈ 0.51 — below the 0.8 threshold. All index arithmetic, no
+    * RNG: the expected answer is stable across runs.
+    */
+  private val corpus: Seq[(Long, Set[String])] = (0 until 10).flatMap { c =>
+    val base = (0 until 40).map(k => vocab((c * 13 + k) % 200)).toSet
+    val near = base.take(38) ++ Set(vocab((c * 13 + 77) % 200), vocab((c * 13 + 91) % 200))
+    Seq((c * 3L, base), (c * 3L + 1, base), (c * 3L + 2, near))
+  }
+
+  private def docsDf = {
+    import spark.implicits._
+    corpus.map { case (id, toks) => (id, toks.toSeq.sorted.mkString(" ")) }
+      .toDF("doc_id", "text")
+  }
+
+  /** Brute-force J >= t pairs over the Scala sets. */
+  private def oracle(t: Double): Set[(Long, Long)] =
+    (for {
+      (a, sa) <- corpus
+      (b, sb) <- corpus
+      if a < b
+      j = (sa intersect sb).size.toDouble / (sa union sb).size
+      if j >= t
+    } yield (a, b)).toSet
+
+  test("corpus really exceeds the 64-token mask limit") {
+    assert(corpus.flatMap(_._2).distinct.size > 64)
+  }
+
+  test("exactJaccardPairs matches the brute-force oracle at vocab > 64") {
+    val got = Dedup.exactJaccardPairs(Dedup.setGroups(docsDf), 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == oracle(0.8))
+  }
+
+  test("exactJaccardPairs scores match the oracle's Jaccard values") {
+    val got = Dedup.exactJaccardPairs(Dedup.setGroups(docsDf), 0.8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val sets = corpus.toMap
+    for (((a, b), j) <- got) {
+      val exp = (sets(a) intersect sets(b)).size.toDouble / (sets(a) union sets(b)).size
+      assert(math.abs(j - exp) < 5e-5, s"pair ($a,$b): got $j expected $exp")
+    }
+  }
+
+  test("minhashPairs: no false positives and recall >= 0.95 at vocab > 64") {
+    val exact = oracle(0.8)
+    val got = Dedup.minhashPairs(Dedup.setGroups(docsDf), 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(exact),
+      s"false positives: ${got diff exact}") // verify stage is exact
+    val recall = (got intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.95, s"recall $recall below 0.95")
+  }
+
+  test("qx2 mask fast path == general co-occurrence path on the <=64-vocab fixture") {
+    val sf = "/root/testdata/sf0.001"
+    val viaMask = Llm.qx2.fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val docs = Ctx(spark, sf).documents
+    val viaGeneral = Dedup.exactJaccardPairs(Dedup.setGroups(docs), 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaMask == viaGeneral)
+  }
+
+  test("shinglePairs survives docs with >= 1024 distinct shingles") {
+    import spark.implicits._
+    // ~1500 tokens -> ~1498 distinct shingles per doc; the old
+    // doc_id*1024+size packed key wrapped here and corrupted both
+    // fields. Two identical long docs (J = 1.0) + one unrelated.
+    val longText = (0 until 1500)
+      .map(k => s"${('a' + k / 676 % 26).toChar}${('a' + k / 26 % 26).toChar}${('a' + k % 26).toChar}")
+      .mkString(" ")
+    val docs = Seq(
+      (100L, longText),
+      (200L, longText),
+      (300L, "zz yy xx ww vv uu tt ss rr qq")).toDF("doc_id", "text")
+    val got = Dedup.shinglePairs(docs, 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((100L, 200L, 1.0)))
+  }
+}

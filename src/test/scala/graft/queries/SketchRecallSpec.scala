@@ -35,6 +35,18 @@ class SketchRecallSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"ANN recall $recall below 0.5")
   }
 
+  test("xs1 shuffled vector re-attach (broadcast gate off) equals broadcast path") {
+    def rows() = Similarity.xs1.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaBroadcast = rows()
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val viaShuffle = rows()
+      assert(viaShuffle == viaBroadcast)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("approx_count_distinct within 5% of exact (Q04x vs Q04)") {
     val exact = Aggregates.q04.fn(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
