@@ -112,9 +112,34 @@ final class ChainPartitionReader(p: BlockRangePartition)
   private val lineRe =
     """"block_number"\s*:\s*(\d+)\s*,\s*"log_index"\s*:\s*(\d+)\s*,\s*"address"\s*:\s*"([^"]*)"\s*,\s*"topic0"\s*:\s*"([^"]*)"\s*,\s*"payload"\s*:\s*(null|".*")\s*}""".r
 
-  private val it = {
-    val src = scala.io.Source.fromFile(s"${p.chainDir}/blocks.ndjson")
-    val rows = src.getLines().flatMap { line =>
+  /** One left-to-right pass over the escapes ChainFixture.jesc emits
+    * (\" \\ \n) — sequential .replace() calls both missed \n (batch and
+    * streaming readers diverged on newline payloads) and could corrupt
+    * adjacent escapes (\\n is a backslash + 'n', not a newline).
+    */
+  private def unescape(s: String): String = {
+    val b = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '"'  => b.append('"')
+          case '\\' => b.append('\\')
+          case 'n'  => b.append('\n')
+          case other => b.append('\\').append(other)
+        }
+        i += 2
+      } else { b.append(c); i += 1 }
+    }
+    b.toString
+  }
+
+  // lazy line iterator — no whole-file materialization; the source is
+  // closed in close() after Spark drains the reader
+  private val src = scala.io.Source.fromFile(s"${p.chainDir}/blocks.ndjson")
+  private val it =
+    src.getLines().flatMap { line =>
       lineRe.findFirstMatchIn(line).flatMap { m =>
         val block = m.group(1).toLong
         if (block < p.from || block > p.to) None
@@ -122,23 +147,18 @@ final class ChainPartitionReader(p: BlockRangePartition)
           val payload = m.group(5) match {
             case "null" => null
             case quoted =>
-              UTF8String.fromString(
-                quoted.substring(1, quoted.length - 1)
-                  .replace("\\\"", "\"").replace("\\\\", "\\"))
+              UTF8String.fromString(unescape(quoted.substring(1, quoted.length - 1)))
           }
           Some(InternalRow(block, m.group(2).toLong,
             UTF8String.fromString(m.group(3)), UTF8String.fromString(m.group(4)),
             payload))
         }
       }
-    }.toVector
-    src.close()
-    rows.iterator
-  }
+    }
 
   private var current: InternalRow = _
   override def next(): Boolean =
     if (it.hasNext) { current = it.next(); true } else false
   override def get(): InternalRow = current
-  override def close(): Unit = ()
+  override def close(): Unit = src.close()
 }

@@ -24,6 +24,21 @@ final class EtlLoop(spark: SparkSession, cfg: EtlJob.Config, intervalSec: Int = 
 
   def stop(): Unit = alive.set(false)
 
+  /** P18: graceful shutdown on SIGTERM/SIGINT (main.py:99-101,249-254
+    * installs signal handlers setting alive=False; the JVM analog is a
+    * shutdown hook — both signals terminate the JVM through this path).
+    * Returns the hook thread so callers/tests can deregister it.
+    */
+  def installShutdownHook(): Thread = {
+    val t = new Thread(() => stop(), "graft-etl-shutdown")
+    Runtime.getRuntime.addShutdownHook(t)
+    t
+  }
+
+  /** P17: serve [[stats]] over HTTP (reference Flask GET /). */
+  def serveStats(port: Int = 8080): StatsServer =
+    new StatsServer(() => stats, port).start()
+
   /** One guarded cycle: errors are counted and swallowed, the cursor is
     * left unmoved (main.py:216-220). */
   def tick(): Option[EtlJob.CycleStats] =

@@ -76,4 +76,31 @@ class ChainStreamSpec extends AnyFunSuite {
     assert(streamed.count() == batch.count())
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
+
+  test("batch and streaming readers agree on escaped payloads (newline, backslash, quote)") {
+    val root = Files.createTempDirectory("chainesc")
+    val chain = root.resolve("chain")
+    Files.createDirectories(chain)
+    // raw payload exercising every escape the fixture's jesc emits,
+    // including the \\n trap (literal backslash + 'n', NOT a newline)
+    val raw = "line1\nline2 \"quoted\" back\\slash literal:\\n end"
+    def jesc(s: String) = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c => c.toString
+    }
+    val b = ChainFixture.Epoch
+    val line =
+      s"""{"block_number": $b, "log_index": 0, "address": "${EtlJob.MarketplaceAddr}", "topic0": "${EtlJob.MarketplaceTopic}", "payload": "${jesc(raw)}"}"""
+    Files.write(chain.resolve("blocks.ndjson"), (line + "\n").getBytes("UTF-8"))
+    val rdr = new ChainPartitionReader(BlockRangePartition(b, b, chain.toString))
+    assert(rdr.next())
+    val viaStream = rdr.get().getUTF8String(4).toString
+    rdr.close()
+    val viaBatch = new ChainSource(spark, chain.toString)
+      .scan(b, b).select("payload").head.getString(0)
+    assert(viaStream == raw)
+    assert(viaBatch == raw)
+  }
 }

@@ -112,4 +112,42 @@ class EtlSpec extends AnyFunSuite {
     assert(loop2.tick().isDefined)
     assert(loop2.stats("errors") == "0")
   }
+
+  test("stats HTTP endpoint serves counters as JSON; 500 on handler error (P17)") {
+    val (_, cfg) = freshDirs()
+    val loop = new EtlLoop(spark, cfg, intervalSec = 0)
+    loop.tick()
+    val srv = loop.serveStats(port = 0)
+    try {
+      val url = java.net.URI.create(s"http://127.0.0.1:${srv.boundPort}/").toURL
+      val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      assert(conn.getResponseCode == 200)
+      assert(conn.getContentType.startsWith("application/json"))
+      val body = new String(conn.getInputStream.readAllBytes(), "UTF-8")
+      assert(body.contains("\"cycles\":\"1\""))
+      assert(body.contains("\"uptime_sec\""))
+      assert(body.contains("\"errors\":\"0\""))
+    } finally srv.stop()
+    // reference main.py:268-274: handler errors surface as HTTP 500
+    val broken = new StatsServer(() => throw new RuntimeException("boom"), port = 0).start()
+    try {
+      val url = java.net.URI.create(s"http://127.0.0.1:${broken.boundPort}/").toURL
+      val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      assert(conn.getResponseCode == 500)
+    } finally broken.stop()
+  }
+
+  test("shutdown hook stops the loop (P18)") {
+    val (_, cfg) = freshDirs()
+    val loop = new EtlLoop(spark, cfg, intervalSec = 3600)
+    val hook = loop.installShutdownHook()
+    try {
+      hook.run() // simulate JVM shutdown delivering the hook
+      // alive=false => run() returns without sleeping the interval
+      val t0 = System.nanoTime()
+      loop.run(maxCycles = 5)
+      assert((System.nanoTime() - t0) / 1e9 < 5.0)
+      assert(loop.stats("cycles") == "0")
+    } finally Runtime.getRuntime.removeShutdownHook(hook)
+  }
 }
