@@ -43,10 +43,17 @@ object Dedup {
   private val BandRows = 4 // 16 bands x 4 rows: P(cand | J=0.8) ~ 0.9998
 
   /** One row per distinct token SET over the given documents:
-    * (gid, toks, sz, ids) — deterministic 64-bit group id, the sorted
-    * set, its size, sorted member doc-ids. gid collisions (~n^2/2^64)
-    * could only merge two groups' member lists, never corrupt a
-    * verified Jaccard, because verification reads the real arrays.
+    * (gid, toks, htoks, sz, ids) — deterministic 64-bit group id, the
+    * sorted set, its per-token xxhash64 longs (sorted), its size,
+    * sorted member doc-ids. gid collisions (~n^2/2^64) could only
+    * merge two groups' member lists, never corrupt a verified Jaccard,
+    * because verification reads the real arrays. htoks is what the
+    * downstream sketches and verify consume: hashing each token ONCE
+    * here means signatures re-hash 8-byte longs instead of strings and
+    * candidate verification intersects long arrays instead of string
+    * arrays (an htoks-level collision inside one set — ~sz²/2^65 —
+    * would merely shave one element off that set everywhere, still
+    * consistently across every pair it joins).
     * persist(): four plan branches consume this (signatures, intra
     * pairs, both sides of the verify join) — without it the whole
     * tokenize+groupBy subplan re-executes per branch. */
@@ -59,7 +66,9 @@ object Dedup {
       .groupBy("toks")
       .agg(sort_array(collect_list("doc_id")).as("ids"))
       .withColumn("gid", xxhash64(col("toks")))
-      .withColumn("sz", size(col("toks")))
+      .withColumn("htoks",
+        sort_array(expr("array_distinct(transform(toks, t -> xxhash64(t)))")))
+      .withColumn("sz", size(col("htoks")))
       .persist()
 
   /** Expand qualifying group pairs to ordered doc-id pairs. */
@@ -95,10 +104,17 @@ object Dedup {
     * banding). Factored out so specs can run it on synthetic corpora.
     */
   private[queries] def minhashPairs(groups: DataFrame, threshold: Double): DataFrame = {
+    // Permutation i's min-hash re-hashes each pre-hashed 8-byte long
+    // (htoks), not the token string. The HOF runs once per DISTINCT
+    // set over the persisted groups, already spread across partitions
+    // by setGroups' ending shuffle. (A 64-column min-agg over exploded
+    // tokens was tried and measured 4x SLOWER end-to-end: the wide
+    // aggregate re-shuffles both band-join inputs.)
     val sigs = groups
       .withColumn("sig", expr(
         s"""transform(sequence(0, ${NumPerms - 1}),
-           |  i -> array_min(transform(toks, t -> xxhash64(i, t))))""".stripMargin))
+           |  i -> array_min(transform(htoks, h -> xxhash64(i, h))))""".stripMargin))
+      .select(col("gid"), col("sig"))
     // band keys over distinct sets; emit narrow (band_key, gid) rows
     val banded = sigs
       .select(col("gid"),
@@ -106,23 +122,31 @@ object Dedup {
           s"transform(sequence(0, ${NumPerms / BandRows - 1}), " +
             s"b -> xxhash64(b, slice(sig, b * $BandRows + 1, $BandRows)))"))
           .as("band_key"))
+    // persist(): the narrow (gid_a, gid_b) pairs are materialized once,
+    // keeping the band self-join + distinct out of the verify stage's
+    // plan (on near-dup-dense corpora candidates ≫ groups, so
+    // re-deriving them inside the wider verify join dominated runtime).
     val cand = banded.as("a").join(banded.as("b"), Seq("band_key"))
       .select(col("a.gid").as("gid_a"), col("b.gid").as("gid_b"))
       .filter(col("gid_a") < col("gid_b"))
       .distinct()
-    // exact verify on the real token arrays. Size prefilter first:
-    // J <= min(sz)/max(sz), so pairs failing min >= t*max can't qualify
-    // (epsilon keeps the float form conservative at exact-t ratios);
-    // array_intersect runs only on survivors.
+      .persist()
+    // exact verify on the real (hashed) token arrays. Size prefilter
+    // first: J <= min(sz)/max(sz), so pairs failing min >= t*max can't
+    // qualify (epsilon keeps the float form conservative at exact-t
+    // ratios); array_intersect runs only on survivors. The group table
+    // is small relative to candidates — broadcast it when under the
+    // session threshold, shuffle otherwise.
     val g1 = groups.select(col("gid").as("gid_a"), col("ids").as("ids_a"),
-      col("toks").as("toks_a"), col("sz").as("sz_a"))
+      col("htoks").as("h_a"), col("sz").as("sz_a"))
     val g2 = groups.select(col("gid").as("gid_b"), col("ids").as("ids_b"),
-      col("toks").as("toks_b"), col("sz").as("sz_b"))
-    val qualifying = cand.join(g1, "gid_a").join(g2, "gid_b")
+      col("htoks").as("h_b"), col("sz").as("sz_b"))
+    val qualifying = cand.join(Scale.maybeBroadcast(g1), "gid_a")
+      .join(Scale.maybeBroadcast(g2), "gid_b")
       .filter(least(col("sz_a"), col("sz_b")).cast("double")
         >= greatest(col("sz_a"), col("sz_b")) * (threshold - 1e-9))
       .withColumn("inter",
-        size(array_intersect(col("toks_a"), col("toks_b"))).cast("double"))
+        size(array_intersect(col("h_a"), col("h_b"))).cast("double"))
       .withColumn("uni", (col("sz_a") + col("sz_b")).cast("double") - col("inter"))
       .withColumn("jaccard", round(col("inter") / col("uni"), 4))
       .filter(col("inter") / col("uni") >= threshold)
@@ -144,13 +168,16 @@ object Dedup {
       // The 64-bit SimHash signature is the sketch itself (bit j set iff
       // the per-token hash-bit majority at position j is positive) —
       // this shiftleft's shift amounts are 0..63 by construction, unlike
-      // a vocab-indexed mask.
+      // a vocab-indexed mask. The per-token hashes already exist as
+      // htoks, so the majority vote reads their bits directly: no
+      // hashing at all in this pass, one HOF per distinct set.
       val sigs = groups.withColumn("sim", expr(
         """aggregate(sequence(0, 63), CAST(0 AS BIGINT),
           |  (acc, j) -> acc + shiftleft(CAST(
-          |    aggregate(toks, 0,
-          |      (s, t) -> s + CASE WHEN (shiftright(xxhash64(t), j) % 2) != 0
+          |    aggregate(htoks, 0,
+          |      (s, h) -> s + CASE WHEN (shiftright(h, j) % 2) != 0
           |                         THEN 1 ELSE -1 END) > 0 AS BIGINT), j))""".stripMargin))
+        .select(col("gid"), col("sim"))
       val banded = sigs.select(col("gid"), col("sim"),
         explode(expr(
           "transform(sequence(0, 3), b -> shiftright(sim, b * 16) % 65536 + b * 65536)"))
@@ -164,7 +191,8 @@ object Dedup {
         .filter(col("hamming") <= 3)
       val g1 = groups.select(col("gid").as("gid_a"), col("ids").as("ids_a"))
       val g2 = groups.select(col("gid").as("gid_b"), col("ids").as("ids_b"))
-      val cross = cand.join(g1, "gid_a").join(g2, "gid_b")
+      val cross = cand.join(Scale.maybeBroadcast(g1), "gid_a")
+        .join(Scale.maybeBroadcast(g2), "gid_b")
       intraPairs(groups, lit(0L), "hamming")
         .unionByName(expandPairs(cross, "hamming"))
     },
@@ -181,7 +209,8 @@ object Dedup {
     * no vocab index, no driver-side anything.
     */
   private[queries] def exactJaccardPairs(groups: DataFrame, threshold: Double): DataFrame = {
-    val gtok = groups.select(col("gid"), col("sz"), explode(col("toks")).as("token"))
+    // join on the pre-hashed longs: equality on 8-byte keys, not strings
+    val gtok = groups.select(col("gid"), col("sz"), explode(col("htoks")).as("token"))
     val pr = gtok.as("a").join(gtok.as("b"),
         col("a.token") === col("b.token") && col("a.gid") < col("b.gid"))
       .groupBy(col("a.gid").as("gid_a"), col("a.sz").as("sa"),
@@ -193,7 +222,8 @@ object Dedup {
       .withColumn("jaccard", round(col("jaccard"), 4))
     val g1 = groups.select(col("gid").as("gid_a"), col("ids").as("ids_a"))
     val g2 = groups.select(col("gid").as("gid_b"), col("ids").as("ids_b"))
-    val cross = pr.join(g1, "gid_a").join(g2, "gid_b")
+    val cross = pr.join(Scale.maybeBroadcast(g1), "gid_a")
+      .join(Scale.maybeBroadcast(g2), "gid_b")
     intraPairs(groups, lit(1.0), "jaccard")
       .unionByName(expandPairs(cross, "jaccard"))
   }
@@ -281,10 +311,7 @@ object Dedup {
       val e = c.embeddings
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
         .withColumn("nrm", sqrt(expr("vec_dot(v, v)")))
-      // see qx3: spread the BNLJ stream side across cores (fixture
-      // parquet is a single split)
-      val a = e.repartition(s.sparkContext.defaultParallelism)
-        .select(col("vec_id").as("doc_a"), col("v").as("va"), col("nrm").as("na"))
+      val a = e.select(col("vec_id").as("doc_a"), col("v").as("va"), col("nrm").as("na"))
       val b = e.select(col("vec_id").as("doc_b"), col("v").as("vb"), col("nrm").as("nb"))
       val pairs = a.join(Scale.maybeBroadcast(b), col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b"),

@@ -152,12 +152,7 @@ object Llm {
       val e = c.embeddings
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
         .withColumn("nrm", sqrt(expr("vec_dot(v, v)")))
-      // stream side spread across cores: the fixture parquet is one
-      // ~1 MB split, which would run the whole O(n²) BNLJ stream side
-      // in ONE task (at 100 TB the scan yields thousands of splits and
-      // this repartition is a no-op-sized shuffle of narrow rows)
-      val qside = e.repartition(s.sparkContext.defaultParallelism)
-        .select(col("vec_id"), col("v").as("va"), col("nrm").as("na"))
+      val qside = e.select(col("vec_id"), col("v").as("va"), col("nrm").as("na"))
       val ref = e.select(col("vec_id").as("neighbor_id"),
         col("v").as("vb"), col("nrm").as("nb"))
       val scored = qside.join(Scale.maybeBroadcast(ref),

@@ -10,7 +10,8 @@ import org.apache.spark.sql.types._
   * @param fn      (spark, sfDir) => result DataFrame (canonically ordered)
   * @param oracle  equivalent DuckDB SQL over the same parquet tables;
   *                None => driver records a weaker rows-only check
-  * @param headline include in Bench's timed set
+  * @param headline flagship marker: included in Bench's
+  *                 SPARK_GRAFT_HEADLINE=1 focused mode
   */
 final case class GQuery(
     name: String,
@@ -41,8 +42,18 @@ final case class Ctx(spark: SparkSession, dir: String) {
     table("events").withColumn(
       "ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
   }
-  def documents: DataFrame = table("documents")
-  def embeddings: DataFrame = table("embeddings")
+  /** documents/embeddings feed heavy per-row projections (tokenize
+    * HOFs, shingles, vec_dot). The sf fixtures are single-row-group
+    * parquet files, so Spark reads each as ONE split and that work
+    * would run single-threaded — the opposite of the scan parallelism
+    * a real cluster gives (at 100 TB these scans are thousands of
+    * splits and this repartition is a no-op-sized narrow shuffle).
+    * Spread rows across cores right after the scan.
+    */
+  def documents: DataFrame =
+    table("documents").repartition(spark.sparkContext.defaultParallelism)
+  def embeddings: DataFrame =
+    table("embeddings").repartition(spark.sparkContext.defaultParallelism)
 }
 
 /** Determinism discipline (SURVEY §2.B rules + §7 hard parts).

@@ -30,6 +30,21 @@ object StreamingWindows {
         col("window.end").as("window_end"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Q31 streaming form: 1-hour windows sliding every 30 minutes, with
+    * a 30-min watermark. Each event lands in two open windows; the
+    * watermark still bounds state because a window closes once
+    * max(event time) - 30min passes its end — same eviction as the
+    * tumbling case, just with 2× the concurrently-open keys.
+    */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("n_events"))
+
   /** Q32 streaming form via the built-in session_window. */
   def sessionCounts(events: DataFrame): DataFrame =
     events

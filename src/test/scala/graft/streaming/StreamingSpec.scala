@@ -44,6 +44,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.size == 2) // 10:00 click window (2 events), 11:00 view
   }
 
+  test("streaming sliding counts == batch transformation on closed windows") {
+    val input = MemoryStream[StreamingWindows.Ev](spark)
+    val events = Seq(
+      StreamingWindows.Ev(ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+      StreamingWindows.Ev(ts("2024-01-01 10:45:00"), 1, "click", 2.0),
+      StreamingWindows.Ev(ts("2024-01-01 11:10:00"), 2, "view", 3.0),
+      StreamingWindows.Ev(ts("2024-01-01 14:00:00"), 2, "view", 4.0))
+    input.addData(events: _*)
+    runToCompletion("sliding", StreamingWindows.slidingCounts(input.toDF()))
+    val streamed = spark.table("sliding")
+      .select("window_start", "window_end", "n_events").collect()
+      .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2))).toSet
+    // watermark = max ts - 30min = 13:30: every window ending <= 13:30
+    // is closed and emitted; the 14:00 event's two windows stay open
+    val batch = StreamingWindows.slidingCounts(events.toDF())
+      .filter(col("window_end") <= ts("2024-01-01 13:30:00"))
+      .select("window_start", "window_end", "n_events").collect()
+      .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+    // 10:05 -> [9:30,10:30)+[10:00,11:00); 10:45 -> [10:00,11:00)+[10:30,11:30);
+    // 11:10 -> [10:30,11:30)+[11:00,12:00): 4 distinct closed windows
+    assert(streamed.size == 4)
+    assert(streamed.contains((ts("2024-01-01 10:30:00"), ts("2024-01-01 11:30:00"), 2L)))
+  }
+
   test("late event beyond the watermark is dropped") {
     val input = MemoryStream[StreamingWindows.Ev](spark)
     input.addData(

@@ -1,0 +1,38 @@
+#!/usr/bin/env python3
+"""Time the DuckDB oracle side of BASELINE.md §2: per oracle query,
+one warm-up then median of 3, over the same sf parquet tables.
+
+Usage: tools/duckbench.py [sf_dir] [oracle_sql.json] [out_json]
+"""
+import json, statistics, sys, time
+
+import duckdb
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+ORACLE = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out/oracle_sql.json"
+OUT = sys.argv[3] if len(sys.argv) > 3 else "/tmp/duckdb_bench.json"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+con = duckdb.connect()
+for t in TABLES:
+    con.execute(
+        f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+
+oracle = json.load(open(ORACLE))
+out = {}
+for name in sorted(oracle):
+    sql = oracle[name]
+    try:
+        con.execute(sql).fetchall()  # warm-up
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            runs.append(time.perf_counter() - t0)
+        out[name] = round(statistics.median(runs), 3)
+    except Exception as e:
+        print(f"[duckbench] {name} failed: {e}", file=sys.stderr)
+        out[name] = -1.0
+json.dump(out, open(OUT, "w"), indent=0, sort_keys=True)
+print(f"wrote {OUT}: total {sum(v for v in out.values() if v > 0):.1f}s")
