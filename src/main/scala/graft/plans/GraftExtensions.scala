@@ -75,5 +75,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (new org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot"),
         new ExpressionInfo(classOf[VectorDot].getName, "vec_dot"),
         (exprs: Seq[Expression]) => VectorDot(exprs(0), exprs(1))))
+    ext.injectFunction(
+      (new org.apache.spark.sql.catalyst.FunctionIdentifier("sorted_intersect_count"),
+        new ExpressionInfo(classOf[graft.functions.SortedIntersectCount].getName,
+          "sorted_intersect_count"),
+        (exprs: Seq[Expression]) =>
+          graft.functions.SortedIntersectCount(exprs(0), exprs(1))))
   }
 }

@@ -104,6 +104,7 @@ object Dedup {
     * banding). Factored out so specs can run it on synthetic corpora.
     */
   private[queries] def minhashPairs(groups: DataFrame, threshold: Double): DataFrame = {
+    graft.functions.ArrayOps.register(groups.sparkSession)
     // Permutation i's min-hash re-hashes each pre-hashed 8-byte long
     // (htoks), not the token string. The HOF runs once per DISTINCT
     // set over the persisted groups, already spread across partitions
@@ -145,8 +146,11 @@ object Dedup {
       .join(Scale.maybeBroadcast(g2), "gid_b")
       .filter(least(col("sz_a"), col("sz_b")).cast("double")
         >= greatest(col("sz_a"), col("sz_b")) * (threshold - 1e-9))
+      // htoks is sort_array(array_distinct(...)) by construction — the
+      // codegen'd merge-walk kernel applies (no per-pair hash set or
+      // intersection array like array_intersect builds)
       .withColumn("inter",
-        size(array_intersect(col("h_a"), col("h_b"))).cast("double"))
+        expr("sorted_intersect_count(h_a, h_b)").cast("double"))
       .withColumn("uni", (col("sz_a") + col("sz_b")).cast("double") - col("inter"))
       .withColumn("jaccard", round(col("inter") / col("uni"), 4))
       .filter(col("inter") / col("uni") >= threshold)

@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SortedIntersectCount: the merge-walk kernel must agree with
+  * size(array_intersect) on every sorted-distinct input, including the
+  * degenerate shapes (empty, disjoint, identical, subset, null array).
+  */
+class ArrayOpsSpec extends AnyFunSuite {
+
+  private lazy val spark = graft.SparkTestSession.spark
+  import spark.implicits._
+
+  test("matches size(array_intersect) on randomized sorted-distinct long arrays") {
+    ArrayOps.register(spark)
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 500).map { i =>
+      def arr() = Seq.fill(rnd.nextInt(40))(rnd.nextInt(60).toLong)
+        .distinct.sorted
+      (i.toLong, arr(), arr())
+    }
+    val df = rows.toDF("id", "a", "b")
+    val cmp = df.select(
+      expr("sorted_intersect_count(a, b)").as("fast"),
+      size(array_intersect(col("a"), col("b"))).as("ref")).collect()
+    cmp.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+    // the overlap bound [0..60) makes most rows intersect; make sure the
+    // fixture wasn't degenerate in either direction
+    assert(cmp.exists(_.getInt(0) > 0) && cmp.exists(_.getInt(0) == 0))
+  }
+
+  test("edge shapes: empty, identical, subset, null") {
+    ArrayOps.register(spark)
+    val df = Seq(
+      (1L, Some(Seq.empty[Long]), Some(Seq(1L, 2L))),
+      (2L, Some(Seq(1L, 2L, 3L)), Some(Seq(1L, 2L, 3L))),
+      (3L, Some(Seq(2L)), Some(Seq(1L, 2L, 3L))),
+      (4L, None, Some(Seq(1L)))).toDF("id", "a", "b")
+    val out = df.select(col("id"), expr("sorted_intersect_count(a, b)").as("c"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getInt(1))).toMap
+    assert(out(1L) == 0 && out(2L) == 3 && out(3L) == 1 && out(4L) == null)
+  }
+
+  test("stays inside whole-stage codegen") {
+    ArrayOps.register(spark)
+    // non-literal input: a literal row would be constant-folded into a
+    // LocalTableScan before any codegen happens
+    val df = spark.range(10)
+      .select(expr("sequence(id, id + 3)").as("a"), expr("sequence(id + 2, id + 5)").as("b"))
+      .select(expr("sorted_intersect_count(a, b)").as("c"))
+    // the simple plan string marks WholeStageCodegen spans with "*(n)"
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [sortedintersectcount"),
+      s"expression not inside a codegen span in:\n$plan")
+  }
+}
