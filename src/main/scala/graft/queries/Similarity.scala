@@ -86,5 +86,106 @@ object Similarity {
     },
     None)
 
-  def queries: Seq[GQuery] = Seq(xs1)
+  /** IVF (inverted-file) approximate top-k — the OTHER classic ANN
+    * scale path, complementary to xs1's hyperplane LSH: partition the
+    * corpus into K cells around k-means centroids, then score each
+    * query only against the cells of its `NProbe` nearest centroids.
+    * Fraction of corpus scanned ~ NProbe/K (vs 1.0 for brute force);
+    * at 100 TB the cell assignment becomes the partitioning key, so a
+    * probe reads only its cells' files — the Spark-native analog of a
+    * FAISS IVF index.
+    *
+    * Everything is DataFrame-native and deterministic:
+    *  - init: the K vectors with the lowest xxhash64(vec_id) — a
+    *    deterministic uniform sample (TakeOrdered, K rows, bounded).
+    *  - Lloyd iterations: assign via a K-row broadcast cross join +
+    *    min_by partial aggregate (never shuffles the n×K product);
+    *    re-center via posexplode + per-(cell, dim) avg, rounded to 6
+    *    decimals so float summation order can't leak into centroids.
+    *  - only K centroid rows ever reach the driver (bounded by the
+    *    constant K, not the corpus — the collect() rule in SURVEY §7
+    *    is about data-sized state).
+    *
+    * Recall vs exact brute-force top-k is floored in SketchRecallSpec;
+    * like xs1 it is honest about this corpus's weak (near-orthogonal)
+    * neighbor structure.
+    */
+  val xs2 = GQuery(
+    "xs2_ann_ivf",
+    (s, d) => {
+      val c = Ctx(s, d)
+      VectorOps.register(s)
+      val e = c.embeddings
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", sqrt(expr("vec_dot(v, v)")))
+        .persist() // consumed by init, every Lloyd pass, and both probe sides
+      ivfTopK(e, k = 5)
+    },
+    None)
+
+  private val Cells = 32
+  private val NProbe = 8
+  private val LloydIters = 2
+
+  /** e: (vec_id, v: array<double>, nrm). Returns top-k (vec_id,
+    * neighbor_id, score) per vector among its probed cells.
+    */
+  private[queries] def ivfTopK(e: org.apache.spark.sql.DataFrame, k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    // deterministic K-sample init
+    var centroids = e
+      .withColumn("h", xxhash64(col("vec_id")))
+      .orderBy("h").limit(Cells)
+      .select(col("v")).collect()
+      .map(_.getSeq[Double](0).toArray)
+      .zipWithIndex.map { case (v, i) => (i, v) }
+    def centroidDf = {
+      val rows = centroids.map { case (cid, v) => (cid, v.toSeq) }.toSeq
+      broadcast(rows.toDF("cid", "cv")
+        .withColumn("cnrm2", expr("vec_dot(cv, cv)")))
+    }
+    // argmin_c ||v-c||² = argmin_c (c·c - 2 v·c): v·v is constant per row
+    def assigned = e.crossJoin(centroidDf)
+      .select(col("vec_id"), col("v"),
+        col("cid"), (col("cnrm2") - lit(2.0) * expr("vec_dot(v, cv)")).as("dist"))
+      .groupBy("vec_id")
+      .agg(min_by(col("cid"), struct(col("dist"), col("cid"))).as("cid"))
+    for (_ <- 1 to LloydIters) {
+      centroids = assigned.join(e, "vec_id")
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos")
+        .agg(round(avg("x"), 6).as("m"))
+        .groupBy("cid")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), p -> p.m)").as("cv"))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    }
+    // inverted file: cell membership of every vector (the "index");
+    // probe list: each query's NProbe nearest cells
+    val cells = assigned.join(e, "vec_id")
+      .select(col("cid"), col("vec_id").as("neighbor_id"),
+        col("v").as("vb"), col("nrm").as("nb"))
+    val probes = e.crossJoin(centroidDf)
+      .select(col("vec_id"), col("v").as("va"), col("nrm").as("na"),
+        col("cid"), (col("cnrm2") - lit(2.0) * expr("vec_dot(v, cv)")).as("dist"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("dist").asc, col("cid").asc)))
+      .filter(col("rn") <= NProbe)
+      .select(col("vec_id"), col("va"), col("na"), col("cid"))
+    // score only within probed cells; exact cosine on survivors
+    val scored = probes.join(Scale.maybeBroadcast(cells), "cid")
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .select(col("vec_id"), col("neighbor_id"),
+        round(expr("vec_dot(va, vb)") / (col("na") * col("nb")), 4).as("score"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    canon(scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("vec_id", "neighbor_id", "score"))
+  }
+
+  def queries: Seq[GQuery] = Seq(xs1, xs2)
 }

@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming counterparts of the batch dedup (Q29/QX1) and join
+  * operators — the pieces an unbounded ingest pipeline needs beyond
+  * windowed aggregation (StreamingWindows).
+  *
+  * Scale posture: both operators keep per-key state that the watermark
+  * bounds. Dedup state is one entry per event id seen within the
+  * watermark horizon; join state buffers each side only until the
+  * other side's watermark passes the join window. Without those bounds
+  * neither operator is runnable on an unbounded stream — with them,
+  * state is O(arrival rate × horizon), independent of stream length.
+  */
+object StreamingOps {
+
+  /** Event shape carrying an explicit id — the dedup/join key. */
+  final case class IdEv(ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, event_id: Long)
+
+  /** Q29/QX1 streaming form: exact at-most-once emission of each
+    * event_id, with dedup state evicted once the 30-min watermark
+    * passes — a replayed/duplicated event inside the horizon is
+    * dropped, and state cannot grow beyond the horizon's arrivals
+    * (dropDuplicates without the watermark variant would keep every id
+    * forever).
+    */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-stream inner join: each click joined to the SAME USER's
+    * view events that happen within the hour after the click. Both
+    * sides carry watermarks and the join condition bounds event-time
+    * distance in both directions, so each side's buffered state is
+    * evicted once the other side's watermark clears the window —
+    * the requirement for an unbounded stream-stream join to run with
+    * bounded memory.
+    */
+  def clickThenView(clicks: DataFrame, views: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "30 minutes")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val v = views.withWatermark("ts", "30 minutes")
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+    c.join(v,
+      col("user_id") === col("v_user") &&
+        col("view_ts") >= col("click_ts") &&
+        col("view_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("click_id"), col("view_id"),
+        col("click_ts"), col("view_ts"))
+  }
+}

@@ -35,6 +35,22 @@ class SketchRecallSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"ANN recall $recall below 0.5")
   }
 
+  // IVF probes NProbe/Cells = 25% of the corpus; measured recall ~0.69
+  // here beats hyperplane-LSH's ~0.53 at a similar scan fraction
+  // because k-means cells adapt to the data where fixed hyperplanes
+  // can't. Same weak-neighbor caveat as above.
+  test("ann-ivf top-5 recall >= 0.6 vs exact cosine top-5, deterministic") {
+    val exact = Llm.qx3.fn(spark, sf).select("vec_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def run() = Similarity.xs2.fn(spark, sf).select("vec_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = run()
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"IVF recall $recall below 0.6")
+    // deterministic init + rounded centroid means: bit-stable reruns
+    assert(run() == approx)
+  }
+
   test("xs1 shuffled vector re-attach (broadcast gate off) equals broadcast path") {
     def rows() = Similarity.xs1.fn(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet

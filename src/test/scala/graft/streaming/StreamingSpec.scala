@@ -69,6 +69,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.contains((ts("2024-01-01 10:30:00"), ts("2024-01-01 11:30:00"), 2L)))
   }
 
+  test("streaming dedup emits each event_id once, watermark bounds state") {
+    val input = MemoryStream[StreamingOps.IdEv](spark)
+    input.addData(
+      StreamingOps.IdEv(ts("2024-01-01 10:00:00"), 1, "click", 100),
+      StreamingOps.IdEv(ts("2024-01-01 10:01:00"), 1, "click", 100), // replay
+      StreamingOps.IdEv(ts("2024-01-01 10:02:00"), 2, "view", 101),
+      StreamingOps.IdEv(ts("2024-01-01 10:02:00"), 2, "view", 101), // exact dup
+      StreamingOps.IdEv(ts("2024-01-01 10:03:00"), 3, "click", 102))
+    runToCompletion("dedup", StreamingOps.dedupEvents(input.toDF()))
+    val out = spark.table("dedup").select("event_id").collect().map(_.getLong(0))
+    assert(out.sorted.toSeq == Seq(100L, 101L, 102L))
+  }
+
+  test("stream-stream click->view join within 1 hour, per user") {
+    val clicks = MemoryStream[StreamingOps.IdEv](spark)
+    val views = MemoryStream[StreamingOps.IdEv](spark)
+    clicks.addData(
+      StreamingOps.IdEv(ts("2024-01-01 10:00:00"), 1, "click", 1),
+      StreamingOps.IdEv(ts("2024-01-01 12:00:00"), 2, "click", 2))
+    views.addData(
+      StreamingOps.IdEv(ts("2024-01-01 10:30:00"), 1, "view", 10), // joins click 1
+      StreamingOps.IdEv(ts("2024-01-01 11:30:00"), 1, "view", 11), // > 1h after click 1
+      StreamingOps.IdEv(ts("2024-01-01 12:15:00"), 2, "view", 12), // joins click 2
+      StreamingOps.IdEv(ts("2024-01-01 12:20:00"), 3, "view", 13)) // no click for user 3
+    runToCompletion("ssjoin",
+      StreamingOps.clickThenView(clicks.toDF(), views.toDF()))
+    val out = spark.table("ssjoin").select("click_id", "view_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 10L), (2L, 12L)))
+  }
+
   test("late event beyond the watermark is dropped") {
     val input = MemoryStream[StreamingWindows.Ev](spark)
     input.addData(
