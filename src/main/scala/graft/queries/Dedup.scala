@@ -212,10 +212,15 @@ object Dedup {
     * with per-token group frequency bounding the pair fan-out. No mask,
     * no vocab index, no driver-side anything.
     */
-  private[queries] def exactJaccardPairs(groups: DataFrame, threshold: Double): DataFrame = {
+  /** Exact J >= threshold edges BETWEEN distinct-set groups via token
+    * co-occurrence counting — (gid_a, gid_b, jaccard), gid_a < gid_b.
+    * Works at any vocabulary; cost is Σ_token freq² where freq is the
+    * per-token GROUP frequency.
+    */
+  private[queries] def groupEdgesGeneral(groups: DataFrame, threshold: Double): DataFrame = {
     // join on the pre-hashed longs: equality on 8-byte keys, not strings
     val gtok = groups.select(col("gid"), col("sz"), explode(col("htoks")).as("token"))
-    val pr = gtok.as("a").join(gtok.as("b"),
+    gtok.as("a").join(gtok.as("b"),
         col("a.token") === col("b.token") && col("a.gid") < col("b.gid"))
       .groupBy(col("a.gid").as("gid_a"), col("a.sz").as("sa"),
         col("b.gid").as("gid_b"), col("b.sz").as("sb"))
@@ -224,6 +229,44 @@ object Dedup {
         col("inter").cast("double") / (col("sa") + col("sb") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .withColumn("jaccard", round(col("jaccard"), 4))
+      .select("gid_a", "gid_b", "jaccard")
+  }
+
+  /** Group edges with the same vocabulary gate QX2 applies at doc
+    * level: when a bounded probe proves |vocab| <= 64, each distinct
+    * set is one 64-bit mask and the pairwise stage is popcount
+    * arithmetic over a broadcast nested-loop join — |groups|²/2 cheap
+    * register ops instead of the co-occurrence shuffle, which on
+    * small-vocabulary corpora (where per-token group frequency ~
+    * |groups|) is quadratic ANYWAY but with a join-shaped constant.
+    * General vocabularies fall through to groupEdgesGeneral.
+    */
+  private[queries] def groupEdgesGated(groups: DataFrame, threshold: Double): DataFrame = {
+    val s = groups.sparkSession
+    import s.implicits._
+    val tok = groups.select(explode(col("toks")).as("token")).distinct()
+    val probe = tok.limit(65).as[String].collect()
+    if (probe.length > 64) groupEdgesGeneral(groups, threshold)
+    else {
+      val vocab = broadcast(probe.sorted.zipWithIndex.toSeq.toDF("token", "idx"))
+      val masks = groups.select(col("gid"), explode(col("toks")).as("token"))
+        .join(vocab, "token")
+        .groupBy("gid")
+        .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), idx)")).as("mask"))
+      val a = masks.select(col("gid").as("gid_a"), col("mask").as("ma"))
+      val b = masks.select(col("gid").as("gid_b"), col("mask").as("mb"))
+      a.join(broadcast(b), col("gid_a") < col("gid_b") &&
+          bit_count(col("ma").bitwiseAND(col("mb"))).cast("double") /
+            bit_count(col("ma").bitwiseOR(col("mb"))) >= threshold)
+        .withColumn("jaccard",
+          round(bit_count(col("ma").bitwiseAND(col("mb"))).cast("double") /
+            bit_count(col("ma").bitwiseOR(col("mb"))), 4))
+        .select("gid_a", "gid_b", "jaccard")
+    }
+  }
+
+  private[queries] def exactJaccardPairs(groups: DataFrame, threshold: Double): DataFrame = {
+    val pr = groupEdgesGeneral(groups, threshold)
     val g1 = groups.select(col("gid").as("gid_a"), col("ids").as("ids_a"))
     val g2 = groups.select(col("gid").as("gid_b"), col("ids").as("ids_b"))
     val cross = pr.join(Scale.maybeBroadcast(g1), "gid_a")

@@ -10,7 +10,7 @@ object Registry {
       Reshape.queries ++
       EventOps.queries ++ Udx.queries ++ Llm.queries ++
       Dedup.queries ++ Similarity.queries ++ TextAnalysis.queries ++
-      Media.queries ++ Pipeline.queries
+      Media.queries ++ Pipeline.queries ++ Clusters.queries
 
   def byName: Map[String, GQuery] = all.map(q => q.name -> q).toMap
 }

@@ -19,9 +19,18 @@ for t in TABLES:
     con.execute(
         f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
 
+# Oracles that are correct but intractable for DuckDB at bench scale
+# (no cancellation support in duckdb 1.0, so they can't even be timed
+# out): xd5's recursive-CTE transitive closure is quadratic in
+# component size and this corpus has a ~3500-doc component at sf0.1.
+# They remain fully checked at the sf0.01 correctness gate.
+SKIP = {"xd5_dedup_clusters"}
+
 oracle = json.load(open(ORACLE))
 out = {}
 for name in sorted(oracle):
+    if name in SKIP:
+        continue
     sql = oracle[name]
     try:
         con.execute(sql).fetchall()  # warm-up
