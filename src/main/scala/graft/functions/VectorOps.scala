@@ -88,11 +88,84 @@ case class VectorDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Integer dot product over two ARRAY<TINYINT> columns (int8-quantized
+  * vectors) — accumulates byte×byte products into a LONG, no floating
+  * point in the loop. The quantized-similarity path (xs3) runs this
+  * once per candidate pair over arrays an eighth the size of the
+  * double form: the win at scale is bandwidth (64-byte rows through
+  * broadcast/shuffle instead of 512), the codegen loop keeps the
+  * compute side from giving it back. Null contract mirrors VectorDot:
+  * null array / length mismatch / null element (statically-nullable
+  * only) → null.
+  */
+case class VectorDotInt8(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def nullable: Boolean = true
+
+  private def elemsNullable(e: Expression): Boolean = e.dataType match {
+    case org.apache.spark.sql.types.ArrayType(_, cn) => cn
+    case _ => true
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    val checkNulls = elemsNullable(left) || elemsNullable(right)
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
+      acc += x.getByte(i).toLong * y.getByte(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val bad = ctx.freshName("bad")
+      val nullCheck =
+        if (elemsNullable(left) || elemsNullable(right))
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }"
+        else ""
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  boolean $bad = false;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    $acc += (long) $a.getByte($i) * $b.getByte($i);
+         |  }
+         |  if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VectorDotInt8 =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorOps {
-  /** Expose as the SQL function `vec_dot(a, b)`; call via expr(...).
+  /** Expose as the SQL functions `vec_dot(a, b)` (double) and
+    * `vec_dot_i8(a, b)` (int8 → long); call via expr(...).
     * Registration is idempotent per session.
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", exprs => VectorDot(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dot_i8", exprs => VectorDotInt8(exprs(0), exprs(1)), "built-in")
+  }
 }

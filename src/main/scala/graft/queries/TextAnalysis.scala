@@ -140,5 +140,57 @@ object TextAnalysis {
         |GROUP BY source""".stripMargin +
         orderAll("source", "n_docs", "ws_tokens", "subword_tokens")))
 
-  def queries: Seq[GQuery] = Seq(xt1, xt2, xt3, xt4)
+  /** TF-IDF top terms: per doc, the 3 terms maximizing
+    * tf · ln(N/df), ties by term asc. Classic keyword extraction for
+    * a text pipeline; also the canonical "two aggregation granularities
+    * + a scalar + a ranking window" composition.
+    *
+    * Scale shape: tf is a (doc, term) partial-aggregated count; df
+    * aggregates tf (never re-reads the corpus); N rides in as a
+    * broadcast scalar (no driver collect); the ranking window is
+    * per-doc partitioned. ln() agrees bit-for-bit across engines on
+    * identical double inputs (same libm contract Q34's geomean oracle
+    * already relies on), and ties that survive equal tf·idf break on
+    * the term string identically.
+    */
+  val xt5 = GQuery(
+    "xt5_tfidf",
+    (s, d) => {
+      val c = Ctx(s, d)
+      val tok = c.documents
+        .select(col("doc_id"), explode(Llm.tokens(col("text"))).as("term"))
+      val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = c.documents.agg(count(lit(1)).as("n"))
+      val scored = tf.join(Scale.maybeBroadcast(df), "term")
+        .crossJoin(broadcast(n))
+        .withColumn("tfidf",
+          col("tf") * log(col("n").cast("double") / col("df")))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("tfidf").desc, col("term").asc)
+      canonBy(scored
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          round(col("tfidf"), 4).as("tfidf")), "doc_id", "term")
+    },
+    Some(
+      """WITH tok AS (
+        |  SELECT doc_id, t.term FROM documents,
+        |    UNNEST(list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS t(term)),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT doc_id, term, tf, df, tf * ln(CAST(n.n AS DOUBLE) / df) AS tfidf
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |top AS (
+        |  SELECT doc_id, term, tf, df, tfidf,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rn
+        |  FROM scored)
+        |SELECT doc_id, term, tf, df, ROUND(tfidf, 4) AS tfidf
+        |FROM top WHERE rn <= 3""".stripMargin +
+        orderAll("doc_id", "term")))
+
+  def queries: Seq[GQuery] = Seq(xt1, xt2, xt3, xt4, xt5)
 }

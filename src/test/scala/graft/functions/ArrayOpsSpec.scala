@@ -42,6 +42,32 @@ class ArrayOpsSpec extends AnyFunSuite {
     assert(out(1L) == 0 && out(2L) == 3 && out(3L) == 1 && out(4L) == null)
   }
 
+  test("vec_dot_i8 matches the double dot on int8-representable inputs") {
+    VectorOps.register(spark)
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 200).map { i =>
+      (i.toLong, Seq.fill(16)((rnd.nextInt(255) - 127).toByte))
+    }
+    val df = rows.toDF("id", "q")
+    val cmp = df.as("a").crossJoin(df.as("b"))
+      .select(
+        expr("vec_dot_i8(a.q, b.q)").as("i8"),
+        expr("vec_dot(CAST(a.q AS ARRAY<DOUBLE>), CAST(b.q AS ARRAY<DOUBLE>))").as("d"))
+      .collect()
+    cmp.foreach(r => assert(r.getLong(0).toDouble == r.getDouble(1)))
+  }
+
+  test("vec_dot_i8 null contract: ragged and null array propagate null") {
+    VectorOps.register(spark)
+    val df = Seq(
+      (1L, Some(Seq[Byte](1, 2)), Some(Seq[Byte](3, 4))),
+      (2L, Some(Seq[Byte](1, 2, 3)), Some(Seq[Byte](3, 4))),
+      (3L, None, Some(Seq[Byte](3, 4)))).toDF("id", "a", "b")
+    val out = df.select(col("id"), expr("vec_dot_i8(a, b)").as("d"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    assert(out(1L) == 11L && out(2L) == null && out(3L) == null)
+  }
+
   test("stays inside whole-stage codegen") {
     ArrayOps.register(spark)
     // non-literal input: a literal row would be constant-folded into a

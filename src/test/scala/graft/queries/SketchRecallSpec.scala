@@ -51,6 +51,17 @@ class SketchRecallSpec extends AnyFunSuite {
     assert(run() == approx)
   }
 
+  // int8 rounding is the ONLY approximation here (no bucketing), and
+  // the 8x candidate cut absorbs ranking jitter — near-perfect recall.
+  test("quantize-then-rescore top-5 recall >= 0.9 vs exact cosine top-5") {
+    val exact = Llm.qx3.fn(spark, sf).select("vec_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.xs3.fn(spark, sf).select("vec_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"quantized recall $recall below 0.9")
+  }
+
   test("xs1 shuffled vector re-attach (broadcast gate off) equals broadcast path") {
     def rows() = Similarity.xs1.fn(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
