@@ -162,18 +162,22 @@ object Similarity {
         .collect()
         .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
     }
-    // inverted file: cell membership of every vector (the "index");
-    // probe list: each query's NProbe nearest cells
-    val cells = assigned.join(e, "vec_id")
-      .select(col("cid"), col("vec_id").as("neighbor_id"),
-        col("v").as("vb"), col("nrm").as("nb"))
-    val probes = e.crossJoin(centroidDf)
-      .select(col("vec_id"), col("v").as("va"), col("nrm").as("na"),
+    // One ranked pass over the final (vector × centroid) distances
+    // serves BOTH sides: rn == 1 is the cell assignment (the inverted
+    // file), rn <= NProbe is the probe list — no separate assignment
+    // aggregate or re-join against the vectors.
+    val ranked = e.crossJoin(centroidDf)
+      .select(col("vec_id"), col("v"), col("nrm"),
         col("cid"), (col("cnrm2") - lit(2.0) * expr("vec_dot(v, cv)")).as("dist"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("dist").asc, col("cid").asc)))
       .filter(col("rn") <= NProbe)
-      .select(col("vec_id"), col("va"), col("na"), col("cid"))
+      .persist()
+    val cells = ranked.filter(col("rn") === 1)
+      .select(col("cid"), col("vec_id").as("neighbor_id"),
+        col("v").as("vb"), col("nrm").as("nb"))
+    val probes = ranked
+      .select(col("vec_id"), col("v").as("va"), col("nrm").as("na"), col("cid"))
     // score only within probed cells; exact cosine on survivors
     val scored = probes.join(Scale.maybeBroadcast(cells), "cid")
       .filter(col("vec_id") =!= col("neighbor_id"))
