@@ -97,14 +97,17 @@ object Multimodal {
     * decode stage of a real pipeline).
     */
   def resizeMeta(media: Dataset[MediaRow], maxDim: Int): DataFrame =
+    // explicit floor: `/` is double division and a bare cast-to-int
+    // truncates in Spark but ROUNDS in a double->int cast elsewhere
+    // (DuckDB) — floor() makes the scaling semantics engine-portable
     media.toDF().withColumn("meta",
       when(col("media_type") === "image" &&
         greatest(col("meta.width"), col("meta.height")) > maxDim,
         struct(
           col("meta.format"),
-          (col("meta.width") * maxDim /
+          floor(col("meta.width") * maxDim /
             greatest(col("meta.width"), col("meta.height"))).cast("int").as("width"),
-          (col("meta.height") * maxDim /
+          floor(col("meta.height") * maxDim /
             greatest(col("meta.width"), col("meta.height"))).cast("int").as("height"),
           col("meta.duration_ms")))
         .otherwise(col("meta")))

@@ -57,5 +57,32 @@ object Media {
         |FROM documents WHERE doc_id % 3 = 2""".stripMargin +
         orderAll("doc_id", "frame_ms")))
 
-  def queries: Seq[GQuery] = Seq(xm1, xm2, xm3)
+  // Resize as a metadata transform (aspect-preserving cap at 256 on the
+  // long edge; pixel work belongs to the decode stage) — oracle-matched
+  // on the integer scaling arithmetic.
+  val xm4 = GQuery(
+    "xm4_resize",
+    (s, d) => {
+      val resized = Multimodal.resizeMeta(Multimodal.mediaTable(s, d), 256)
+      canon(resized
+        .filter(col("media_type") === "image")
+        .select(col("doc_id"),
+          col("meta.width").as("width"),
+          col("meta.height").as("height")))
+    },
+    Some(
+      """WITH img AS (
+        |  SELECT doc_id,
+        |    64 + (doc_id % 16) * 64 AS w,
+        |    64 + (doc_id % 9) * 64 AS h
+        |  FROM documents WHERE doc_id % 3 = 0)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN greatest(w, h) > 256
+        |    THEN FLOOR(w * 256.0 / greatest(w, h)) ELSE w END AS INT) AS width,
+        |  CAST(CASE WHEN greatest(w, h) > 256
+        |    THEN FLOOR(h * 256.0 / greatest(w, h)) ELSE h END AS INT) AS height
+        |FROM img""".stripMargin +
+        orderAll("doc_id", "width", "height")))
+
+  def queries: Seq[GQuery] = Seq(xm1, xm2, xm3, xm4)
 }
