@@ -32,6 +32,30 @@ object StreamingOps {
       .withWatermark("ts", "30 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Exactly-once lake landing on top of at-least-once micro-batches:
+    * each batch overwrites ONLY its own batch_id partition (dynamic
+    * partition overwrite), so a replayed batch — checkpoint recovery
+    * re-delivering the last uncommitted batch — rewrites the same
+    * partition instead of appending duplicates. The streaming analog
+    * of the ETL layer's idempotent block-bucket overwrite (P14):
+    * at-least-once delivery + idempotent writes = effective
+    * exactly-once in the lake.
+    */
+  def writeBatch(df: DataFrame, batchId: Long, path: String): Unit =
+    df.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(path)
+
+  def sinkExactlyOnce(events: DataFrame, path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .foreachBatch((df: DataFrame, id: Long) => writeBatch(df, id, path))
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Stream-stream inner join: each click joined to the SAME USER's
     * view events that happen within the hour after the click. Both
     * sides carry watermarks and the join condition bounds event-time

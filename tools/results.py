@@ -33,10 +33,15 @@ with open(out_path, "w") as f:
     f.write(f"Spark: median of 3 timed runs after 1 warm-up, noop sink, "
             f"`local[32]`, AQE on. DuckDB: same queries, same parquet, "
             f"median of 3. Pass: spark <= max(2x duckdb, 2.0s).\n\n")
+    budgeted_s = sum(r[2] for r in rows if not r[4].startswith("⊘"))
+    budgeted_d = sum(r[1] for r in rows if r[1] is not None)
+    unbudgeted_s = sum(r[2] for r in rows if r[4].startswith("⊘"))
     f.write(f"**{n_pass} pass, {n_fail} fail** "
             f"(+{sum(1 for r in rows if r[4].startswith('⊘'))} no-oracle "
             f"sketch queries, timed but unbudgeted). "
-            f"Spark total {spark['value']:.1f}s.\n\n")
+            f"Spark total {spark['value']:.1f}s = {budgeted_s:.1f}s budgeted "
+            f"(duckdb {budgeted_d:.1f}s) + {unbudgeted_s:.1f}s unbudgeted "
+            f"sketch/ANN paths DuckDB has no counterpart for.\n\n")
     f.write("| query | duckdb s | spark s | ratio | verdict |\n")
     f.write("|---|---|---|---|---|\n")
     for name, d, s, r, v in rows:
