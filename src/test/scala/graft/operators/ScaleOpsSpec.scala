@@ -30,6 +30,34 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(spread > 1, "hot key must occupy multiple salt buckets")
   }
 
+  test("AQE splits a skewed join partition at runtime") {
+    // fresh session: skew thresholds forced low enough that the hot
+    // key's partition qualifies at test scale
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // keep SMJ
+    s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "20KB")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "10KB")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    import s.implicits._
+    // fact: key 0 carries ~90% of 40k rows; dim: one row per key
+    val fact = (1 to 40000)
+      .map(i => (if (i % 10 != 0) 0L else i.toLong % 97, s"payload-$i"))
+      .toDF("k", "payload")
+    val dim = (0L until 97L).map(k => (k, s"dim-$k")).toDF("k", "name")
+    val joined = fact.join(dim, "k")
+    // execute THIS DataFrame's own QueryExecution (count() would build
+    // a separate one and leave this plan un-finalized under AQE)
+    assert(joined.collect().length == 40000)
+    // after execution AQE has re-planned: the skewed SMJ partition is
+    // marked and split (plan prints "skew=true" on the sort-merge join)
+    val finalPlan = joined.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("skew=true"),
+      s"expected AQE skew-split SMJ in:\n$finalPlan")
+  }
+
   test("bucketed tables join without an Exchange") {
     val s = spark.newSession()
     s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
