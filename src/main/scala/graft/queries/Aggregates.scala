@@ -182,9 +182,9 @@ object Aggregates {
       """SELECT o_orderstatus, COUNT(*) AS n,
         |  ROUND(stddev_samp(o_totalprice), 2) AS sd_price,
         |  ROUND(var_samp(o_totalprice) / 1e6, 2) AS var_price_m,
-        |  ROUND(corr(o_totalprice, CAST(o_custkey AS DOUBLE)), 4) AS corr_pc,
+        |  ROUND(corr(o_totalprice, CAST(o_custkey AS DOUBLE)), 4) + 0.0 AS corr_pc,
         |  ROUND(median(o_totalprice), 2) AS med_price,
-        |  ROUND(skewness(o_totalprice), 4) AS skew_price
+        |  ROUND(skewness(o_totalprice), 4) + 0.0 AS skew_price
         |FROM orders GROUP BY o_orderstatus""".stripMargin +
         orderAll("o_orderstatus", "n", "sd_price", "var_price_m", "corr_pc",
           "med_price", "skew_price")))

@@ -175,7 +175,7 @@ object Llm {
         |r AS (SELECT vec_id, neighbor_id, score,
         |        row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, neighbor_id ASC) AS rn
         |      FROM p)
-        |SELECT vec_id, neighbor_id, score FROM r WHERE rn <= 5""".stripMargin +
+        |SELECT vec_id, neighbor_id, score + 0.0 AS score FROM r WHERE rn <= 5""".stripMargin +
         orderAll("vec_id", "neighbor_id", "score")),
     headline = true)
 

@@ -153,8 +153,8 @@ object Scalars {
     Some(
       """SELECT vec_id,
         |  CAST(len(embedding) AS INT) AS dim,
-        |  round(CAST(embedding[1] AS DOUBLE), 4) AS first_c,
-        |  round(CAST(embedding[-1] AS DOUBLE), 4) AS last_c
+        |  round(CAST(embedding[1] AS DOUBLE), 4) + 0.0 AS first_c,
+        |  round(CAST(embedding[-1] AS DOUBLE), 4) + 0.0 AS last_c
         |FROM embeddings""".stripMargin +
         orderAll("vec_id")))
 

@@ -67,7 +67,7 @@ object Udx {
         "vec_id", "pos")
     },
     Some(
-      """SELECT vec_id, CAST(i - 1 AS INT) AS pos, ROUND(CAST(embedding[i] AS DOUBLE), 4) AS component
+      """SELECT vec_id, CAST(i - 1 AS INT) AS pos, ROUND(CAST(embedding[i] AS DOUBLE), 4) + 0.0 AS component
         |FROM embeddings, generate_series(1, 4) AS t(i)""".stripMargin +
         orderAll("vec_id", "pos")))
 

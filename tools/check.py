@@ -64,8 +64,11 @@ def canon_rows(cols, rows):
 
 n_pass = n_fail = 0
 fails = []
+# CHECK_SKIP: oracles intractable for DuckDB beyond the sf0.01 gate
+# (e.g. xd5's recursive closure at sf0.1) — comma-separated query names
+skip = set(filter(None, os.environ.get("CHECK_SKIP", "").split(",")))
 names = sorted(d for d in os.listdir(OUT)
-               if os.path.isdir(os.path.join(OUT, d)))
+               if os.path.isdir(os.path.join(OUT, d)) and d not in skip)
 for name in names:
     pq = os.path.join(OUT, name)
     try:
