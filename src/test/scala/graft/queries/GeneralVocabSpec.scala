@@ -87,6 +87,29 @@ class GeneralVocabSpec extends AnyFunSuite {
     assert(viaMask == viaGeneral)
   }
 
+  test("groupEdgesGated == groupEdgesGeneral on both sides of the vocab gate") {
+    import org.apache.spark.sql.functions.col
+    def edges(df: org.apache.spark.sql.DataFrame) = {
+      val groups = Dedup.setGroups(df)
+      val gated = Dedup.groupEdgesGated(groups, 0.8)
+        .select("gid_a", "gid_b", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val general = Dedup.groupEdgesGeneral(groups, 0.8)
+        .select("gid_a", "gid_b", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      groups.unpersist()
+      (gated, general)
+    }
+    // >64-vocab corpus: the gate must take the general path
+    val (gatedBig, generalBig) = edges(docsDf)
+    assert(gatedBig == generalBig && gatedBig.nonEmpty)
+    // <=64-vocab fixture: the gate takes the MASK path; popcount
+    // arithmetic must produce exactly the co-occurrence path's edges
+    val fixture = Ctx(spark, "/root/testdata/sf0.001").documents
+    val (gatedMask, generalSmall) = edges(fixture)
+    assert(gatedMask == generalSmall && gatedMask.nonEmpty)
+  }
+
   test("shinglePairs survives docs with >= 1024 distinct shingles") {
     import spark.implicits._
     // ~1500 tokens -> ~1498 distinct shingles per doc; the old
