@@ -58,6 +58,26 @@ class ScaleOpsSpec extends AnyFunSuite {
       s"expected AQE skew-split SMJ in:\n$finalPlan")
   }
 
+  test("IVF cells as partition layout: probes prune to their cells' files") {
+    // the xs2 story at rest: persist the corpus partitioned BY CELL, and
+    // a probe that wants cells (3, 7) must scan only those partitions
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-").toString
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .withColumn("cid", pmod(hash(col("vec_id")), lit(8))) // stand-in assignment
+    e.write.mode("overwrite").partitionBy("cid").parquet(dir)
+    val probed = spark.read.parquet(dir).filter(col("cid").isin(3, 7))
+    val scan = probed.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("cid"),
+      s"probe must push a partition filter:\n$scan")
+    // only the two probed cells' files are read
+    val files = probed.select(input_file_name()).distinct()
+      .collect().map(_.getString(0))
+    assert(files.nonEmpty && files.forall(f =>
+      f.contains("cid=3") || f.contains("cid=7")), files.mkString("\n"))
+    val full = e.filter(col("cid").isin(3, 7)).count()
+    assert(probed.count() == full)
+  }
+
   test("bucketed tables join without an Exchange") {
     val s = spark.newSession()
     s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
