@@ -4,6 +4,15 @@ import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.time.Instant
 
+/** Contract shared by every cursor backend: read at startup, written
+  * only after a fully successful cycle, so a failed cycle replays its
+  * whole range (at-least-once, main.py:217-220).
+  */
+trait CursorStore {
+  def read(): Option[Long]
+  def write(blockNumber: Long): Unit
+}
+
 /** Durable single-row stream cursor — the Spark-native stand-in for the
   * reference's Postgres etl_cursor table (main.py:118-142, migration
   * 6278201ba186). Same fields, same contract: read at startup, written
@@ -13,7 +22,7 @@ import java.time.Instant
   * Durability: write-to-temp + atomic rename, so a crash mid-write
   * leaves the previous cursor intact (the Postgres transaction analog).
   */
-final class Cursor(path: Path) {
+final class Cursor(path: Path) extends CursorStore {
 
   def read(): Option[Long] =
     if (!Files.exists(path)) None
@@ -41,4 +50,75 @@ final class Cursor(path: Path) {
 
 object Cursor {
   def apply(dir: String): Cursor = new Cursor(Paths.get(dir, "etl_cursor.json"))
+}
+
+/** The reference's ACTUAL cursor shape: a one-row etl_cursor TABLE in a
+  * relational store, updated transactionally after a successful cycle
+  * (main.py:228-243 + migration 6278201ba186_create_the_etl_cursor_
+  * table.py:19-27 — same columns: id, block_number, created_at,
+  * updated_at). Any JDBC url works; tests use embedded Derby (ships on
+  * Spark's classpath), production points the same class at Postgres.
+  *
+  * What the database adds over the atomic-rename file: the UPDATE
+  * holds a row lock and commits atomically, so multiple driver
+  * processes cannot interleave a read-modify-write — the multi-node
+  * single-writer story the file cursor cannot give.
+  */
+final class JdbcCursor(url: String) extends CursorStore {
+  import java.sql.{Connection, DriverManager}
+
+  private def withConn[A](f: Connection => A): A = {
+    val c = DriverManager.getConnection(url)
+    try f(c) finally c.close()
+  }
+
+  // mirror of the Alembic migration, created on first contact
+  withConn { c =>
+    val rs = c.getMetaData.getTables(null, null, "ETL_CURSOR", null)
+    val exists = try rs.next() finally rs.close()
+    if (!exists) {
+      val st = c.createStatement()
+      try st.executeUpdate(
+        """CREATE TABLE etl_cursor (
+          |  id INT PRIMARY KEY,
+          |  block_number BIGINT NOT NULL,
+          |  created_at TIMESTAMP NOT NULL,
+          |  updated_at TIMESTAMP NOT NULL)""".stripMargin)
+      finally st.close()
+    }
+  }
+
+  override def read(): Option[Long] = withConn { c =>
+    val st = c.createStatement()
+    try {
+      val rs = st.executeQuery("SELECT block_number FROM etl_cursor WHERE id = 1")
+      try { if (rs.next()) Some(rs.getLong(1)) else None } finally rs.close()
+    } finally st.close()
+  }
+
+  override def write(blockNumber: Long): Unit = withConn { c =>
+    c.setAutoCommit(false)
+    try {
+      val now = new java.sql.Timestamp(System.currentTimeMillis())
+      val up = c.prepareStatement(
+        "UPDATE etl_cursor SET block_number = ?, updated_at = ? WHERE id = 1")
+      try {
+        up.setLong(1, blockNumber)
+        up.setTimestamp(2, now)
+        if (up.executeUpdate() == 0) {
+          val ins = c.prepareStatement(
+            "INSERT INTO etl_cursor (id, block_number, created_at, updated_at) VALUES (1, ?, ?, ?)")
+          try {
+            ins.setLong(1, blockNumber)
+            ins.setTimestamp(2, now)
+            ins.setTimestamp(3, now)
+            ins.executeUpdate()
+          } finally ins.close()
+        }
+      } finally up.close()
+      c.commit()
+    } catch {
+      case e: Throwable => c.rollback(); throw e
+    }
+  }
 }

@@ -34,7 +34,10 @@ object EtlJob {
       blockLag: Long = 4L,                 // main.py:32
       batchSize: Int = 1000,               // main.py:34-35
       idempotent: Boolean = false,         // overwrite-by-partition upgrade
-      resolver: IpfsResolver = EmbeddedResolver)
+      resolver: IpfsResolver = EmbeddedResolver,
+      // None = atomic-rename file in cursorDir; Some = any CursorStore
+      // (e.g. JdbcCursor against the warehouse DB, the reference shape)
+      cursorStore: Option[CursorStore] = None)
 
   final case class CycleStats(
       ran: Boolean, startBlock: Long, endBlock: Long,
@@ -49,7 +52,7 @@ object EtlJob {
 
   def runCycle(spark: SparkSession, cfg: Config): CycleStats = {
     val source = new ChainSource(spark, cfg.chainDir)
-    val cursor = Cursor(cfg.cursorDir)
+    val cursor: CursorStore = cfg.cursorStore.getOrElse(Cursor(cfg.cursorDir))
     plannedRange(cfg, source.latestBlock(), cursor.read()) match {
       case None =>
         CycleStats(ran = false, 0, 0, 0, 0, 0)     // P11 short-circuit
