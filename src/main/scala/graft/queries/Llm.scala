@@ -61,21 +61,30 @@ object Llm {
     (s, d) => {
       val c = Ctx(s, d)
       import s.implicits._
-      val tok = c.documents
-        .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-        .distinct()
       // vocabulary probe: one bounded action — 65 rows cap no matter
       // the corpus; full vocab is only ever collected when <= 64.
-      val probe = tok.select("token").distinct().limit(65).as[String].collect()
+      val probe = c.documents
+        .select(explode(tokens(col("text"))).as("token"))
+        .distinct().limit(65).as[String].collect()
       if (probe.length > 64) {
         val pairs = Dedup.exactJaccardPairs(Dedup.setGroups(c.documents), 0.8)
         canon(pairs.select(col("doc_a"), col("doc_b"), col("jaccard")))
       } else {
-        val vocab = broadcast(
-          probe.sorted.zipWithIndex.toSeq.toDF("token", "idx"))
-        val masks = tok.join(vocab, "token")
-          .groupBy("doc_id")
-          .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), idx)")).as("mask"))
+        // per-row mask in the scan projection: the ≤64-entry vocab
+        // rides as an inline map literal, OR-folding is idempotent so
+        // duplicate tokens need no distinct — the first shuffle in the
+        // whole query is the groupBy(mask). (The previous
+        // explode -> distinct -> vocab join -> groupBy(doc) shuffled
+        // every token three times for the same masks; tokens are
+        // [a-z]+ by the tokenizer's construction, safe to quote.)
+        val mapSql = probe.sorted.zipWithIndex
+          .map { case (t, i) => s"'$t', $i" }.mkString("map(", ", ", ")")
+        val masks = c.documents
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .select(col("doc_id"), expr(
+            s"""aggregate(toks, CAST(0 AS BIGINT),
+               |  (m, t) -> m | shiftleft(CAST(1 AS BIGINT), $mapSql[t]))"""
+              .stripMargin).as("mask"))
         val groups = masks.groupBy("mask")
           .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
           .persist() // consumed by intra pairs + both cross-join sides
