@@ -1,0 +1,212 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import Det._
+
+/** Corpus-curation operators a large-scale training-data pipeline runs
+  * between "raw crawl" and "training mix" — the steps AROUND the dedup
+  * family (Dedup/Clusters) and quality scoring (TextAnalysis):
+  *
+  *  - xc1: deterministic uniform sampling + per-stratum capping (the
+  *    "balance the mix" step: cap any one language/source's share).
+  *  - xc2: repetition signals (the Gopher/C4-style "is this document
+  *    mostly the same line over and over" quality gates).
+  *  - xc3: benchmark decontamination (drop training docs that share
+  *    n-grams with an evaluation set).
+  *  - xc4: pattern redaction with an audit trail (PII-shaped scrubbing
+  *    as a deterministic, auditable transform).
+  *
+  * All four are oracle-checked (DuckDB), which constrains every
+  * pseudo-random choice to be an explicit deterministic function of the
+  * data — which is exactly what a reproducible 100 TB pipeline wants
+  * anyway: re-running the job on the same snapshot must sample the
+  * same rows.
+  */
+object Curation {
+
+  /** Multiplicative hash (Knuth 2^32 golden ratio) as a deterministic
+    * per-row "random" draw both engines compute exactly in 64-bit
+    * integer arithmetic. No rand(): a re-run, a retry of a failed
+    * partition, or a different partitioning must all pick the same
+    * rows.
+    */
+  private def drawOf(c: org.apache.spark.sql.Column) =
+    pmod(c * lit(2654435761L), lit(4294967296L))
+
+  /** xc1: 30% uniform sample, then cap each language's share at 20
+    * docs, smallest draws first. Scale shape: the sample is a pure
+    * per-row filter in the scan stage (pushdown-friendly, no shuffle,
+    * no state); the cap is one ranking window partitioned by stratum —
+    * a single shuffle on lang. Stratum skew at 100 TB: the window only
+    * ever ranks rows that SURVIVED the sample filter, and a hot
+    * stratum can pre-aggregate with a per-partition top-K (see
+    * functions.TopK) before the global rank; at fixture scale the
+    * plain window is the right plan.
+    */
+  val xc1 = GQuery(
+    "xc1_stratified_sample",
+    (s, d) => {
+      val c = Ctx(s, d)
+      val sampled = c.documents
+        .select(col("doc_id"), col("lang"), drawOf(col("doc_id")).as("draw"))
+        .filter(col("draw") % 100 < 30)
+      val capped = sampled
+        .withColumn("rk", row_number()
+          .over(Window.partitionBy("lang").orderBy(col("draw"), col("doc_id")))
+          .cast("long"))
+        .filter(col("rk") <= 20)
+      canon(capped.select(col("doc_id"), col("lang"), col("draw"), col("rk")))
+    },
+    Some(
+      """WITH s AS (
+        |  SELECT doc_id, lang, (doc_id * 2654435761) % 4294967296 AS draw
+        |  FROM documents),
+        |f AS (SELECT * FROM s WHERE draw % 100 < 30),
+        |c AS (SELECT doc_id, lang, draw,
+        |        ROW_NUMBER() OVER (PARTITION BY lang ORDER BY draw, doc_id) AS rk
+        |      FROM f)
+        |SELECT doc_id, lang, draw, rk FROM c WHERE rk <= 20""".stripMargin +
+        orderAll("doc_id", "lang", "draw", "rk")))
+
+  /** xc2: per-document bigram repetition signals — duplicate-bigram
+    * fraction and most-frequent-bigram share, the C4/Gopher-style
+    * gates that catch boilerplate and generated spam. The whole
+    * computation is higher-order functions over each row's own token
+    * array: one codegen stage over the scan, zero shuffles before the
+    * canonical sort. (The per-doc top-count HOF is
+    * O(|distinct| x |bigrams|) in the document's own length — for the
+    * pathological single-doc outlier the explode+groupBy form is the
+    * fallback, but it shuffles every bigram of every document and is
+    * strictly worse for real length distributions.)
+    */
+  val xc2 = GQuery(
+    "xc2_repetition",
+    (s, d) => {
+      val c = Ctx(s, d)
+      val base = c.documents
+        .select(col("doc_id"), col("lang"), Llm.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .withColumn("bg", expr(
+          "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))"))
+      val stats = base.select(
+        col("doc_id"), col("lang"),
+        size(col("bg")).cast("long").as("n_bigrams"),
+        size(array_distinct(col("bg"))).cast("long").as("n_distinct"),
+        expr("array_max(transform(array_distinct(bg), x -> size(filter(bg, y -> y = x))))")
+          .cast("long").as("top_count"))
+      canon(stats
+        .withColumn("dup_frac", round(
+          (col("n_bigrams") - col("n_distinct")).cast("double") / col("n_bigrams"), 4))
+        .withColumn("top_frac", round(
+          col("top_count").cast("double") / col("n_bigrams"), 4)))
+    },
+    Some(
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, lang,
+        |    list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]) AS bg
+        |  FROM t WHERE len(toks) >= 2),
+        |st AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(bg) AS BIGINT) AS n_bigrams,
+        |    CAST(len(list_distinct(bg)) AS BIGINT) AS n_distinct,
+        |    CAST(list_max(list_transform(list_distinct(bg),
+        |      x -> len(list_filter(bg, y -> y = x)))) AS BIGINT) AS top_count
+        |  FROM b)
+        |SELECT doc_id, lang, n_bigrams, n_distinct, top_count,
+        |  ROUND(CAST(n_bigrams - n_distinct AS DOUBLE) / n_bigrams, 4) AS dup_frac,
+        |  ROUND(CAST(top_count AS DOUBLE) / n_bigrams, 4) AS top_frac
+        |FROM st""".stripMargin +
+        orderAll("doc_id", "lang", "n_bigrams", "n_distinct", "top_count",
+          "dup_frac", "top_frac")))
+
+  /** Distinct 3-shingles (as strings — the oracle must build the exact
+    * same keys) per document.
+    */
+  private def shingles(docs: org.apache.spark.sql.DataFrame) =
+    docs.select(col("doc_id"), Llm.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(0, size(toks) - 3), " +
+          "i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2])))")).as("shingle"))
+
+  /** xc3: benchmark decontamination — flag every training document
+    * sharing at least one 3-shingle with the held-out evaluation set
+    * (here: the deterministic doc_id % 41 == 0 slice standing in for an
+    * external benchmark table). Scale shape: the eval side is tiny by
+    * construction (benchmarks are KBs against a 100 TB corpus), so its
+    * distinct shingle dictionary broadcast-joins against the corpus
+    * shingle stream — a map-side semi-join in the corpus scan stage,
+    * never a corpus self-join; the only shuffle is the per-doc overlap
+    * count. The gate falls back to a shuffled join if the dictionary
+    * ever outgrows the broadcast threshold.
+    */
+  val xc3 = GQuery(
+    "xc3_decontam",
+    (s, d) => {
+      val c = Ctx(s, d)
+      val docs = c.documents
+      val evalShingles = shingles(docs.filter(col("doc_id") % 41 === 0))
+        .select(col("shingle")).distinct()
+      val corpusShingles = shingles(docs.filter(col("doc_id") % 41 =!= 0))
+      // corpus shingles are per-doc distinct, so count(*) after the
+      // semi-shaped inner join IS the distinct overlap count
+      canon(corpusShingles
+        .join(Scale.maybeBroadcast(evalShingles), "shingle")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shared")))
+    },
+    Some(
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, g.shingle FROM t,
+        |    UNNEST(list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS g(shingle)
+        |  WHERE len(toks) >= 3),
+        |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 41 = 0),
+        |corp AS (SELECT * FROM sh WHERE doc_id % 41 <> 0)
+        |SELECT corp.doc_id AS doc_id, COUNT(*) AS n_shared
+        |FROM corp JOIN ev ON corp.shingle = ev.shingle
+        |GROUP BY corp.doc_id""".stripMargin +
+        orderAll("doc_id", "n_shared")))
+
+  /** xc4: pattern redaction with an audit report — scrub digit runs
+    * from the raw payload column (the PII-redaction shape: the real
+    * patterns are emails/phones/SSNs, the mechanics are identical) and
+    * account for every replacement per event_type. One codegen pass
+    * over the scan (regexp_count + regexp_replace are both native
+    * expressions), then a partial-aggregated groupBy on a low-cardinality
+    * key — at 100 TB the scan dominates and parallelizes per-split.
+    */
+  val xc4 = GQuery(
+    "xc4_redaction",
+    (s, d) => {
+      val c = Ctx(s, d)
+      val red = c.events
+        .select(col("event_type"), col("props"))
+        .withColumn("n_runs", regexp_count(col("props"), lit("[0-9]+")).cast("long"))
+        .withColumn("redacted", regexp_replace(col("props"), "[0-9]+", "#"))
+      canon(red.groupBy("event_type").agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("n_runs")).as("n_digit_runs"),
+        sum(length(col("redacted"))).cast("long").as("redacted_chars"),
+        sum(length(col("props"))).cast("long").as("raw_chars")))
+    },
+    Some(
+      """SELECT event_type,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(len(regexp_extract_all(props, '[0-9]+'))) AS BIGINT) AS n_digit_runs,
+        |  CAST(SUM(len(regexp_replace(props, '[0-9]+', '#', 'g'))) AS BIGINT) AS redacted_chars,
+        |  CAST(SUM(len(props)) AS BIGINT) AS raw_chars
+        |FROM events GROUP BY event_type""".stripMargin +
+        orderAll("event_type", "n_rows", "n_digit_runs", "redacted_chars", "raw_chars")))
+
+  def queries: Seq[GQuery] = Seq(xc1, xc2, xc3, xc4)
+}

@@ -10,7 +10,8 @@ object Registry {
       Reshape.queries ++
       EventOps.queries ++ Udx.queries ++ Llm.queries ++
       Dedup.queries ++ Similarity.queries ++ TextAnalysis.queries ++
-      Media.queries ++ Pipeline.queries ++ Clusters.queries
+      Media.queries ++ Pipeline.queries ++ Clusters.queries ++
+      Curation.queries
 
   def byName: Map[String, GQuery] = all.map(q => q.name -> q).toMap
 }
