@@ -281,6 +281,122 @@ object Dedup {
       .unionByName(expandPairs(cross, "jaccard"))
   }
 
+  /** Cross-side exact J >= t edges between two DISJOINT group tables —
+    * the bipartite form of groupEdgesGeneral, for incremental dedup
+    * (new batch vs indexed corpus). ga: (gid_a, toks_a, h_a, sa);
+    * gb: (gid_b, toks_b, h_b, sb). A gid present on both sides IS a
+    * legal edge (identical token set across sides, J = 1).
+    */
+  private[queries] def crossEdgesGeneral(ga: DataFrame, gb: DataFrame,
+      threshold: Double): DataFrame = {
+    val ta = ga.select(col("gid_a"), col("sa"), explode(col("h_a")).as("token"))
+    val tb = gb.select(col("gid_b"), col("sb"), explode(col("h_b")).as("token"))
+    ta.join(tb, "token")
+      .groupBy("gid_a", "sa", "gid_b", "sb")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sa") + col("sb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .withColumn("jaccard", round(col("jaccard"), 4))
+      .select("gid_a", "gid_b", "jaccard")
+  }
+
+  /** crossEdgesGeneral behind the same measured vocabulary gate as
+    * groupEdgesGated: when |vocab| <= 64 each side becomes one 64-bit
+    * mask per group and the bipartite pairing is popcount arithmetic
+    * over a broadcast nested-loop join — the BATCH side (gb) is the
+    * broadcast, matching the incremental-dedup asymmetry (a daily batch
+    * is orders of magnitude smaller than the indexed corpus it joins).
+    * vocabSrc supplies the vocabulary probe (the full group table, so
+    * both sides share one token index).
+    */
+  private[queries] def crossEdgesGated(vocabSrc: DataFrame, ga: DataFrame,
+      gb: DataFrame, threshold: Double): DataFrame = {
+    val s = vocabSrc.sparkSession
+    import s.implicits._
+    val tok = vocabSrc.select(explode(col("toks")).as("token")).distinct()
+    val probe = tok.limit(65).as[String].collect()
+    if (probe.length > 64) crossEdgesGeneral(ga, gb, threshold)
+    else {
+      val vocab = broadcast(probe.sorted.zipWithIndex.toSeq.toDF("token", "idx"))
+      def masks(g: DataFrame, gid: String, toks: String, out: String) =
+        g.select(col(gid), explode(col(toks)).as("token"))
+          .join(vocab, "token")
+          .groupBy(gid)
+          .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), idx)")).as(out))
+      val ma = masks(ga, "gid_a", "toks_a", "mask_a")
+      val mb = masks(gb, "gid_b", "toks_b", "mask_b")
+      ma.join(broadcast(mb),
+          bit_count(col("mask_a").bitwiseAND(col("mask_b"))).cast("double") /
+            bit_count(col("mask_a").bitwiseOR(col("mask_b"))) >= threshold)
+        .withColumn("jaccard",
+          round(bit_count(col("mask_a").bitwiseAND(col("mask_b"))).cast("double") /
+            bit_count(col("mask_a").bitwiseOR(col("mask_b"))), 4))
+        .select("gid_a", "gid_b", "jaccard")
+    }
+  }
+
+  /** xd6: incremental dedup — match TODAY'S BATCH (doc_id % 5 == 0, the
+    * stand-in for a new crawl increment) against the ALREADY-INDEXED
+    * CORPUS (the rest), reporting each batch document's best corpus
+    * match at J >= 0.8 (ties: lowest corpus doc_id). This is the shape
+    * a production pipeline actually runs daily: the corpus side's
+    * distinct-set groups are the persisted index, only cross-side pairs
+    * are ever generated (never corpus x corpus), and the batch side is
+    * the broadcast/small side throughout. Oracle-matched.
+    */
+  val xd6 = GQuery(
+    "xd6_incremental_dedup",
+    (s, d) => {
+      val c = Ctx(s, d)
+      val groups = setGroups(c.documents)
+      // one tokenize+group pass serves both sides: a distinct set's
+      // members are split by side, and a set spanning both sides is a
+      // (corpus gid, batch gid) self-edge with J = 1
+      val sides = groups.select(col("gid"), col("toks"), col("htoks"), col("sz"),
+        expr("filter(ids, i -> i % 5 != 0)").as("ids_corpus"),
+        expr("filter(ids, i -> i % 5 = 0)").as("ids_batch"))
+      val ga = sides.filter(size(col("ids_corpus")) > 0)
+        .select(col("gid").as("gid_a"), col("toks").as("toks_a"),
+          col("htoks").as("h_a"), col("sz").as("sa"),
+          element_at(col("ids_corpus"), 1).as("min_a")) // ids sorted: min member
+      val gb = sides.filter(size(col("ids_batch")) > 0)
+        .select(col("gid").as("gid_b"), col("toks").as("toks_b"),
+          col("htoks").as("h_b"), col("sz").as("sb"), col("ids_batch"))
+      val edges = crossEdgesGated(groups, ga, gb, 0.8)
+      // best match per batch group: max rounded jaccard, then lowest
+      // corpus doc id — lexicographic max over (jaccard, -min_a)
+      val best = edges
+        .join(Scale.maybeBroadcast(ga.select(col("gid_a"), col("min_a"))), "gid_a")
+        .groupBy("gid_b")
+        .agg(max(struct(col("jaccard"), (-col("min_a")).as("neg"))).as("best"))
+        .select(col("gid_b"), col("best.jaccard").as("jaccard"),
+          (-col("best.neg")).as("match_id"))
+      canon(gb.select(col("gid_b"), explode(col("ids_batch")).as("doc_id"))
+        .join(best, "gid_b")
+        .select(col("doc_id"), col("match_id"), col("jaccard")))
+    },
+    Some(
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, t.token FROM documents,
+        |    UNNEST(list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS t(token)),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY 1),
+        |pr AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
+        |  FROM tok a JOIN tok b ON a.token = b.token
+        |  WHERE a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT db, da, ROUND(inter / (sa.sz + sb.sz - inter), 4) AS jac
+        |  FROM pr JOIN sz sa ON pr.da = sa.doc_id JOIN sz sb ON pr.db = sb.doc_id
+        |  WHERE inter / (sa.sz + sb.sz - inter) >= 0.8),
+        |best AS (
+        |  SELECT db AS doc_id, da AS match_id, jac AS jaccard,
+        |    ROW_NUMBER() OVER (PARTITION BY db ORDER BY jac DESC, da ASC) AS rn
+        |  FROM j)
+        |SELECT doc_id, match_id, jaccard FROM best WHERE rn = 1""".stripMargin +
+        orderAll("doc_id", "match_id", "jaccard")))
+
   /** n-gram (3-shingle) Jaccard: ORDER-SENSITIVE near-dup, unlike the
     * token-set Jaccard (QX2). Candidates come from an equality join on
     * shingles (docs sharing none can't have J>0), counted once per
@@ -382,5 +498,5 @@ object Dedup {
         |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.45""".stripMargin +
         orderAll("doc_a", "doc_b", "score")))
 
-  def queries: Seq[GQuery] = Seq(xd1, xd2, xd3, xd4)
+  def queries: Seq[GQuery] = Seq(xd1, xd2, xd3, xd4, xd6)
 }
