@@ -31,7 +31,7 @@ object Curation {
     * partition, or a different partitioning must all pick the same
     * rows.
     */
-  private def drawOf(c: org.apache.spark.sql.Column) =
+  private[queries] def drawOf(c: org.apache.spark.sql.Column) =
     pmod(c * lit(2654435761L), lit(4294967296L))
 
   /** xc1: 30% uniform sample, then cap each language's share at 20
