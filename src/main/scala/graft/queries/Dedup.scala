@@ -336,6 +336,40 @@ object Dedup {
     }
   }
 
+  /** Static side of STREAMING incremental dedup (StreamingOps
+    * .incrementalDedup): one row per distinct corpus token set with its
+    * 64-bit vocabulary mask, true set size, and min member doc id,
+    * plus the sorted vocabulary the masks index into. Materialized
+    * eagerly (a streaming job probes it every micro-batch — it must be
+    * built once, not per batch). None when the corpus vocabulary
+    * exceeds 64 tokens: the mask form cannot represent it, and the
+    * streaming caller should run the general crossEdgesGated per
+    * micro-batch via foreachBatch instead.
+    */
+  private[graft] def maskIndex(docs: DataFrame)
+      : Option[(DataFrame, Seq[String])] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val groups = setGroups(docs)
+    val probe = groups.select(explode(col("toks")).as("token")).distinct()
+      .limit(65).as[String].collect()
+    if (probe.length > 64) { groups.unpersist(); None }
+    else {
+      val vocab = probe.sorted.toSeq
+      val vdf = broadcast(vocab.zipWithIndex.toDF("token", "idx"))
+      val idx = groups
+        .select(col("gid"), col("sz"), element_at(col("ids"), 1).as("min_id"),
+          explode(col("toks")).as("token"))
+        .join(vdf, "token")
+        .groupBy("gid", "sz", "min_id")
+        .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), idx)")).as("mask"))
+        .persist()
+      idx.count() // force: the index is the long-lived static side
+      groups.unpersist()
+      Some((idx, vocab))
+    }
+  }
+
   /** xd6: incremental dedup — match TODAY'S BATCH (doc_id % 5 == 0, the
     * stand-in for a new crawl increment) against the ALREADY-INDEXED
     * CORPUS (the rest), reporting each batch document's best corpus

@@ -56,6 +56,49 @@ object StreamingOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** STREAM-STATIC incremental dedup — xd6's streaming form: every
+    * arriving document is matched against a pre-built static corpus
+    * index (Dedup.maskIndex) and emitted once per matching corpus set
+    * at J >= threshold, with the corpus set's min doc id as match_id.
+    *
+    * Entirely STATELESS streaming: the per-row token mask is computed
+    * from a <=64-entry vocabulary literal inside the scan projection
+    * (no streaming aggregation, no state store, no watermark), and the
+    * static index joins as a broadcast — so each micro-batch costs one
+    * codegen'd projection plus a broadcast join probe, and a replayed
+    * batch reproduces identical output (the mask and the index are both
+    * deterministic). Tokens outside the corpus vocabulary cannot
+    * intersect any corpus set; they still count in the document's set
+    * size, so Jaccard stays exact for out-of-vocabulary content.
+    *
+    * Corpora beyond 64 vocabulary tokens: run the general verification
+    * per micro-batch via foreachBatch + Dedup.crossEdgesGated — batch
+    * code reused verbatim, at the cost of a per-batch shuffle.
+    */
+  def incrementalDedup(docs: DataFrame, index: DataFrame,
+      vocab: Seq[String], threshold: Double): DataFrame = {
+    require(vocab.size <= 64, "mask form requires a <=64-token vocabulary")
+    val vmap = map(vocab.zipWithIndex.flatMap {
+      case (t, i) => Seq(lit(t), lit(i)) }: _*)
+    val masked = docs
+      .withColumn("toks",
+        array_distinct(graft.queries.Llm.tokens(col("text"))))
+      .withColumn("sz_b", size(col("toks")).cast("long"))
+      .withColumn("vmap", vmap)
+      .withColumn("mask_b", expr(
+        """aggregate(toks, CAST(0 AS BIGINT), (acc, t) ->
+          |  acc + CASE WHEN map_contains_key(vmap, t)
+          |             THEN shiftleft(CAST(1 AS BIGINT), vmap[t])
+          |             ELSE CAST(0 AS BIGINT) END)""".stripMargin))
+      .select(col("doc_id"), col("sz_b"), col("mask_b"))
+    val inter = bit_count(col("mask_b").bitwiseAND(col("mask")))
+    masked.join(broadcast(index),
+        inter.cast("double") / (col("sz_b") + col("sz") - inter) >= threshold)
+      .select(col("doc_id"), col("min_id").as("match_id"),
+        round(inter.cast("double") / (col("sz_b") + col("sz") - inter), 4)
+          .as("jaccard"))
+  }
+
   /** Stream-stream inner join: each click joined to the SAME USER's
     * view events that happen within the hour after the click. Both
     * sides carry watermarks and the join condition bounds event-time
