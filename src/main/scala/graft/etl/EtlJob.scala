@@ -102,21 +102,23 @@ object EtlJob {
   private def load(df: DataFrame, path: String, cfg: Config): Long = {
     val withBucket = df.withColumn(
       "block_bucket", col("block_number") - (col("block_number") % cfg.batchSize))
-    // The emptiness probe (P11) and the write are two actions over the
-    // same extraction plan — cache across them so the scan+parse+enrich
-    // work runs once, not twice.
-    withBucket.persist()
-    try {
-      val n = withBucket.count()
-      if (n > 0) {                                  // P11 empty short-circuit
-        val mode = if (cfg.idempotent) SaveMode.Overwrite else SaveMode.Append
-        val writer = withBucket.write.mode(mode).partitionBy("block_bucket")
-        if (cfg.idempotent)
-          df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        writer.parquet(path)
-      }
-      n
-    } finally withBucket.unpersist()
+    // P11 empty short-circuit as a LocalLimit(1) probe, and the P12 row
+    // count as an OBSERVED metric riding the write action itself — the
+    // batch is scanned once, never cached. (The previous form ran a
+    // full count() then the write over a persist()ed batch: two
+    // materializations and a whole-batch cache, which at production
+    // batch sizes is executor-memory pressure for nothing — observe()
+    // is the P16 mapping SURVEY §2.A prescribes anyway.)
+    if (withBucket.isEmpty) 0L
+    else {
+      val obs = org.apache.spark.sql.Observation()
+      val observed = withBucket.observe(obs, count(lit(1)).as("n"))
+      val mode = if (cfg.idempotent) SaveMode.Overwrite else SaveMode.Append
+      if (cfg.idempotent)
+        df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      observed.write.mode(mode).partitionBy("block_bucket").parquet(path)
+      obs.get("n").asInstanceOf[Long]
+    }
   }
 
   /** P14: consumer-side dedup view over an at-least-once sink.
