@@ -15,7 +15,9 @@ object Explain {
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("q01_scan_project", "q02_filter_agg", "q06_broadcast_join",
         "q07_join_topk", "q18_topk", "qx3_cosine_topk",
-        "xp1_curation", "xt5_tfidf", "xs3_ann_quantized")
+        "xp1_curation", "xt5_tfidf", "xs3_ann_quantized",
+        "xc1_stratified_sample", "xc3_decontam", "xd6_incremental_dedup",
+        "xp2_curation_full")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

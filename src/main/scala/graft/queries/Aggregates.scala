@@ -17,7 +17,8 @@ object Aggregates {
     "q03_group_agg",
     (s, d) => {
       val c = Ctx(s, d)
-      val li = c.lineitem.filter(col("l_shipdate") <= lit("2000-09-02").cast("timestamp"))
+      val li = c.spread(c.lineitem
+        .filter(col("l_shipdate") <= lit("2000-09-02").cast("timestamp")))
       // charge = price * (1-disc)*(1+tax): fold the two unit factors into
       // one double product first (deterministic IEEE mul), then a single
       // decimal*decimal product — three decimal factors would overflow

@@ -41,20 +41,24 @@ object Reshape {
     (s, d) => {
       val c = Ctx(s, d)
       canonBy(
-        c.lineitem.unpivot(
+        c.spread(c.lineitem).unpivot(
           ids = Array(col("l_orderkey"), col("l_linenumber")),
           values = Array(col("l_quantity"), col("l_extendedprice"),
             col("l_discount"), col("l_tax")),
           variableColumnName = "measure",
           valueColumnName = "value"),
-        "l_orderkey", "l_linenumber", "measure")
+        // value IS a sort key: the synthetic fixture has duplicate
+        // (l_orderkey, l_linenumber) pairs, so without it tie order is
+        // engine scan order — it hash-matched only by accident until a
+        // repartition perturbed Spark's tie order (latent since r1)
+        "l_orderkey", "l_linenumber", "measure", "value")
     },
     Some(
       """SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
         |UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
         |UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
         |UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem""".stripMargin +
-        orderAll("l_orderkey", "l_linenumber", "measure")))
+        orderAll("l_orderkey", "l_linenumber", "measure", "value")))
 
   def queries: Seq[GQuery] = Seq(q36, q37)
 }

@@ -84,8 +84,16 @@ object Scalars {
       val sorted = c.lineitem
         .select("l_orderkey", "l_linenumber", "l_quantity",
           "l_extendedprice", "l_discount", "l_tax")
+        // ALL six source columns are sort keys — (l_orderkey,
+        // l_linenumber) is not unique in the fixture, and every output
+        // is a function of these six, so this is a total order on the
+        // output too; the oracle sorts by the same source columns
         .orderBy(col("l_orderkey").asc_nulls_first,
-          col("l_linenumber").asc_nulls_first)
+          col("l_linenumber").asc_nulls_first,
+          col("l_quantity").asc_nulls_first,
+          col("l_extendedprice").asc_nulls_first,
+          col("l_discount").asc_nulls_first,
+          col("l_tax").asc_nulls_first)
       sorted.select(
         col("l_orderkey"),
         col("l_linenumber"),
@@ -111,7 +119,8 @@ object Scalars {
         |  round(exp(l_discount), 4) AS disc_exp,
         |  l_orderkey % 7 AS key_mod
         |FROM lineitem""".stripMargin +
-        orderAll("l_orderkey", "l_linenumber")))
+        orderAll("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice", "l_discount", "l_tax")))
 
   val q25 = GQuery(
     "q25_conditional",

@@ -15,12 +15,15 @@ object Scans {
     "q01_scan_project",
     (s, d) => {
       val c = Ctx(s, d)
+      // all three output columns are sort keys: the fixture has
+      // duplicate (l_orderkey, l_linenumber) pairs (143k at sf0.1), so
+      // a 2-key sort would leave tie order to engine scan order
       canonBy(c.lineitem.select("l_orderkey", "l_linenumber", "l_extendedprice"),
-        "l_orderkey", "l_linenumber")
+        "l_orderkey", "l_linenumber", "l_extendedprice")
     },
     Some(
       "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem" +
-        orderAll("l_orderkey", "l_linenumber")),
+        orderAll("l_orderkey", "l_linenumber", "l_extendedprice")),
     headline = true)
 
   // TPC-H Q6 shape: filter + single global aggregate.
