@@ -112,19 +112,26 @@ object Pipeline {
     "xp2_curation_full",
     (s, d) => {
       val c = Ctx(s, d)
+      // ONE narrow feature projection, persisted: five report branches
+      // (raw/qc/cc/kc/fc) hang off it, and without the persist Spark
+      // re-ran the scan+tokenize chain once per branch and the
+      // contamination join three times (measured 20.3 s vs ~2 s at
+      // sf0.1). What's cached is features-not-text — a few dozen
+      // bytes per doc, so at 100 TB it's a tiny fraction of the corpus.
       val feat = c.documents
         .withColumn("toks", Llm.tokens(col("text")))
         .withColumn("bg", expr(
           "CASE WHEN size(toks) >= 2 THEN transform(sequence(0, size(toks) - 2), " +
             "i -> concat(toks[i], ' ', toks[i + 1])) ELSE array() END"))
         .select(
-          col("doc_id"), col("lang"), col("text"),
+          col("doc_id"), col("lang"),
           md5(col("text").cast("binary")).as("h"),
           Curation.drawOf(col("doc_id")).as("draw"),
           size(col("toks")).as("n_tokens"),
           size(array_distinct(col("toks"))).as("n_distinct"),
           size(col("bg")).as("n_bg"),
           size(array_distinct(col("bg"))).as("n_bg_distinct"))
+        .persist()
       val raw = feat.groupBy("lang").agg(count(lit(1)).as("n_raw"))
       // quality + repetition gates, integer cross-multiplied
       val q = feat
@@ -132,7 +139,11 @@ object Pipeline {
         .filter((col("n_bg") - col("n_bg_distinct")) * 2 <= col("n_bg"))
       val qc = q.groupBy("lang").agg(count(lit(1)).as("n_quality"))
       // decontamination: eval slice is doc_id % 41 == 0 (also excluded
-      // from the corpus); contaminated = shares any 3-shingle
+      // from the corpus); contaminated = shares any 3-shingle. Keyed
+      // off the RAW documents table, not the gated corpus: a left-anti
+      // against a superset of the corpus ids is set-equivalent, and it
+      // decouples the one text-shingling pass from the gate chain so
+      // the expensive join runs once instead of once per report branch.
       def sh(df: org.apache.spark.sql.DataFrame) =
         df.select(col("doc_id"), Llm.tokens(col("text")).as("toks"))
           .filter(size(col("toks")) >= 3)
@@ -142,10 +153,12 @@ object Pipeline {
       val evalSh = sh(c.documents.filter(col("doc_id") % 41 === 0))
         .select("shingle").distinct()
       val corpus = q.filter(col("doc_id") % 41 =!= 0)
-      val contaminated = sh(corpus.select(col("doc_id"), col("text")))
+      val contaminated = sh(c.documents.filter(col("doc_id") % 41 =!= 0))
         .join(Scale.maybeBroadcast(evalSh), "shingle")
         .select("doc_id").distinct()
-      val clean = corpus.join(contaminated, Seq("doc_id"), "left_anti")
+      // clean and kept each feed two branches — persist the narrow
+      // survivor sets so the anti-join and dedup groupBy run once
+      val clean = corpus.join(contaminated, Seq("doc_id"), "left_anti").persist()
       val cc = clean.groupBy("lang").agg(count(lit(1)).as("n_clean"))
       // exact dedup: min-doc_id survivor carries its own lang/draw/tokens
       val kept = clean.groupBy("h").agg(
@@ -153,6 +166,7 @@ object Pipeline {
         min_by(col("lang"), col("doc_id")).as("lang"),
         min_by(col("draw"), col("doc_id")).as("draw"),
         min_by(col("n_tokens"), col("doc_id")).as("n_tokens"))
+        .persist()
       val kc = kept.groupBy("lang").agg(count(lit(1)).as("n_kept"))
       // per-language cap at 40, smallest draws first
       val fin = kept
