@@ -127,10 +127,13 @@ object Similarity {
   private val NProbe = 8
   private val LloydIters = 2
 
-  /** e: (vec_id, v: array<double>, nrm). Returns top-k (vec_id,
-    * neighbor_id, score) per vector among its probed cells.
+  /** e: (vec_id, v: array<double>, nrm). Returns the probe-cell
+    * ranking: (vec_id, v, nrm, cid, rn) for each vector's NProbe
+    * nearest centroids (rn == 1 is the cell assignment), persisted.
+    * Shared by the IVF top-k (xs2) and the IVF-blocked semantic dedup
+    * (xd7).
     */
-  private[queries] def ivfTopK(e: org.apache.spark.sql.DataFrame, k: Int)
+  private[queries] def ivfRanked(e: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val s = e.sparkSession
     import s.implicits._
@@ -166,13 +169,21 @@ object Similarity {
     // serves BOTH sides: rn == 1 is the cell assignment (the inverted
     // file), rn <= NProbe is the probe list — no separate assignment
     // aggregate or re-join against the vectors.
-    val ranked = e.crossJoin(centroidDf)
+    e.crossJoin(centroidDf)
       .select(col("vec_id"), col("v"), col("nrm"),
         col("cid"), (col("cnrm2") - lit(2.0) * expr("vec_dot(v, cv)")).as("dist"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("dist").asc, col("cid").asc)))
       .filter(col("rn") <= NProbe)
       .persist()
+  }
+
+  /** e: (vec_id, v: array<double>, nrm). Returns top-k (vec_id,
+    * neighbor_id, score) per vector among its probed cells.
+    */
+  private[queries] def ivfTopK(e: org.apache.spark.sql.DataFrame, k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val ranked = ivfRanked(e)
     val cells = ranked.filter(col("rn") === 1)
       .select(col("cid"), col("vec_id").as("neighbor_id"),
         col("v").as("vb"), col("nrm").as("nb"))
@@ -257,5 +268,50 @@ object Similarity {
 
   private val CandFactor = 8
 
-  def queries: Seq[GQuery] = Seq(xs1, xs2, xs3)
+  /** IVF-blocked semantic dedup — the 100 TB path behind xd4's exact
+    * embedding near-dup. xd4 scores ALL n² pairs (size-gated BNLJ:
+    * correct and fast while one side broadcasts, quadratic and dead
+    * past it). Here candidate pairs are vectors that CO-PROBE at least
+    * one IVF cell (each vector visits its NProbe nearest of K cells),
+    * so pairwise work is Σ_cells |cell·probes|² instead of n² — with K
+    * scaled to the corpus (K ≈ n/targetCellSize) that is linear in n
+    * with a constant the probe width controls. Pairs are deduped while
+    * still narrow (two longs), then re-attach vectors size-gated and
+    * pay one codegen'd vec_dot each; survivors at rounded cos ≥ 0.45,
+    * same contract as xd4.
+    *
+    * ⊘ rows-only: recall vs xd4's exact pairs is floored in
+    * SketchRecallSpec — boundary pairs whose probe sets are disjoint
+    * are the honest miss mode (this corpus's near-threshold pairs sit
+    * at ~60°, the hardest case; production near-dup at cos ≥ 0.9
+    * co-probes essentially always).
+    */
+  val xd7 = GQuery(
+    "xd7_semantic_dedup",
+    (s, d) => {
+      val c = Ctx(s, d)
+      VectorOps.register(s)
+      val e = c.embeddings
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", sqrt(expr("vec_dot(v, v)")))
+        .persist() // k-means init, Lloyd passes, ranking, both re-attach sides
+      val ranked = ivfRanked(e)
+      val sides = ranked.select(col("cid"), col("vec_id"))
+      val cand = sides.as("a").join(sides.as("b"), "cid")
+        .select(col("a.vec_id").as("doc_a"), col("b.vec_id").as("doc_b"))
+        .filter(col("doc_a") < col("doc_b"))
+        .distinct()
+      val va = e.select(col("vec_id").as("doc_a"), col("v").as("va"), col("nrm").as("na"))
+      val vb = e.select(col("vec_id").as("doc_b"), col("v").as("vb"), col("nrm").as("nb"))
+      val pairs = cand
+        .join(Scale.maybeBroadcast(va), "doc_a")
+        .join(Scale.maybeBroadcast(vb), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          round4(expr("vec_dot(va, vb)") / (col("na") * col("nb"))).as("score"))
+        .filter(col("score") >= 0.45)
+      canon(pairs)
+    },
+    None)
+
+  def queries: Seq[GQuery] = Seq(xs1, xs2, xs3, xd7)
 }

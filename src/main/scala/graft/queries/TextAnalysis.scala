@@ -192,5 +192,71 @@ object TextAnalysis {
         |FROM top WHERE rn <= 3""".stripMargin +
         orderAll("doc_id", "term")))
 
-  def queries: Seq[GQuery] = Seq(xt1, xt2, xt3, xt4, xt5)
+  /** Unigram language-model quality scoring: train p(t) = count(t)/N
+    * on the corpus itself, score each doc by average negative
+    * log-likelihood and perplexity — the classic model-based quality
+    * gate (CCNet/Gopher-style "perplexity filtering"), complementing
+    * xt1's surface heuristics with a distributional signal.
+    *
+    * Scale shape: the model is one (term, count) aggregate over the
+    * (doc, term) tf table — never a second corpus scan; N rides in as
+    * a broadcast scalar; scoring is a size-gated model join against
+    * the tf table with a partial-aggregated per-doc sum. At 100 TB the
+    * model table is vocabulary-sized (millions of rows, MBs), the
+    * corpus streams once.
+    *
+    * Determinism: per-token log-probs are quantized to fixed-point
+    * BIGINT (round(ln(p)·1e6)) BEFORE the per-doc sum, so the
+    * accumulation is exact integer arithmetic — no float-summation
+    * order to diverge between engines or between Spark partitionings.
+    * ln/exp on identical double inputs agree bit-for-bit (same libm
+    * contract xt5/q34 rely on), and both outputs are ROUND(…,4).
+    * Oracle-matched.
+    */
+  val xt6 = GQuery(
+    "xt6_lm_score",
+    (s, d) => {
+      val c = Ctx(s, d)
+      // tf feeds the total, the model, and the scoring join
+      val tf = c.documents
+        .select(col("doc_id"), col("lang"), explode(Llm.tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "lang", "term").agg(count(lit(1)).as("tf"))
+        .persist()
+      val total = tf.agg(sum(col("tf")).as("total"))
+      val model = tf.groupBy("term").agg(sum(col("tf")).as("cnt"))
+        .crossJoin(broadcast(total))
+        .select(col("term"),
+          round(log(col("cnt").cast("double") / col("total").cast("double")) *
+            lit(1000000.0)).cast("long").as("lnp6"))
+      val doc = tf.join(Scale.maybeBroadcast(model), "term")
+        .groupBy("doc_id", "lang")
+        .agg(sum(col("tf")).cast("long").as("n_tokens"),
+          sum(col("tf") * col("lnp6")).cast("long").as("lp6"))
+      val nll = (-col("lp6")).cast("double") /
+        (col("n_tokens").cast("double") * lit(1000000.0))
+      canonBy(doc.select(col("doc_id"), col("lang"), col("n_tokens"),
+        round(nll, 4).as("avg_nll"),
+        round(exp(nll), 4).as("ppl")), "doc_id")
+    },
+    Some(
+      """WITH tok AS (
+        |  SELECT doc_id, lang, t.term FROM documents,
+        |    UNNEST(list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS t(term)),
+        |tf AS (SELECT doc_id, lang, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2, 3),
+        |tot AS (SELECT SUM(tf) AS total FROM tf),
+        |model AS (
+        |  SELECT term,
+        |    CAST(ROUND(ln(CAST(SUM(tf) AS DOUBLE) / CAST(tot.total AS DOUBLE)) * 1000000.0) AS BIGINT) AS lnp6
+        |  FROM tf CROSS JOIN tot GROUP BY term, tot.total),
+        |doc AS (
+        |  SELECT doc_id, lang, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(tf * lnp6) AS BIGINT) AS lp6
+        |  FROM tf JOIN model USING (term) GROUP BY 1, 2)
+        |SELECT doc_id, lang, n_tokens,
+        |  ROUND(CAST(-lp6 AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * 1000000.0), 4) AS avg_nll,
+        |  ROUND(exp(CAST(-lp6 AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * 1000000.0)), 4) AS ppl
+        |FROM doc""".stripMargin +
+        orderAll("doc_id")))
+
+  def queries: Seq[GQuery] = Seq(xt1, xt2, xt3, xt4, xt5, xt6)
 }

@@ -74,6 +74,22 @@ class SketchRecallSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  // Candidates are pairs co-probing >=1 of their NProbe=8/32 cells and
+  // every candidate is verified with the exact rounded cosine, so
+  // precision is 1.0 by construction; the spec floors recall. Measured
+  // 1.0 at sf0.001-0.1: threshold pairs (cos>=0.45) are the corpus's
+  // STRONGEST alignments, which co-probe far more reliably than the
+  // average ~60-degree pair that caps xs2's top-k recall at ~0.69.
+  test("ivf-blocked semantic dedup: no false pairs, recall >= 0.9 vs exact xd4") {
+    val exact = Dedup.xd4.fn(spark, sf).select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.xd7.fn(spark, sf).select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(approx.subsetOf(exact), "every xd7 pair must be a true xd4 pair")
+    val recall = if (exact.isEmpty) 1.0 else approx.size.toDouble / exact.size
+    assert(recall >= 0.9, s"xd7 recall $recall below 0.9")
+  }
+
   test("approx_count_distinct within 5% of exact (Q04x vs Q04)") {
     val exact = Aggregates.q04.fn(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
