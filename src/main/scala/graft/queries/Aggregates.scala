@@ -90,6 +90,68 @@ object Aggregates {
     },
     None)
 
+  /** Mergeable HLL sketches — q04x's estimator made INCREMENTAL: build
+    * per-bucket sketches (the per-day/per-partition partial a 100 TB
+    * warehouse persists), then union the binary sketches and estimate.
+    * New data means sketching only the new bucket and re-unioning
+    * bucket sketches — never recounting the corpus. ⊘ tolerance-tested
+    * (SketchRecallSpec: merged estimate within 5% of exact, and
+    * bucket-merged == single-pass estimate exactly).
+    */
+  val q04y = GQuery(
+    "q04y_hll_merge",
+    (s, d) => {
+      val c = Ctx(s, d)
+      val partial = c.lineitem
+        .withColumn("bucket", pmod(col("l_orderkey"), lit(8)))
+        .groupBy("l_returnflag", "bucket")
+        .agg(expr("hll_sketch_agg(l_partkey)").as("sk_part"),
+          expr("hll_sketch_agg(l_suppkey)").as("sk_supp"))
+      canon(partial.groupBy("l_returnflag")
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk_part))").as("apx_part"),
+          expr("hll_sketch_estimate(hll_union_agg(sk_supp))").as("apx_supp")))
+    },
+    None)
+
+  /** Incremental partial-aggregate rollup — the materialized-rollup
+    * pattern: stage 1 maintains per-(month, status) partial aggregates
+    * (count / exact-decimal sum / min / max), stage 2 answers the
+    * per-status report purely from partials — sums of sums, min of
+    * mins, avg from merged sum÷count. At 100 TB stage 1 is the only
+    * pass over the fact table and is incrementally maintainable
+    * per-partition; the report re-reads only the tiny partial table.
+    * Oracle: the equivalent DIRECT single-level aggregation — the
+    * hash-match proves the merge is lossless.
+    */
+  val xi1 = GQuery(
+    "xi1_incremental_agg",
+    (s, d) => {
+      val c = Ctx(s, d)
+      val partial = c.orders
+        .withColumn("mon", date_trunc("month", col("o_orderdate")).cast("date"))
+        .groupBy("mon", "o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("o_totalprice"))).as("s"),
+          min(col("o_totalprice")).as("mn"),
+          max(col("o_totalprice")).as("mx"))
+      canon(partial.groupBy("o_orderstatus")
+        .agg(sum(col("n")).as("n_orders"),
+          sum(col("s")).cast("double").as("revenue"),
+          (sum(col("s")).cast("double") / sum(col("n"))).as("avg_price"),
+          min(col("mn")).as("min_price"),
+          max(col("mx")).as("max_price")))
+    },
+    Some(
+      """SELECT o_orderstatus,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price,
+        |  MIN(o_totalprice) AS min_price,
+        |  MAX(o_totalprice) AS max_price
+        |FROM orders GROUP BY o_orderstatus""".stripMargin +
+        orderAll("o_orderstatus", "n_orders", "revenue", "avg_price",
+          "min_price", "max_price")))
+
   val q05 = GQuery(
     "q05_rollup",
     (s, d) => {
@@ -210,5 +272,5 @@ object Aggregates {
     },
     None)
 
-  def queries: Seq[GQuery] = Seq(q03, q03b, q03c, q04, q04x, q05, q05b, q05c)
+  def queries: Seq[GQuery] = Seq(q03, q03b, q03c, q04, q04x, q04y, xi1, q05, q05b, q05c)
 }

@@ -93,6 +93,39 @@ object Windows {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)""".stripMargin +
         orderAll("o_orderkey")))
 
+  /** RANGE frames — the value-based complement to q16's ROWS frames:
+    * per-customer trailing-30-day revenue, where the frame is "all
+    * orders within 29 days before this one" regardless of row count,
+    * and same-day orders are peers (all included). Both engines order
+    * by an integer day number and use an integer RANGE frame, so the
+    * peer-set semantics are identical by construction; the frame sum
+    * is exact decimal (set-based, no order sensitivity).
+    */
+  val q16b = GQuery(
+    "q16b_range_frames",
+    (s, d) => {
+      val c = Ctx(s, d)
+      val withDay = c.orders.withColumn("day_no",
+        datediff(col("o_orderdate").cast("date"), lit("1990-01-01").cast("date")))
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("day_no"))
+        .rangeBetween(-29, 0)
+      canonBy(
+        withDay
+          .withColumn("rev_30d", sum(dec(col("o_totalprice"))).over(w).cast("double"))
+          .withColumn("n_30d", count(lit(1)).over(w))
+          .select(col("o_custkey"), col("o_orderkey"),
+            col("o_orderdate").cast("date").as("o_orderdate"),
+            col("rev_30d"), col("n_30d")), "o_orderkey")
+    },
+    Some(
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE) AS rev_30d,
+        |  COUNT(*) OVER w AS n_30d
+        |FROM (SELECT *, date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS day_no
+        |      FROM orders) t
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY day_no RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)""".stripMargin +
+        orderAll("o_orderkey")))
+
   // Distribution: NTILE / PERCENT_RANK / CUME_DIST, partitioned by
   // priority so no single task owns the whole table at scale.
   val q17 = GQuery(
@@ -146,5 +179,5 @@ object Windows {
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin +
         orderAll("o_orderkey")))
 
-  def queries: Seq[GQuery] = Seq(q14, q15, q16, q17, q17b)
+  def queries: Seq[GQuery] = Seq(q14, q15, q16, q16b, q17, q17b)
 }

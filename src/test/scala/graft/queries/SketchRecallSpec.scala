@@ -102,6 +102,27 @@ class SketchRecallSpec extends AnyFunSuite {
     }
   }
 
+  test("bucket-merged HLL union within 5% of exact distinct (q04y vs q04)") {
+    val exact = Aggregates.q04.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val merged = Aggregates.q04y.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    for ((k, (p, su)) <- exact) {
+      val (ap, as) = merged(k)
+      assert(math.abs(ap - p).toDouble / p <= 0.05, s"$k part estimate off")
+      assert(math.abs(as - su).toDouble / su <= 0.05, s"$k supp estimate off")
+    }
+    // merging per-bucket sketches must equal sketching in one pass —
+    // the property that makes the partial table incrementally correct
+    import org.apache.spark.sql.functions._
+    val c = Ctx(spark, sf)
+    val onePass = c.lineitem.groupBy("l_returnflag")
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(l_partkey))").as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((k, (ap, _)) <- merged) assert(onePass(k) == ap,
+      s"$k: bucket-merged $ap != one-pass ${onePass(k)}")
+  }
+
   test("approx_percentile within 2% of the exact median (q03c vs q03b)") {
     val exact = Aggregates.q03b.fn(spark, sf).collect()
       .map(r => r.getString(0) -> r.getDouble(5)).toMap // med_price
