@@ -142,6 +142,51 @@ object Joins {
         |  ON n1.n_regionkey = n2.n_regionkey AND n1.n_nationkey < n2.n_nationkey""".stripMargin +
         orderAll("region_key", "nation_a", "nation_b")))
 
+  /** Binned range join — the linear scale path for PURE interval
+    * predicates (no equi key): for each event, count events in the
+    * following 5 minutes. A theta join (q11's shape) on a time range
+    * is a nested-loop at scale — n² comparisons with no equality to
+    * hash or shuffle on. Binning manufactures the equality: quantize
+    * time into window-width bins, a [t, t+W) interval spans at most
+    * two bins, so exploding the probe side to its ≤2 bins and
+    * equi-joining on the bin key shuffles O(n) rows and compares only
+    * within bins (candidates per probe = bin density, not corpus
+    * size). The residual exact-µs filter keeps semantics identical to
+    * the naive form; a build row sits in exactly one bin, so no
+    * pair is produced twice. DuckDB's native IEJoin answers the same
+    * query as the oracle. Integer-µs arithmetic end to end — nothing
+    * float to diverge. Oracle-matched.
+    */
+  val q11b = GQuery(
+    "q11b_binned_range_join",
+    (s, d) => {
+      val c = Ctx(s, d)
+      val W = 300000000L // 5 minutes in µs
+      val e = c.events
+        .select(col("event_id"), unix_micros(col("ts")).as("m"))
+        .persist() // probe, build, and the zero-count re-attach
+      val probe = e.select(col("event_id"), col("m"),
+        explode(array(expr(s"m DIV $W"), expr(s"m DIV $W") + 1)).as("bin"))
+      val build = e.select(col("event_id").as("eid2"), col("m").as("m2"),
+        expr(s"m DIV $W").as("bin"))
+      val hits = probe.join(build, "bin")
+        .filter(col("m2") >= col("m") && col("m2") < col("m") + W &&
+          col("eid2") =!= col("event_id"))
+        .groupBy("event_id").agg(count(lit(1)).as("n_next_5min"))
+      canonBy(
+        e.select("event_id").join(hits, Seq("event_id"), "left")
+          .select(col("event_id"),
+            coalesce(col("n_next_5min"), lit(0L)).as("n_next_5min")),
+        "event_id")
+    },
+    Some(
+      """WITH e AS (SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS m FROM events)
+        |SELECT a.event_id AS event_id, COUNT(b.event_id) AS n_next_5min
+        |FROM e a LEFT JOIN e b
+        |  ON b.m >= a.m AND b.m < a.m + 300000000 AND b.event_id <> a.event_id
+        |GROUP BY a.event_id""".stripMargin +
+        orderAll("event_id")))
+
   /** As-of join: for each order, the latest event of that customer with
     * ts <= the order's anchor. Expressed as equi-join on user + residual
     * range filter, then latest-per-order via max_by over the lexicographic
@@ -203,5 +248,5 @@ object Joins {
         orderAll("r1_name", "r2_name")))
 
   def queries: Seq[GQuery] =
-    Seq(q06, q07, q08, q09, q10, q11, q12, q13)
+    Seq(q06, q07, q08, q09, q10, q11, q11b, q12, q13)
 }
