@@ -99,6 +99,48 @@ object StreamingOps {
           .as("jaccard"))
   }
 
+  /** Streaming incremental rollup — queries.Aggregates.xi1's streaming
+    * form. Each micro-batch reduces to per-(month, status) partial
+    * aggregates (count / exact-decimal sum / min / max) and lands in an
+    * append-only partial log via the same idempotent batch_id-partition
+    * overwrite as sinkExactlyOnce: a replayed batch rewrites its own
+    * partition and can never double-count. The report then merges
+    * partials at read — sums of sums, min of mins, avg from merged
+    * sum÷count — so each order is aggregated exactly once on arrival
+    * and the fact stream is never rescanned. State lives in the lake
+    * (the partial log), not the state store: the streaming query
+    * itself is stateless, and the partial table stays
+    * months×statuses-sized regardless of stream length.
+    */
+  def orderPartials(orders: DataFrame): DataFrame =
+    orders
+      .withColumn("mon", date_trunc("month", col("o_orderdate")).cast("date"))
+      .groupBy("mon", "o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(graft.queries.Det.dec(col("o_totalprice"))).as("s"),
+        min(col("o_totalprice")).as("mn"),
+        max(col("o_totalprice")).as("mx"))
+
+  def rollupSink(orders: DataFrame, path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    orders.writeStream
+      .foreachBatch((df: DataFrame, id: Long) => writeBatch(orderPartials(df), id, path))
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** Merge the partial log into the per-status report — identical
+    * arithmetic to xi1's merge stage, so the streamed result is
+    * bit-equal to the direct batch aggregation over the same rows.
+    */
+  def rollupReport(partials: DataFrame): DataFrame =
+    partials.groupBy("o_orderstatus")
+      .agg(sum(col("n")).as("n_orders"),
+        sum(col("s")).cast("double").as("revenue"),
+        (sum(col("s")).cast("double") / sum(col("n"))).as("avg_price"),
+        min(col("mn")).as("min_price"),
+        max(col("mx")).as("max_price"))
+
   /** Stream-stream inner join: each click joined to the SAME USER's
     * view events that happen within the hour after the click. Both
     * sides carry watermarks and the join condition bounds event-time
