@@ -17,7 +17,8 @@ object Explain {
         "q07_join_topk", "q18_topk", "qx3_cosine_topk",
         "xp1_curation", "xt5_tfidf", "xs3_ann_quantized",
         "xc1_stratified_sample", "xc3_decontam", "xd6_incremental_dedup",
-        "xp2_curation_full")
+        "xp2_curation_full", "q11b_binned_range_join", "q16b_range_frames",
+        "xt6_lm_score", "xd7_semantic_dedup", "xi1_incremental_agg")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

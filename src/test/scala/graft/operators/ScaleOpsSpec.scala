@@ -78,6 +78,33 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(probed.count() == full)
   }
 
+  test("runtime bloom filter prunes the fact side before the shuffle join") {
+    // the shuffle-volume saver at 100 TB: a selective dim filter is
+    // turned into a bloom filter applied to the fact SCAN, so rows that
+    // cannot join never enter the exchange. Thresholds lowered so the
+    // optimizer's cost gate passes at test scale.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // keep SMJ
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    val li = s.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val urgent = s.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .filter(col("o_orderpriority") === "1-URGENT")
+    val joined = li.join(urgent, col("l_orderkey") === col("o_orderkey"))
+    val optimized = joined.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("might_contain") || optimized.contains("BloomFilter"),
+      s"expected a runtime bloom filter on the fact side:\n$optimized")
+    // semantics unchanged vs the unfiltered plan
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+    val plain = s2.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .join(s2.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT"),
+        col("l_orderkey") === col("o_orderkey"))
+    assert(joined.count() == plain.count())
+  }
+
   test("bucketed tables join without an Exchange") {
     val s = spark.newSession()
     s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
