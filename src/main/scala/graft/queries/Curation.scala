@@ -208,5 +208,51 @@ object Curation {
         |FROM events GROUP BY event_type""".stripMargin +
         orderAll("event_type", "n_rows", "n_digit_runs", "redacted_chars", "raw_chars")))
 
-  def queries: Seq[GQuery] = Seq(xc1, xc2, xc3, xc4)
+  /** xc5: sequence packing — lay the curated corpus out into
+    * fixed-token-budget training sequences: docs are ordered by the
+    * deterministic draw within each language shard, token counts
+    * cumulative-summed, and each doc assigned the sequence its first
+    * token lands in (seq_id = start DIV budget) plus its offset into
+    * that sequence — the layout step between curation and the trainer's
+    * data loader. All integer arithmetic over a deterministic total
+    * order, so the packing is reproducible under any partitioning.
+    *
+    * Scale shape: one ranking/cumsum window per language shard — at
+    * 100 TB the shard key becomes (lang, hash-range bucket) so no
+    * single window partition exceeds a worker, exactly like xc1's cap;
+    * seq_ids then offset by per-bucket totals (an exclusive prefix sum
+    * over bucket subtotals — a tiny second pass).
+    */
+  val xc5 = GQuery(
+    "xc5_sequence_pack",
+    (s, d) => {
+      val c = Ctx(s, d)
+      val budget = 2048
+      val t = c.documents.select(
+        col("doc_id"), col("lang"), drawOf(col("doc_id")).as("draw"),
+        size(Llm.tokens(col("text"))).cast("long").as("n_tokens"))
+      val w = Window.partitionBy("lang").orderBy(col("draw"), col("doc_id"))
+      canonBy(
+        t.withColumn("cum", sum(col("n_tokens")).over(w))
+          .select(col("doc_id"), col("lang"), col("n_tokens"),
+            expr(s"(cum - n_tokens) DIV $budget").as("seq_id"),
+            expr(s"(cum - n_tokens) % $budget").as("seq_off")),
+        "doc_id")
+    },
+    Some(
+      """WITH t AS (
+        |  SELECT doc_id, lang, (doc_id * 2654435761) % 4294967296 AS draw,
+        |    len(list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY lang ORDER BY draw, doc_id) AS cum
+        |  FROM t)
+        |SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS seq_id,
+        |  CAST((cum - n_tokens) % 2048 AS BIGINT) AS seq_off
+        |FROM c""".stripMargin +
+        orderAll("doc_id")))
+
+  def queries: Seq[GQuery] = Seq(xc1, xc2, xc3, xc4, xc5)
 }
