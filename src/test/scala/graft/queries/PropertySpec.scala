@@ -79,6 +79,54 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("binned range join equals the naive theta join on random event times") {
+    // q11b's binning must be a pure plan transformation: same result as
+    // comparing every pair, for any time distribution (including bursts
+    // inside one bin and spans across bin boundaries)
+    val W = 1000L
+    val times = Gen.listOfN(80, Gen.choose(0L, 5000L))
+    forAll(times) { ts =>
+      val e = ts.zipWithIndex.map { case (m, id) => (id.toLong, m) }.toDF("event_id", "m")
+      val probe = e.select($"event_id", $"m",
+        explode(array(expr(s"m DIV $W"), expr(s"m DIV $W") + 1)).as("bin"))
+      val build = e.select($"event_id".as("eid2"), $"m".as("m2"),
+        expr(s"m DIV $W").as("bin"))
+      val binned = probe.join(build, "bin")
+        .filter($"m2" >= $"m" && $"m2" < $"m" + W && $"eid2" =!= $"event_id")
+        .groupBy("event_id").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val naive = (for {
+        (ma, ida) <- ts.zipWithIndex
+        (mb, idb) <- ts.zipWithIndex
+        if idb != ida && mb >= ma && mb < ma + W
+      } yield ida).groupBy(identity).map { case (k, v) => (k.toLong, v.size.toLong) }
+      assert(binned == naive)
+    }
+  }
+
+  test("sequence packing invariants: offsets within budget, ids contiguous") {
+    val sf = "/root/testdata/sf0.001"
+    val budget = 2048L
+    val rows = Curation.xc5.fn(spark, sf).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    for ((lang, grp) <- rows.groupBy(_._1)) {
+      // every doc's start offset lies inside its sequence's budget
+      assert(grp.forall { case (_, _, _, off) => off >= 0 && off < budget })
+      // seq ids start at 0, never exceed the shard's token total, and
+      // are contiguous whenever no single doc spans a whole budget
+      // (only an over-budget doc can leave a sequence with no starts)
+      val ids = grp.map(_._3).distinct.sorted
+      val total = grp.map(_._2).sum
+      val expectMax = math.max(0L, (total - 1) / budget)
+      assert(ids.head == 0L && ids.last <= expectMax,
+        s"$lang: ids ${ids.head}..${ids.last}, cap $expectMax")
+      if (grp.forall(_._2 < budget))
+        assert(ids.toSeq == (0L until ids.length.toLong),
+          s"$lang: non-contiguous ${ids.mkString(",")}")
+    }
+  }
+
   test("union-all count is additive; union-distinct bounded by sum") {
     forAll2(rows, 5) { (da, db) =>
       val a = da.toDF("k", "a", "v")
