@@ -55,11 +55,24 @@ final class EtlLoop(spark: SparkSession, cfg: EtlJob.Config, intervalSec: Int = 
         None
     }
 
-  def run(maxCycles: Long = Long.MaxValue): Unit = {
+  /** Periodic lake maintenance: compact the sink tables' small-file
+    * backlog (builder extension — the 15 s append trigger writes one
+    * file set per cycle per partition; see Compact). Runs in the
+    * loop's own single-writer window (P19), between cycles.
+    */
+  def maintain(maxFiles: Int = 16): Seq[Compact.PartitionStat] =
+    Seq(s"${cfg.sinkDir}/marketplace", s"${cfg.sinkDir}/dshop").flatMap { p =>
+      if (new java.io.File(p).isDirectory)
+        Compact.compact(spark, p, "block_bucket", maxFiles = maxFiles)
+      else Nil
+    }
+
+  def run(maxCycles: Long = Long.MaxValue, compactEvery: Long = 0L): Unit = {
     var n = 0L
     while (alive.get() && n < maxCycles) {
       tick()
       n += 1
+      if (compactEvery > 0 && n % compactEvery == 0) maintain()
       wait1sGranularity(intervalSec)
     }
   }

@@ -41,4 +41,25 @@ class CompactSpec extends AnyFunSuite {
     // idempotent: a second run finds no backlog
     assert(Compact.compact(spark, path, "block_bucket", maxFiles = 4).isEmpty)
   }
+
+  test("EtlLoop.maintain compacts the sink tables between cycles") {
+    val root = Files.createTempDirectory("etl-compact")
+    val chain = root.resolve("chain")
+    ChainFixture.write(chain)
+    val cfg = EtlJob.Config(
+      chainDir = chain.toString,
+      sinkDir = root.resolve("sink").toString,
+      cursorDir = root.resolve("cursor").toString,
+      batchSize = 100) // many small per-cycle file sets per bucket
+    val loop = new EtlLoop(spark, cfg, intervalSec = 0)
+    loop.run(maxCycles = 1)
+    val mkt = s"${cfg.sinkDir}/marketplace"
+    val rows = spark.read.parquet(mkt).collect().map(_.toString).sorted.toSeq
+    val rewritten = loop.maintain(maxFiles = 0) // force-compact every partition
+    assert(rewritten.nonEmpty)
+    // tiny partitions all land in one size-targeted file each
+    val after = Compact.partitionStats(mkt)
+    assert(after.forall(_.files == 1), after.mkString(", "))
+    assert(spark.read.parquet(mkt).collect().map(_.toString).sorted.toSeq == rows)
+  }
 }
