@@ -140,5 +140,45 @@ object Clusters {
         |FROM comp c JOIN sizes s ON c.rep_id = s.rep_id""".stripMargin +
         orderAll("doc_id")))
 
-  def queries: Seq[GQuery] = Seq(xd5)
+  /** Semantic dedup clusters — xd5's shape for the EMBEDDING space:
+    * connected components over xd7's IVF-blocked cos ≥ 0.45 pairs,
+    * one representative (min vec_id) per component, keep/drop per
+    * vector. Completes the embedding-dedup pipeline the way xd5
+    * completes the token-set one: pairs alone don't dedup a corpus —
+    * the transitive closure does. Same min-label propagation, same
+    * convergence guard; edges come from the blocked candidate path,
+    * so the whole pipeline (cells → co-probe pairs → exact verify →
+    * closure) is the shape that runs at 100 TB. ⊘ rows-only:
+    * ClustersSpec proves it equal to the closure over xd4's exact
+    * all-pairs edges (xd7's measured recall is 1.0 on this corpus).
+    */
+  val xd8 = GQuery(
+    "xd8_semantic_clusters",
+    (s, d) => {
+      val c = Ctx(s, d)
+      // propagate only over the CONNECTED subgraph (edge endpoints):
+      // singletons — the overwhelming majority of a deduped corpus —
+      // never enter the iteration and rejoin as their own reps after
+      // the fixpoint. At 100 TB the iterated frame is sized by the
+      // near-dup population, not the corpus.
+      val pairs = Similarity.ivfPairs(s, d, 0.45)
+        .select("doc_a", "doc_b").persist()
+      val endpoints = pairs.select(col("doc_a").as("doc_id"))
+        .unionByName(pairs.select(col("doc_b").as("doc_id")))
+        .distinct()
+      val init = endpoints.select(col("doc_id"), col("doc_id").as("rep_id"))
+      val lbl = components(init, pairs)
+        .select(col("doc_id").as("vec_id"), col("rep_id"))
+      val all = c.embeddings.select(col("vec_id"))
+        .join(Scale.maybeBroadcast(lbl), Seq("vec_id"), "left")
+        .select(col("vec_id").as("doc_id"),
+          coalesce(col("rep_id"), col("vec_id")).as("rep_id"))
+      val sizes = all.groupBy("rep_id").agg(count(lit(1)).as("cluster_size"))
+      canon(all.join(Scale.maybeBroadcast(sizes), "rep_id")
+        .select(col("doc_id"), col("rep_id"), col("cluster_size"),
+          (col("doc_id") === col("rep_id")).as("keep")))
+    },
+    None)
+
+  def queries: Seq[GQuery] = Seq(xd5, xd8)
 }

@@ -286,31 +286,36 @@ object Similarity {
     * at ~60°, the hardest case; production near-dup at cos ≥ 0.9
     * co-probes essentially always).
     */
+  /** Unsorted xd7 pair stage, shared with xd8's clustering (which
+    * must not pay xd7's canonical output sort).
+    */
+  private[queries] def ivfPairs(s: org.apache.spark.sql.SparkSession,
+      d: String, threshold: Double): org.apache.spark.sql.DataFrame = {
+    val c = Ctx(s, d)
+    VectorOps.register(s)
+    val e = c.embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(expr("vec_dot(v, v)")))
+      .persist() // k-means init, Lloyd passes, ranking, both re-attach sides
+    val ranked = ivfRanked(e)
+    val sides = ranked.select(col("cid"), col("vec_id"))
+    val cand = sides.as("a").join(sides.as("b"), "cid")
+      .select(col("a.vec_id").as("doc_a"), col("b.vec_id").as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .distinct()
+    val va = e.select(col("vec_id").as("doc_a"), col("v").as("va"), col("nrm").as("na"))
+    val vb = e.select(col("vec_id").as("doc_b"), col("v").as("vb"), col("nrm").as("nb"))
+    cand
+      .join(Scale.maybeBroadcast(va), "doc_a")
+      .join(Scale.maybeBroadcast(vb), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round4(expr("vec_dot(va, vb)") / (col("na") * col("nb"))).as("score"))
+      .filter(col("score") >= threshold)
+  }
+
   val xd7 = GQuery(
     "xd7_semantic_dedup",
-    (s, d) => {
-      val c = Ctx(s, d)
-      VectorOps.register(s)
-      val e = c.embeddings
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        .withColumn("nrm", sqrt(expr("vec_dot(v, v)")))
-        .persist() // k-means init, Lloyd passes, ranking, both re-attach sides
-      val ranked = ivfRanked(e)
-      val sides = ranked.select(col("cid"), col("vec_id"))
-      val cand = sides.as("a").join(sides.as("b"), "cid")
-        .select(col("a.vec_id").as("doc_a"), col("b.vec_id").as("doc_b"))
-        .filter(col("doc_a") < col("doc_b"))
-        .distinct()
-      val va = e.select(col("vec_id").as("doc_a"), col("v").as("va"), col("nrm").as("na"))
-      val vb = e.select(col("vec_id").as("doc_b"), col("v").as("vb"), col("nrm").as("nb"))
-      val pairs = cand
-        .join(Scale.maybeBroadcast(va), "doc_a")
-        .join(Scale.maybeBroadcast(vb), "doc_b")
-        .select(col("doc_a"), col("doc_b"),
-          round4(expr("vec_dot(va, vb)") / (col("na") * col("nb"))).as("score"))
-        .filter(col("score") >= 0.45)
-      canon(pairs)
-    },
+    (s, d) => canon(ivfPairs(s, d, 0.45)),
     None)
 
   def queries: Seq[GQuery] = Seq(xs1, xs2, xs3, xd7)

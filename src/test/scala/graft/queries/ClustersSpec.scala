@@ -59,4 +59,21 @@ class ClustersSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == expected)
   }
+
+  test("xd8 semantic clusters equal union-find over xd4's exact pairs") {
+    val sf = "/root/testdata/sf0.001"
+    val exactPairs = Dedup.xd4.fn(spark, sf).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val nodes = Ctx(spark, sf).embeddings.select("vec_id")
+      .collect().map(_.getLong(0)).toSeq
+    val expected = unionFind(nodes, exactPairs)
+    val got = Clusters.xd8.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    // keep/size bookkeeping: one keeper per cluster, sizes sum to corpus
+    val rows = Clusters.xd8.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.count(_._4) == rows.map(_._2).distinct.length)
+    assert(rows.filter(_._4).map(_._3).sum == nodes.size)
+  }
 }
