@@ -532,5 +532,60 @@ object Dedup {
         |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.45""".stripMargin +
         orderAll("doc_a", "doc_b", "score")))
 
-  def queries: Seq[GQuery] = Seq(xd1, xd2, xd3, xd4, xd6)
+  /** xd9: character edit-distance near-dup — all pairs with Levenshtein
+    * distance <= K. Completes the dedup family with the string-metric
+    * axis (exact md5 / set Jaccard / shingle Jaccard / SimHash /
+    * embedding cosine / edit distance).
+    *
+    * Candidate generation is a binned length-band join (q11b's shape):
+    * edit distance >= |len_a - len_b|, so only pairs within a length
+    * band of K can qualify. Lengths are bucketed into bins of width
+    * K+1; the probe side explodes the <=3 bins overlapping
+    * [len-K, len+K] and the build side carries its single own bin, so
+    * every qualifying pair meets on an equi-key EXACTLY once —
+    * candidates are O(n · docs-per-band), never the n² cross join, and
+    * the join is a plain shuffle on the bin key that AQE skew-splits if
+    * one length dominates. Verification uses the threshold-bounded
+    * levenshtein (banded O(K·len) DP that early-exits and returns -1
+    * past K) — never the full O(len²) table. At 100 TB the same plan
+    * holds; if bands are still too dense, PassJoin segment blocking
+    * (pigeonhole: one of K+1 contiguous segments must match exactly)
+    * composes in front of the DP as a second equi-join stage.
+    * Oracle-matched (DuckDB levenshtein behind the same sound band
+    * prefilter).
+    */
+  private[queries] def editDistancePairs(docs: DataFrame, k: Int): DataFrame = {
+    val w = k + 1
+    val d0 = docs.select(col("doc_id"), col("text"),
+      length(col("text")).as("len"))
+    val probe = d0
+      .withColumn("bin",
+        explode(expr(s"sequence(greatest(len - $k, 0) DIV $w, (len + $k) DIV $w)")))
+      .select(col("doc_id").as("doc_a"), col("text").as("ta"),
+        col("len").as("la"), col("bin"))
+    val build = d0
+      .select(col("doc_id").as("doc_b"), col("text").as("tb"),
+        col("len").as("lb"), expr(s"len DIV $w").as("bin"))
+    val pairs = probe.join(build, Seq("bin"))
+      .filter(col("doc_a") < col("doc_b") &&
+        abs(col("la") - col("lb")) <= k)
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("ta"), col("tb"), k).as("dist"))
+      .filter(col("dist") >= 0)
+    canonBy(pairs, "doc_a", "doc_b")
+  }
+
+  val xd9 = GQuery(
+    "xd9_edit_distance",
+    (s, d) => editDistancePairs(Ctx(s, d).documents, 10),
+    Some(
+      """WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(levenshtein(a.text, b.text) AS INT) AS dist
+        |FROM d a JOIN d b
+        |  ON a.doc_id < b.doc_id AND b.len BETWEEN a.len - 10 AND a.len + 10
+        |WHERE levenshtein(a.text, b.text) <= 10""".stripMargin +
+        orderAll("doc_a", "doc_b")))
+
+  def queries: Seq[GQuery] = Seq(xd1, xd2, xd3, xd4, xd6, xd9)
 }
