@@ -152,6 +152,60 @@ object Aggregates {
         orderAll("o_orderstatus", "n_orders", "revenue", "avg_price",
           "min_price", "max_price")))
 
+  /** Incremental quantiles from a mergeable fixed-width histogram — the
+    * quantile analog of xi1 (sums) and q04y (distinct counts): stage 1
+    * maintains per-(month, bin) counts — the persisted partial a 100 TB
+    * warehouse updates one partition at a time; stage 2 merges bins
+    * across months and reads quantiles off the cumulative histogram.
+    * Every count is an exact integer and the bin edges are fixed, so
+    * unlike float percentile sketches the merge is provably lossless —
+    * the oracle computes the DIRECT single-level histogram and must
+    * hash-match bit-for-bit. Resolution (bin width 1000 over
+    * o_totalprice) bounds the quantile error at one bin width.
+    *
+    * Scale shape: the only pass over the fact table is the stage-1
+    * partial aggregation; everything after runs on the bin table
+    * (~600 rows — vocabulary-sized, not data-sized), so the
+    * unpartitioned cumulative window and the 5-row quantile probe join
+    * are sketch-side costs, constant in corpus size.
+    */
+  val xi2 = GQuery(
+    "xi2_incremental_quantiles",
+    (s, d) => {
+      val c = Ctx(s, d)
+      val W = 1000.0
+      val partial = c.orders
+        .withColumn("mon", date_trunc("month", col("o_orderdate")).cast("date"))
+        .withColumn("bin", floor(col("o_totalprice") / W).cast("long"))
+        .groupBy("mon", "bin").agg(count(lit(1)).as("n"))
+      val hist = partial.groupBy("bin").agg(sum(col("n")).as("cnt"))
+      val cum = hist.withColumn("cum", sum(col("cnt")).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("bin"))))
+      val tot = hist.agg(sum(col("cnt")).as("n_total"))
+      val qs = s.range(1).select(explode(array(
+        lit(0.25), lit(0.5), lit(0.75), lit(0.9), lit(0.99))).as("q"))
+      val sel = qs.crossJoin(broadcast(tot))
+        .join(cum, col("cum") >= ceil(col("q") * col("n_total")).cast("long"))
+        .groupBy("q", "n_total").agg(min(col("bin")).as("bin"))
+      canon(sel.join(cum.select("bin", "cum"), "bin")
+        .select(col("q"), col("bin"), (col("bin") * W).as("lo"),
+          ((col("bin") + 1) * W).as("hi"), col("cum"), col("n_total")))
+    },
+    Some(
+      """WITH h AS (SELECT CAST(FLOOR(o_totalprice / 1000.0) AS BIGINT) AS bin, COUNT(*) AS cnt
+        |           FROM orders GROUP BY 1),
+        |c AS (SELECT bin, cnt, CAST(SUM(cnt) OVER (ORDER BY bin) AS BIGINT) AS cum FROM h),
+        |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM h),
+        |q AS (SELECT CAST(x AS DOUBLE) AS q FROM (VALUES (0.25),(0.5),(0.75),(0.9),(0.99)) v(x)),
+        |sel AS (SELECT q.q, t.n_total, MIN(c.bin) AS bin
+        |        FROM q CROSS JOIN t JOIN c ON c.cum >= CAST(CEIL(q.q * t.n_total) AS BIGINT)
+        |        GROUP BY q.q, t.n_total),
+        |fin AS (SELECT s.q AS q, s.bin AS bin, s.bin * 1000.0 AS lo,
+        |          (s.bin + 1) * 1000.0 AS hi, c.cum AS cum, s.n_total AS n_total
+        |        FROM sel s JOIN c ON s.bin = c.bin)
+        |SELECT q, bin, lo, hi, cum, n_total FROM fin""".stripMargin +
+        orderAll("q", "bin", "lo", "hi", "cum", "n_total")))
+
   val q05 = GQuery(
     "q05_rollup",
     (s, d) => {
@@ -272,5 +326,5 @@ object Aggregates {
     },
     None)
 
-  def queries: Seq[GQuery] = Seq(q03, q03b, q03c, q04, q04x, q04y, xi1, q05, q05b, q05c)
+  def queries: Seq[GQuery] = Seq(q03, q03b, q03c, q04, q04x, q04y, xi1, xi2, q05, q05b, q05c)
 }

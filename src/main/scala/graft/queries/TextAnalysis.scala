@@ -258,5 +258,61 @@ object TextAnalysis {
         |FROM doc""".stripMargin +
         orderAll("doc_id")))
 
-  def queries: Seq[GQuery] = Seq(xt1, xt2, xt3, xt4, xt5, xt6)
+  /** Heavy hitters, exact form: the top-10 tokens per language by
+    * corpus frequency (ties by term asc). The vanilla two-phase
+    * shape: partial-aggregated (lang, term) counts, one per-lang
+    * ranking window over the vocabulary-sized count table — never the
+    * token stream. Oracle-matched; xt8 is the sketch path whose
+    * shuffle stays constant-sized when the vocabulary doesn't.
+    */
+  val xt7 = GQuery(
+    "xt7_top_terms",
+    (s, d) => {
+      val c = Ctx(s, d)
+      val tf = c.documents
+        .select(col("lang"), explode(Llm.tokens(col("text"))).as("term"))
+        .groupBy("lang", "term").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("term").asc)
+      canonBy(tf.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 10), "lang", "rnk")
+    },
+    Some(
+      """WITH tok AS (
+        |  SELECT lang, t.term FROM documents,
+        |    UNNEST(list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS t(term)),
+        |tf AS (SELECT lang, term, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+        |r AS (SELECT lang, term, cnt,
+        |        CAST(row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, term ASC) AS INT) AS rnk
+        |      FROM tf)
+        |SELECT lang, term, cnt, rnk FROM r WHERE rnk <= 10""".stripMargin +
+        orderAll("lang", "rnk")))
+
+  /** Heavy hitters, sketch form: Misra-Gries summaries (capacity 256)
+    * per language via the FreqSketch Aggregator — map-side partials
+    * cap each task's contribution at 256 entries per language, so the
+    * exchange is groups × 256 rows regardless of vocabulary size (the
+    * exact xt7 shuffles the whole (lang, term) count table). The
+    * summary arrives sorted (est DESC, term ASC); top-10 is an array
+    * slice + posexplode — no ranking window at all. ⊘ rows-only
+    * (estimates are exact on this corpus — FreqSketchSpec proves
+    * xt8 == xt7 here, plus the MG error bound under forced pressure).
+    */
+  val xt8 = GQuery(
+    "xt8_top_terms_sketch",
+    (s, d) => {
+      val c = Ctx(s, d)
+      val sk = udaf(new graft.functions.FreqSketch(256),
+        org.apache.spark.sql.Encoders.STRING)
+      canonBy(c.documents
+        .select(col("lang"), explode(Llm.tokens(col("text"))).as("term"))
+        .groupBy("lang").agg(sk(col("term")).as("summary"))
+        .select(col("lang"),
+          posexplode(slice(col("summary"), 1, 10)).as(Seq("pos", "tc")))
+        .select(col("lang"), col("tc.term").as("term"),
+          col("tc.est").as("est"), (col("pos") + 1).cast("int").as("rnk")),
+        "lang", "rnk")
+    },
+    None)
+
+  def queries: Seq[GQuery] = Seq(xt1, xt2, xt3, xt4, xt5, xt6, xt7, xt8)
 }

@@ -144,4 +144,17 @@ class SketchRecallSpec extends AnyFunSuite {
       else hits.count(exact.contains).toDouble / hits.length
     assert(precision >= 0.9, s"simhash precision $precision")
   }
+
+  test("xi2 histogram quantiles bracket the exact order statistics") {
+    val res = Aggregates.xi2.fn(spark, sf).collect()
+      .map(r => (r.getDouble(0), r.getDouble(2), r.getDouble(3))) // q, lo, hi
+    assert(res.length == 5)
+    val prices = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_totalprice").collect().map(_.getDouble(0)).sorted
+    res.foreach { case (q, lo, hi) =>
+      val k = math.ceil(q * prices.length).toInt
+      val x = prices(k - 1) // the order statistic the quantile names
+      assert(x >= lo && x < hi, s"q=$q: exact $x outside bin [$lo,$hi)")
+    }
+  }
 }
