@@ -87,6 +87,42 @@ object Joins {
         orderAll("c_count", "custdist")),
     headline = true)
 
+  /** Full outer join — the one outer-join shape Q08 doesn't cover.
+    * Year-over-year customer reconciliation: per-customer order count
+    * and revenue for 1995 FULL OUTER JOIN the same for 1996, so
+    * customers active in only one year surface with NULLs on the other
+    * side (churn/acquisition analysis — both null directions are
+    * guaranteed non-empty in the data). The USING-style join coalesces
+    * the key identically in Spark and DuckDB. Both inputs are
+    * pre-aggregated to one row per customer BEFORE the join, so the
+    * full-outer shuffle moves two year-sized aggregates, not the fact
+    * table.
+    */
+  val q08b = GQuery(
+    "q08b_full_outer",
+    (s, d) => {
+      val c = Ctx(s, d)
+      def yr(y: Int) = c.orders
+        .filter(year(col("o_orderdate")) === y)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as(s"n_$y"), moneySum(col("o_totalprice")).as(s"rev_$y"))
+      canonBy(yr(1995).join(yr(1996), Seq("o_custkey"), "full_outer"),
+        "o_custkey")
+    },
+    Some(
+      """WITH a AS (
+        |  SELECT o_custkey, COUNT(*) AS n_1995,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS rev_1995
+        |  FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1995 GROUP BY 1),
+        |b AS (
+        |  SELECT o_custkey, COUNT(*) AS n_1996,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS rev_1996
+        |  FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1996 GROUP BY 1)
+        |SELECT COALESCE(a.o_custkey, b.o_custkey) AS o_custkey,
+        |  n_1995, rev_1995, n_1996, rev_1996
+        |FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey""".stripMargin +
+        orderAll("o_custkey")))
+
   val q09 = GQuery(
     "q09_semi_join",
     (s, d) => {
@@ -248,5 +284,5 @@ object Joins {
         orderAll("r1_name", "r2_name")))
 
   def queries: Seq[GQuery] =
-    Seq(q06, q07, q08, q09, q10, q11, q11b, q12, q13)
+    Seq(q06, q07, q08, q08b, q09, q10, q11, q11b, q12, q13)
 }

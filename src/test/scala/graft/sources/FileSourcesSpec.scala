@@ -84,4 +84,35 @@ class FileSourcesSpec extends AnyFunSuite {
     val plan = loaded.valid.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
+
+  /** Columnar lake formats: ORC round-trips the same data as parquet
+    * with identical query results, and filters/projections reach the
+    * ORC scan (PushedFilters + pruned ReadSchema) exactly as they do
+    * for parquet — format choice must not cost pushdown.
+    */
+  test("orc: parquet-equivalent round-trip with filter and column pushdown") {
+    import org.apache.spark.sql.functions._
+    val src = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    val dir = Files.createTempDirectory("graft_orc").toString
+    src.write.mode("overwrite").orc(s"$dir/orc")
+    src.write.mode("overwrite").parquet(s"$dir/pq")
+
+    def q(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("l_quantity") > 30)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+    val fromOrc = q(spark.read.orc(s"$dir/orc"))
+    val fromPq = q(spark.read.parquet(s"$dir/pq"))
+    assert(fromOrc.collect().toSeq == fromPq.collect().toSeq)
+
+    val scan = fromOrc.queryExecution.executedPlan.toString
+    assert(scan.contains("GreaterThan(l_quantity"),
+      s"filter not pushed to ORC scan:\n$scan")
+    // column pruning: the scan reads only the 4 referenced columns
+    // (q's 3 outputs + the filter column), never a wider schema
+    val readSchema = "ReadSchema: struct<l_orderkey"
+    assert(scan.contains(readSchema), s"no ReadSchema in plan:\n$scan")
+    assert(!scan.contains("l_comment"), s"ORC scan did not prune columns:\n$scan")
+  }
 }
