@@ -1,0 +1,34 @@
+package graft.queries
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The textual-SQL entry point must get the same physical treatment as
+  * the DataFrame API: small dimensions broadcast, selective filters
+  * reach the scans, and the plan stays inside whole-stage codegen.
+  */
+class SqlPlanSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q40: dimensions broadcast, date filter pushed to the orders scan") {
+    val df = Sql.q40.fn(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"dimension joins did not broadcast:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderdate)"),
+      s"o_orderdate filter not pushed down:\n$plan")
+    assert(df.collect().nonEmpty)
+  }
+
+  test("q40: region filter prunes before the join (no full region scan downstream)") {
+    val df = Sql.q40.fn(spark, sf)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    // Catalyst pushes r_name = 'ASIA' below the join: the filter must
+    // appear as a scan-level predicate, not a post-join Filter
+    assert(optimized.contains("ASIA"))
+    assert(df.queryExecution.executedPlan.toString
+      .contains("PushedFilters: [IsNotNull(r_name), EqualTo(r_name,ASIA)"),
+      "r_name filter not pushed to the region scan")
+  }
+}
