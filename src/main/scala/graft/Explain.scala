@@ -18,7 +18,9 @@ object Explain {
         "xp1_curation", "xt5_tfidf", "xs3_ann_quantized",
         "xc1_stratified_sample", "xc3_decontam", "xd6_incremental_dedup",
         "xp2_curation_full", "q11b_binned_range_join", "q16b_range_frames",
-        "xt6_lm_score", "xd7_semantic_dedup", "xi1_incremental_agg")
+        "xt6_lm_score", "xd7_semantic_dedup", "xi1_incremental_agg",
+        "xd9_edit_distance", "xi2_incremental_quantiles", "xt8_top_terms_sketch",
+        "q08b_full_outer", "q40_sql_tpch5")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -169,27 +169,45 @@ object Aggregates {
     * unpartitioned cumulative window and the 5-row quantile probe join
     * are sketch-side costs, constant in corpus size.
     */
+  /** Histogram bin width shared by xi2 and its streaming form. */
+  private[graft] val QuantileBinWidth = 1000.0
+
+  /** xi2 stage 2: quantiles from a merged (bin, cnt) histogram — also
+    * the read side of the STREAMING histogram log
+    * (streaming.StreamingOps.quantileReport), so the streamed result
+    * is bit-equal to the batch query by construction.
+    */
+  private[graft] def quantilesFromHist(
+      hist0: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val s = hist0.sparkSession
+    val W = QuantileBinWidth
+    // persist: three consumers (cumulative window, total, final join)
+    // would otherwise each re-run the upstream scan; the histogram is
+    // ~600 rows, so this pins the sketch, not data
+    val hist = hist0.persist()
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(
+      org.apache.spark.sql.expressions.Window.orderBy(col("bin"))))
+    val tot = hist.agg(sum(col("cnt")).as("n_total"))
+    val qs = s.range(1).select(explode(array(
+      lit(0.25), lit(0.5), lit(0.75), lit(0.9), lit(0.99))).as("q"))
+    val sel = qs.crossJoin(broadcast(tot))
+      .join(cum, col("cum") >= ceil(col("q") * col("n_total")).cast("long"))
+      .groupBy("q", "n_total").agg(min(col("bin")).as("bin"))
+    canon(sel.join(cum.select("bin", "cum"), "bin")
+      .select(col("q"), col("bin"), (col("bin") * W).as("lo"),
+        ((col("bin") + 1) * W).as("hi"), col("cum"), col("n_total")))
+  }
+
   val xi2 = GQuery(
     "xi2_incremental_quantiles",
     (s, d) => {
       val c = Ctx(s, d)
-      val W = 1000.0
       val partial = c.orders
         .withColumn("mon", date_trunc("month", col("o_orderdate")).cast("date"))
-        .withColumn("bin", floor(col("o_totalprice") / W).cast("long"))
+        .withColumn("bin",
+          floor(col("o_totalprice") / QuantileBinWidth).cast("long"))
         .groupBy("mon", "bin").agg(count(lit(1)).as("n"))
-      val hist = partial.groupBy("bin").agg(sum(col("n")).as("cnt"))
-      val cum = hist.withColumn("cum", sum(col("cnt")).over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("bin"))))
-      val tot = hist.agg(sum(col("cnt")).as("n_total"))
-      val qs = s.range(1).select(explode(array(
-        lit(0.25), lit(0.5), lit(0.75), lit(0.9), lit(0.99))).as("q"))
-      val sel = qs.crossJoin(broadcast(tot))
-        .join(cum, col("cum") >= ceil(col("q") * col("n_total")).cast("long"))
-        .groupBy("q", "n_total").agg(min(col("bin")).as("bin"))
-      canon(sel.join(cum.select("bin", "cum"), "bin")
-        .select(col("q"), col("bin"), (col("bin") * W).as("lo"),
-          ((col("bin") + 1) * W).as("hi"), col("cum"), col("n_total")))
+      quantilesFromHist(partial.groupBy("bin").agg(sum(col("n")).as("cnt")))
     },
     Some(
       """WITH h AS (SELECT CAST(FLOOR(o_totalprice / 1000.0) AS BIGINT) AS bin, COUNT(*) AS cnt

@@ -579,12 +579,17 @@ object Dedup {
     "xd9_edit_distance",
     (s, d) => editDistancePairs(Ctx(s, d).documents, 10),
     Some(
-      """WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  CAST(levenshtein(a.text, b.text) AS INT) AS dist
-        |FROM d a JOIN d b
-        |  ON a.doc_id < b.doc_id AND b.len BETWEEN a.len - 10 AND a.len + 10
-        |WHERE levenshtein(a.text, b.text) <= 10""".stripMargin +
+      // levenshtein is computed ONCE per banded pair (subquery), not
+      // re-evaluated in the WHERE clause — DuckDB runs the full
+      // O(len²) DP with no threshold cutoff, so each evaluation is
+      // ~100x Spark's banded-DP cost and doubling it matters
+      """WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+        |lv AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(levenshtein(a.text, b.text) AS INT) AS dist
+        |  FROM d a JOIN d b
+        |    ON a.doc_id < b.doc_id AND b.len BETWEEN a.len - 10 AND a.len + 10)
+        |SELECT doc_a, doc_b, dist FROM lv WHERE dist <= 10""".stripMargin +
         orderAll("doc_a", "doc_b")))
 
   def queries: Seq[GQuery] = Seq(xd1, xd2, xd3, xd4, xd6, xd9)

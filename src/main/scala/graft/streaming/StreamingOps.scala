@@ -141,6 +141,36 @@ object StreamingOps {
         min(col("mn")).as("min_price"),
         max(col("mx")).as("max_price"))
 
+  /** Streaming incremental quantiles — queries.Aggregates.xi2's
+    * streaming form, same lake-partial architecture as rollupSink:
+    * each micro-batch reduces to fixed-width (bin, n) histogram counts
+    * and lands in an append-only partial log partitioned by batch_id
+    * (idempotent under replay — a re-run batch overwrites its own
+    * partition, never double-counts). The report merges bins at read
+    * and runs xi2's OWN stage-2 (`Aggregates.quantilesFromHist`), so
+    * the streamed quantiles are bit-equal to the direct batch query
+    * over the same rows. The log stays bins×batches-sized; the
+    * streaming query is stateless.
+    */
+  def priceHistPartials(orders: DataFrame): DataFrame =
+    orders
+      .withColumn("bin",
+        floor(col("o_totalprice") / graft.queries.Aggregates.QuantileBinWidth)
+          .cast("long"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+
+  def histSink(orders: DataFrame, path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    orders.writeStream
+      .foreachBatch((df: DataFrame, id: Long) => writeBatch(priceHistPartials(df), id, path))
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  def quantileReport(partials: DataFrame): DataFrame =
+    graft.queries.Aggregates.quantilesFromHist(
+      partials.groupBy("bin").agg(sum(col("n")).as("cnt")))
+
   /** Stream-stream inner join: each click joined to the SAME USER's
     * view events that happen within the hour after the click. Both
     * sides carry watermarks and the join condition bounds event-time

@@ -26,6 +26,13 @@ for t in TABLES:
 # They remain fully checked at the sf0.01 correctness gate.
 SKIP = {"xd5_dedup_clusters"}
 
+# Known-slow oracles timed ONCE instead of warm-up + median-of-3:
+# xd9's 518k banded pairs each run DuckDB's full O(len^2) levenshtein
+# DP (no threshold cutoff exists there) — measured ~220 s/run at sf0.1
+# vs Spark's 1 s banded-DP plan, so the median protocol would cost 15
+# extra minutes to confirm a 200x pass margin.
+ONCE = {"xd9_edit_distance"}
+
 oracle = json.load(open(ORACLE))
 out = {}
 for name in sorted(oracle):
@@ -33,6 +40,11 @@ for name in sorted(oracle):
         continue
     sql = oracle[name]
     try:
+        if name in ONCE:
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            out[name] = round(time.perf_counter() - t0, 3)
+            continue
         con.execute(sql).fetchall()  # warm-up
         runs = []
         for _ in range(3):
