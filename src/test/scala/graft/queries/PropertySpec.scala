@@ -136,4 +136,57 @@ class PropertySpec extends AnyFunSuite {
         a.select($"k").distinct().count() + b.select($"k").distinct().count())
     }
   }
+
+  test("Misra-Gries bounds hold for random streams, chunkings, and caps") {
+    val streams = Gen.zip(
+      Gen.choose(4, 24), // cap
+      Gen.listOfN(400, Gen.frequency(
+        (6, Gen.const("hot")), (2, Gen.const("warm")),
+        (4, Gen.choose(0, 50).map(i => s"t$i")))))
+    forAll(streams, 8) { case (cap, stream) =>
+      val sk = new graft.functions.FreqSketch(cap)
+      // random chunking exercises merge paths, not just reduce
+      val chunks = stream.grouped(math.max(1, stream.size / 7)).toSeq
+      val merged = chunks
+        .map(c => c.foldLeft(sk.zero)(sk.reduce))
+        .reduce(sk.merge)
+      val truth = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = stream.size.toLong
+      val summary = sk.finish(merged).map(tc => tc.term -> tc.est).toMap
+      assert(summary.size <= cap)
+      summary.foreach { case (t, est) =>
+        assert(est <= truth(t), s"cap=$cap $t overestimated: $est > ${truth(t)}")
+        assert(est >= truth(t) - n / cap,
+          s"cap=$cap $t est $est below ${truth(t)} - ${n / cap}")
+      }
+      // every true heavy hitter (freq > N/cap) survives
+      truth.filter(_._2 > n / cap).keys.foreach { t =>
+        assert(summary.contains(t), s"cap=$cap heavy '$t' evicted")
+      }
+    }
+  }
+
+  test("z-values match an independent Scala reimplementation of the curve") {
+    val pts = Gen.listOfN(80,
+      Gen.zip(Gen.choose(0L, 1000L), Gen.choose(0L, 1000L)))
+    forAll(pts, 3) { data =>
+      val df = data.toDF("x", "y")
+      val got = df
+        .withColumn("z", graft.operators.ZOrder.zvalue(df, Seq("x", "y")))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val xs = data.map(_._1); val ys = data.map(_._2)
+      def scale(v: Long, mn: Long, mx: Long): Long = {
+        val range = if (mx > mn) (mx - mn).toDouble else 1.0
+        math.min(65535L, math.floor((v - mn) / range * 65536.0).toLong)
+      }
+      def interleave(a: Long, b: Long): Long =
+        (0 until 16).foldLeft(0L) { (acc, i) =>
+          acc | (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))
+        }
+      data.foreach { case (x, y) =>
+        val exp = interleave(scale(x, xs.min, xs.max), scale(y, ys.min, ys.max))
+        assert(got((x, y)) == exp, s"($x,$y): got ${got((x, y))}, expected $exp")
+      }
+    }
+  }
 }
