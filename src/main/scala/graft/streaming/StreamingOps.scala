@@ -171,6 +171,46 @@ object StreamingOps {
     graft.queries.Aggregates.quantilesFromHist(
       partials.groupBy("bin").agg(sum(col("n")).as("cnt")))
 
+  /** One (lang, term) token arrival for the streaming sketch. */
+  final case class LangTok(lang: String, term: String)
+
+  /** Per-language heavy-hitter snapshot after a micro-batch: `n` =
+    * tokens absorbed so far (monotone — the latest snapshot per lang
+    * is the one with max n), `top` = current top-k by (est DESC,
+    * term ASC).
+    */
+  final case class LangTops(lang: String, n: Long,
+      top: Seq[graft.functions.TermCount])
+
+  /** Streaming heavy hitters — xt8's Misra-Gries sketch maintained as
+    * STREAMING STATE: one capacity-`cap` summary per language lives in
+    * the state store, each micro-batch folds its tokens in via
+    * mapGroupsWithState, and the current top-k is emitted per updated
+    * key. Where the rollup/quantile operators keep their state in the
+    * LAKE (partial logs, stateless query), here the sketch IS the
+    * state — and stays cap-bounded per key by construction, so the
+    * state store holds ≤ groups × cap entries no matter how long the
+    * stream runs: the property that makes an unbounded top-k stream
+    * feasible at all. With cap ≥ the vocabulary the emitted top-k is
+    * EXACTLY the batch xt7 answer (HeavyHitterStreamSpec); under
+    * pressure the mergeable-MG error bound applies cumulatively.
+    */
+  def topTermsStream(toks: org.apache.spark.sql.Dataset[LangTok],
+      cap: Int, k: Int): org.apache.spark.sql.Dataset[LangTops] = {
+    import toks.sparkSession.implicits._
+    val sk = new graft.functions.FreqSketch(cap)
+    toks.groupByKey(_.lang)
+      .mapGroupsWithState[graft.functions.MGBuf, LangTops](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        (lang, it, state) =>
+          val buf = it.foldLeft(state.getOption.getOrElse(sk.zero)) {
+            (b, r) => sk.reduce(b, r.term)
+          }
+          state.update(buf)
+          LangTops(lang, buf.n, sk.finish(buf).take(k))
+      }
+  }
+
   /** Stream-stream inner join: each click joined to the SAME USER's
     * view events that happen within the hour after the click. Both
     * sides carry watermarks and the join condition bounds event-time
