@@ -1,0 +1,79 @@
+package graft.etl
+
+import java.io.File
+import java.nio.file.Files
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** MERGE semantics on the partitioned lake: matched keys replaced,
+  * unmatched inserted (including into brand-new partitions), untouched
+  * partitions' files physically untouched, and the whole merge
+  * idempotent under re-run.
+  */
+class UpsertSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def seed(path: String): Unit =
+    Seq(
+      (1L, 10L, "a", 1.0), (2L, 10L, "b", 2.0), (3L, 10L, "c", 3.0),
+      (4L, 20L, "d", 4.0), (5L, 20L, "e", 5.0),
+      (6L, 30L, "f", 6.0))
+      .toDF("event_id", "bucket", "payload", "value")
+      .write.partitionBy("bucket").parquet(path)
+
+  private def files(path: String, part: String): Map[String, Long] = {
+    val dir = new File(s"$path/$part")
+    dir.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified()).toMap
+  }
+
+  test("merge updates matched keys, inserts new, leaves the rest alone") {
+    val path = Files.createTempDirectory("upsert").toString + "/t"
+    seed(path)
+    val untouchedBefore = files(path, "bucket=30")
+
+    val source = Seq(
+      (2L, 10L, "B2", 20.0),  // update in bucket 10
+      (7L, 20L, "g", 7.0),    // insert into existing bucket 20
+      (8L, 40L, "h", 8.0))    // insert creating brand-new bucket 40
+      .toDF("event_id", "bucket", "payload", "value")
+
+    val stats = Upsert.merge(spark, path, source, Seq("event_id"), "bucket")
+    assert(stats == Upsert.MergeStats(partitionsTouched = 3, updated = 1, inserted = 2))
+
+    val got = spark.read.parquet(path)
+      .selectExpr("event_id", "payload", "value", "CAST(bucket AS BIGINT) AS bucket")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    assert(got == Set(
+      (1L, "a", 1.0, 10L), (2L, "B2", 20.0, 10L), (3L, "c", 3.0, 10L),
+      (4L, "d", 4.0, 20L), (5L, "e", 5.0, 20L), (7L, "g", 7.0, 20L),
+      (6L, "f", 6.0, 30L), (8L, "h", 8.0, 40L)))
+
+    // bucket=30 carried no source keys: its files must be byte-identical
+    assert(files(path, "bucket=30") == untouchedBefore,
+      "untouched partition was rewritten")
+
+    // idempotence: the same merge again changes nothing
+    val stats2 = Upsert.merge(spark, path, source, Seq("event_id"), "bucket")
+    assert(stats2.updated == 3 && stats2.inserted == 0)
+    val again = spark.read.parquet(path)
+      .selectExpr("event_id", "payload", "value", "CAST(bucket AS BIGINT) AS bucket")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    assert(again == got)
+  }
+
+  test("merge into an empty table is a plain partitioned insert") {
+    val path = Files.createTempDirectory("upsert-empty").toString + "/t"
+    new File(path).mkdirs()
+    val source = Seq((1L, 10L, "a", 1.0)).toDF("event_id", "bucket", "payload", "value")
+    val stats = Upsert.merge(spark, path, source, Seq("event_id"), "bucket")
+    assert(stats == Upsert.MergeStats(1, 0L, 1L))
+    assert(spark.read.parquet(path).count() == 1)
+  }
+}
