@@ -133,12 +133,17 @@ object Similarity {
     * Shared by the IVF top-k (xs2) and the IVF-blocked semantic dedup
     * (xd7).
     */
-  private[queries] def ivfRanked(e: org.apache.spark.sql.DataFrame)
+  /** Deterministic k-means over `train` (init = lowest-xxhash K-sample,
+    * LloydIters assignment/re-center passes), returned as a broadcast
+    * (cid, cv, cnrm2) table. Only K centroid rows ever reach the
+    * driver (bounded by the constant K, not the corpus).
+    */
+  private[queries] def trainCentroids(train: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val s = e.sparkSession
+    val s = train.sparkSession
     import s.implicits._
     // deterministic K-sample init
-    var centroids = e
+    var centroids = train
       .withColumn("h", xxhash64(col("vec_id")))
       .orderBy("h").limit(Cells)
       .select(col("v")).collect()
@@ -150,13 +155,13 @@ object Similarity {
         .withColumn("cnrm2", expr("vec_dot(cv, cv)")))
     }
     // argmin_c ||v-c||² = argmin_c (c·c - 2 v·c): v·v is constant per row
-    def assigned = e.crossJoin(centroidDf)
+    def assigned = train.crossJoin(centroidDf)
       .select(col("vec_id"), col("v"),
         col("cid"), (col("cnrm2") - lit(2.0) * expr("vec_dot(v, cv)")).as("dist"))
       .groupBy("vec_id")
       .agg(min_by(col("cid"), struct(col("dist"), col("cid"))).as("cid"))
     for (_ <- 1 to LloydIters) {
-      centroids = assigned.join(e, "vec_id")
+      centroids = assigned.join(train, "vec_id")
         .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("cid", "pos")
         .agg(round(avg("x"), 6).as("m"))
@@ -165,18 +170,27 @@ object Similarity {
         .collect()
         .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
     }
-    // One ranked pass over the final (vector × centroid) distances
-    // serves BOTH sides: rn == 1 is the cell assignment (the inverted
-    // file), rn <= NProbe is the probe list — no separate assignment
-    // aggregate or re-join against the vectors.
+    centroidDf
+  }
+
+  /** Rank `e`'s vectors against a trained centroid table: one pass
+    * over the (vector × centroid) distances, rn ascending by distance.
+    * rn == 1 is the cell assignment (the inverted file), rn <= NProbe
+    * the probe list.
+    */
+  private[queries] def rankAgainst(e: org.apache.spark.sql.DataFrame,
+      centroidDf: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
     e.crossJoin(centroidDf)
       .select(col("vec_id"), col("v"), col("nrm"),
         col("cid"), (col("cnrm2") - lit(2.0) * expr("vec_dot(v, cv)")).as("dist"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("dist").asc, col("cid").asc)))
       .filter(col("rn") <= NProbe)
-      .persist()
-  }
+
+  private[queries] def ivfRanked(e: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    rankAgainst(e, trainCentroids(e)).persist()
 
   /** e: (vec_id, v: array<double>, nrm). Returns top-k (vec_id,
     * neighbor_id, score) per vector among its probed cells.
@@ -318,5 +332,48 @@ object Similarity {
     (s, d) => canon(ivfPairs(s, d, 0.45)),
     None)
 
-  def queries: Seq[GQuery] = Seq(xs1, xs2, xs3, xd7)
+  /** Query-vs-corpus ANN retrieval — the production SERVING shape
+    * (xs1-xs3 are all-pairs analytics; real retrieval is a small query
+    * batch probing a standing index, the embedding analog of xd6's
+    * batch-vs-corpus dedup). Centroids are trained on the CORPUS ONLY
+    * (the index build); the inverted file is the corpus's rn==1 cell
+    * assignment; the query batch only ranks against the trained
+    * centroids and scores within its NProbe probed cells — corpus
+    * vectors outside them are never touched. At 100 TB the index
+    * (centroids + cell-partitioned assignments) is persisted once and
+    * incrementally appended, while each query batch reads only its
+    * probed cells' files (the partition-pruned layout ScaleOpsSpec
+    * pins). ⊘ rows-only; bipartite recall vs exact brute force is
+    * floored in SketchRecallSpec.
+    */
+  val xs4 = GQuery(
+    "xs4_ann_query",
+    (s, d) => {
+      val c = Ctx(s, d)
+      VectorOps.register(s)
+      val all = c.embeddings
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", sqrt(expr("vec_dot(v, v)")))
+      // corpus feeds k-means init, Lloyd passes, and the cell side
+      val corpus = all.filter(col("vec_id") % 20 =!= 0).persist()
+      val queries = all.filter(col("vec_id") % 20 === 0)
+      val cents = trainCentroids(corpus)
+      val cells = rankAgainst(corpus, cents).filter(col("rn") === 1)
+        .select(col("cid"), col("vec_id").as("neighbor_id"),
+          col("v").as("vb"), col("nrm").as("nb"))
+      val probes = rankAgainst(queries, cents)
+        .select(col("vec_id"), col("v").as("va"), col("nrm").as("na"), col("cid"))
+      val scored = probes.join(Scale.maybeBroadcast(cells), "cid")
+        .select(col("vec_id"), col("neighbor_id"),
+          round(expr("vec_dot(va, vb)") / (col("na") * col("nb")), 4).as("score"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("score").desc, col("neighbor_id").asc)
+      canon(scored
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select("vec_id", "neighbor_id", "score"))
+    },
+    None)
+
+  def queries: Seq[GQuery] = Seq(xs1, xs2, xs3, xs4, xd7)
 }

@@ -145,6 +145,32 @@ class SketchRecallSpec extends AnyFunSuite {
     assert(precision >= 0.9, s"simhash precision $precision")
   }
 
+  test("xs4 query-vs-corpus retrieval: recall >= 0.6 vs exact bipartite top-5") {
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorOps.register(spark)
+    val all = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(expr("vec_dot(v, v)")))
+    val corpus = all.filter(col("vec_id") % 20 =!= 0)
+      .select(col("vec_id").as("neighbor_id"), col("v").as("vb"), col("nrm").as("nb"))
+    val queries = all.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id"), col("v").as("va"), col("nrm").as("na"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    val exact = queries.crossJoin(corpus)
+      .select(col("vec_id"), col("neighbor_id"),
+        round(expr("vec_dot(va, vb)") / (col("na") * col("nb")), 4).as("score"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select("vec_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.xs4.fn(spark, sf).select("vec_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every result really comes from the corpus side
+    assert(approx.forall(_._2 % 20 != 0))
+    val recall = approx.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.6, s"bipartite recall $recall below 0.6")
+  }
+
   test("xi2 histogram quantiles bracket the exact order statistics") {
     val res = Aggregates.xi2.fn(spark, sf).collect()
       .map(r => (r.getDouble(0), r.getDouble(2), r.getDouble(3))) // q, lo, hi
