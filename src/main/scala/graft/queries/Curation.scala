@@ -254,5 +254,47 @@ object Curation {
         |FROM c""".stripMargin +
         orderAll("doc_id")))
 
-  def queries: Seq[GQuery] = Seq(xc1, xc2, xc3, xc4, xc5)
+  /** xc6: document chunking — fixed token windows (64) with stride 48
+    * (16-token overlap), the standard split step before embedding /
+    * context-window packing (xc5 consumes shapes like these). Pure
+    * per-row generator work: the window starts are a sequence() the
+    * scan-stage posexplode fans out, the chunk itself a slice() — zero
+    * shuffles, parallelism = input splits, linear at any corpus size.
+    * Deterministic chunk ids (ordinal of the start offset) make re-runs
+    * and retried partitions emit identical chunks. Oracle-matched.
+    */
+  val xc6 = GQuery(
+    "xc6_chunking",
+    (s, d) => {
+      val c = Ctx(s, d)
+      val W = 64
+      val S = 48
+      canonBy(
+        c.documents
+          .select(col("doc_id"), Llm.tokens(col("text")).as("toks"))
+          .select(col("doc_id"), col("toks"),
+            posexplode(expr(s"sequence(1, greatest(size(toks), 1), $S)"))
+              .as(Seq("chunk_id", "start")))
+          .select(col("doc_id"), col("chunk_id").cast("int").as("chunk_id"),
+            expr(s"slice(toks, start, $W)").as("chunk"))
+          .select(col("doc_id"), col("chunk_id"),
+            size(col("chunk")).cast("int").as("n_tokens"),
+            concat_ws(" ", col("chunk")).as("chunk_text")),
+        "doc_id", "chunk_id")
+    },
+    Some(
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |st AS (
+        |  SELECT doc_id, toks, u.start, CAST((u.start - 1) // 48 AS INT) AS chunk_id
+        |  FROM t, UNNEST(range(1, greatest(len(toks), 1) + 1, 48)) AS u(start))
+        |SELECT doc_id, chunk_id,
+        |  CAST(len(list_slice(toks, start, start + 63)) AS INT) AS n_tokens,
+        |  array_to_string(list_slice(toks, start, start + 63), ' ') AS chunk_text
+        |FROM st""".stripMargin +
+        orderAll("doc_id", "chunk_id")))
+
+  def queries: Seq[GQuery] = Seq(xc1, xc2, xc3, xc4, xc5, xc6)
 }

@@ -1,0 +1,45 @@
+package graft.queries
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Whole-registry plan hygiene — the two structural scale-killers are
+  * banned for EVERY declared query, not just the ones a reviewer
+  * happened to read:
+  *
+  *  - CartesianProduct: a non-broadcast cross product shuffles n×m
+  *    rows; every intended cross shape in the repo rides a broadcast
+  *    nested-loop join or an equi-key instead.
+  *  - data-sized global windows: a Window with an empty PARTITION BY
+  *    funnels the whole input through one task. The single whitelisted
+  *    case runs over a ~600-row histogram (sketch-sized by
+  *    construction, constant in corpus size).
+  *
+  * Building each query's DataFrame executes only driver-bounded prep
+  * (vocab probes, k-means on K rows); no query result is materialized.
+  */
+class RegistryPlanSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Global windows that are provably sketch-sized, not data-sized. */
+  private val globalWindowOk = Set("xi2_incremental_quantiles")
+
+  test("no declared query plans a CartesianProduct or a data-sized global window") {
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    Registry.all.foreach { q =>
+      val df = q.fn(spark, sf)
+      val physical = df.queryExecution.executedPlan.toString
+      if (physical.contains("CartesianProduct"))
+        offenders += s"${q.name}: CartesianProduct"
+      val globalWindows = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w
+      }
+      if (globalWindows.nonEmpty && !globalWindowOk(q.name))
+        offenders += s"${q.name}: global window"
+      spark.catalog.clearCache()
+    }
+    assert(offenders.isEmpty, s"plan hygiene violations:\n${offenders.mkString("\n")}")
+  }
+}
