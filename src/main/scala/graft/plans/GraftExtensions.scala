@@ -76,6 +76,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[VectorDot].getName, "vec_dot"),
         (exprs: Seq[Expression]) => VectorDot(exprs(0), exprs(1))))
     ext.injectFunction(
+      (new org.apache.spark.sql.catalyst.FunctionIdentifier("tokenize"),
+        new ExpressionInfo(classOf[graft.functions.Tokenize].getName, "tokenize"),
+        (exprs: Seq[Expression]) => graft.functions.Tokenize(exprs.head)))
+    ext.injectFunction(
       (new org.apache.spark.sql.catalyst.FunctionIdentifier("sorted_intersect_count"),
         new ExpressionInfo(classOf[graft.functions.SortedIntersectCount].getName,
           "sorted_intersect_count"),

@@ -14,9 +14,18 @@ object Llm {
 
   /** Tokenize: lowercase, split on non-alpha, drop empties — the exact
     * tokenization FIXTURES.md declares safe for the documents table.
+    * Runs as the fused single-pass graft.functions.Tokenize kernel
+    * (codegen; TextOpsSpec proves it equal to the declarative
+    * filter(split(lower(c), "[^a-z]+"), _ <> "") on ASCII input) —
+    * this call sits in the scan stage of every text-family query, so
+    * it IS the corpus-facing hot path. Registration is idempotent and
+    * keyed to the active session.
     */
-  def tokens(c: Column): Column =
-    filter(split(lower(c), "[^a-z]+"), t => t =!= "")
+  def tokens(c: Column): Column = {
+    graft.functions.TextOps.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("tokenize", c)
+  }
 
   val qx1 = GQuery(
     "qx1_exact_dedup",

@@ -1,0 +1,55 @@
+package graft.functions
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The fused Tokenize kernel must equal the declarative
+  * filter(split(lower(text), "[^a-z]+"), t -> t <> '') form on ASCII
+  * input — including punctuation runs, leading/trailing separators,
+  * all-separator strings, empty strings, and mixed case.
+  */
+class TextOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def hof(c: org.apache.spark.sql.Column) =
+    filter(split(lower(c), "[^a-z]+"), t => t =!= "")
+
+  private def both(strings: Seq[String]): Seq[(Seq[String], Seq[String])] = {
+    TextOps.register(spark)
+    strings.toDF("s")
+      .select(call_function("tokenize", col("s")).as("fast"), hof(col("s")).as("ref"))
+      .collect()
+      .map(r => (r.getSeq[String](0), r.getSeq[String](1)))
+      .toIndexedSeq
+  }
+
+  test("edge cases match the HOF reference") {
+    val cases = Seq(
+      "", " ", "...", "abc", "ABC", "a b c", "  leading", "trailing  ",
+      "Mixed CASE Words", "punct,sep;and--dashes", "digits123between456words",
+      "a", "Z", "a1b2c3", "\ttabs\nand\nnewlines\t", "ALLCAPS",
+      "repeated   spaces", "x" * 300)
+    both(cases).foreach { case (fast, ref) => assert(fast == ref) }
+  }
+
+  test("random ASCII strings match the HOF reference") {
+    val g = Gen.listOfN(200, Gen.listOfN(40,
+      Gen.frequency(
+        (8, Gen.alphaChar), (2, Gen.oneOf(' ', '.', ',', '1', '-', '\t'))))
+      .map(_.mkString))
+    val strings = g.apply(Gen.Parameters.default, Seed(7L)).get
+    both(strings).foreach { case (fast, ref) => assert(fast == ref) }
+  }
+
+  test("null propagates") {
+    TextOps.register(spark)
+    val r = Seq[Option[String]](None, Some("a b")).toDF("s")
+      .select(call_function("tokenize", col("s"))).collect()
+    assert(r(0).isNullAt(0))
+    assert(r(1).getSeq[String](0) == Seq("a", "b"))
+  }
+}
