@@ -95,8 +95,99 @@ object Tokenize {
 }
 
 object TextOps {
-  /** Expose as the SQL function `tokenize(text)`; idempotent. */
-  def register(spark: SparkSession): Unit =
+  /** Expose `tokenize(text)` and `shingle_hash(toks, n)` (n must be a
+    * literal); idempotent per session.
+    */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "tokenize", exprs => Tokenize(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingle_hash", exprs => ShingleHash(exprs.head,
+        exprs(1).eval().asInstanceOf[Int]), "built-in")
+  }
+}
+
+/** Distinct hashed n-shingles of a token array in one pass — the
+  * candidate-key projection of the order-sensitive dedup family
+  * (xd3's scan stage). The declarative form,
+  *
+  *   array_distinct(transform(sequence(1, size(toks)-n+1),
+  *     i -> xxhash64(concat_ws(' ', slice(toks, i, n))))),
+  *
+  * materializes per shingle: a sequence array, a sliced sub-array, a
+  * concatenated UTF8String, and an interpreted lambda frame — then a
+  * second array_distinct pass. This kernel writes each shingle's
+  * bytes into one reusable buffer, hashes with the same XXH64
+  * (seed 42) xxhash64 uses — so outputs are IDENTICAL longs, spec'd
+  * in TextOpsSpec — and dedups during emission (first-occurrence
+  * order, matching array_distinct). Fewer than n tokens → empty.
+  */
+case class ShingleHash(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n >= 1, "shingle width must be >= 1")
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"shingle_hash expects ARRAY<STRING>, got ${other.sql}")
+    }
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleHash.hashes(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleHash.hashes($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHash =
+    copy(child = newChild)
+}
+
+object ShingleHash {
+
+  /** Static kernel (called from generated code): distinct xxhash64 of
+    * each n-token window joined with ' ', first-occurrence order.
+    */
+  def hashes(toks: org.apache.spark.sql.catalyst.util.ArrayData,
+      n: Int): GenericArrayData = {
+    val m = toks.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[Long])
+    val words = new Array[Array[Byte]](m)
+    var i = 0
+    while (i < m) { words(i) = toks.getUTF8String(i).getBytes; i += 1 }
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var buf = new Array[Byte](64)
+    i = 0
+    while (i <= m - n) {
+      var len = n - 1 // separators
+      var j = 0
+      while (j < n) { len += words(i + j).length; j += 1 }
+      if (buf.length < len) buf = new Array[Byte](len * 2)
+      var off = 0
+      j = 0
+      while (j < n) {
+        if (j > 0) { buf(off) = ' '; off += 1 }
+        val w = words(i + j)
+        System.arraycopy(w, 0, buf, off, w.length)
+        off += w.length
+        j += 1
+      }
+      seen.add(org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+          len, 42L))
+      i += 1
+    }
+    val out = new Array[Long](seen.size())
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
 }

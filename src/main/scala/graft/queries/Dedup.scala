@@ -452,12 +452,15 @@ object Dedup {
     // global rarity order, then verify survivors exactly; measured
     // slower here because its two ranking windows exceed the whole
     // join's cost at 5k docs.)
+    // shingle ids come from the fused ShingleHash kernel (one pass,
+    // identical longs to the declarative xxhash64-over-concat form —
+    // TextOpsSpec) instead of an interpreted transform + array_distinct
+    graft.functions.TextOps.register(docs.sparkSession)
     val base = docs
       .select(col("doc_id"), Llm.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), expr(
-        "array_distinct(transform(sequence(1, size(toks) - 2), i -> xxhash64(concat_ws(' ', slice(toks, i, 3)))))")
-        .as("sids"))
+      .select(col("doc_id"),
+        call_function("shingle_hash", col("toks"), lit(3)).as("sids"))
       .select(col("doc_id"), size(col("sids")).as("sz"), col("sids"))
       .persist()
     val sh = base.select(col("doc_id"), col("sz"), explode(col("sids")).as("sid"))

@@ -52,4 +52,26 @@ class TextOpsSpec extends AnyFunSuite {
     assert(r(0).isNullAt(0))
     assert(r(1).getSeq[String](0) == Seq("a", "b"))
   }
+
+  test("shingle_hash equals the declarative xxhash64-over-concat form") {
+    TextOps.register(spark)
+    val g = Gen.listOfN(120, Gen.choose(0, 12).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf("key", "agg", "row", "scan", "slow",
+        "fast", "table", "value", "part", "hash"))))
+    val arrays = g.apply(Gen.Parameters.default, Seed(11L)).get ++
+      Seq(Nil, List("one"), List("one", "two"), List("a", "a", "a", "a"))
+    val rows = arrays.map(a => Tuple1(a)).toDF("toks")
+      .select(
+        call_function("shingle_hash", col("toks"), lit(3)).as("fast"),
+        expr("CASE WHEN size(toks) < 3 THEN array() " +
+          "ELSE array_distinct(transform(sequence(1, size(toks) - 2), " +
+          "i -> xxhash64(concat_ws(' ', slice(toks, i, 3))))) END").as("ref"),
+        size(col("toks")).as("m"))
+      .collect()
+    rows.foreach { r =>
+      val fast = r.getSeq[Long](0)
+      val ref = if (r.getInt(2) < 3) Seq.empty[Long] else r.getSeq[Long](1)
+      assert(fast == ref, s"m=${r.getInt(2)}")
+    }
+  }
 }
