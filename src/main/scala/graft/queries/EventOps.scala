@@ -118,5 +118,72 @@ object EventOps {
         |FROM s GROUP BY user_id, sid""".stripMargin +
         orderAll("user_id", "session_start", "session_end", "n_events")))
 
-  def queries: Seq[GQuery] = Seq(q29, q30, q31, q32)
+  /** Time-series resampling with forward fill: each user's irregular
+    * event stream re-gridded to hourly points from their first to last
+    * hour, carrying (a) the hour's event count and (b) the last
+    * observed value carried forward across empty hours (LOCF) — the
+    * classic gap-filling step before any per-entity time-series
+    * modeling.
+    *
+    * Plan shape: ONE aggregation (per-(user, hour) count + a
+    * deterministic max_by last observation — the table of observed
+    * hours, ≤ one row per event), one per-user lead() window over
+    * those observed hours, then the gap to each next observation is
+    * sequence()'d and exploded WITH the fill value carried on the row
+    * — so the forward fill falls out of the generator and the
+    * 10×-bigger grid never passes through a join or a window. Every
+    * stage is partitioned by user; the explode is the last narrow op
+    * before the canonical sort. Oracle-matched.
+    */
+  val q41 = GQuery(
+    "q41_resample_ffill",
+    (s, d) => {
+      val c = Ctx(s, d)
+      val ev = c.events.select(col("user_id"), col("ts"), col("event_id"),
+        dec(col("value")).as("v"))
+      val hourly = ev
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n_events"),
+          max_by(col("v"), struct(col("ts"), col("event_id"))).as("last_v"))
+      val nxt = hourly.withColumn("h_next",
+        lead(col("h"), 1).over(Window.partitionBy("user_id").orderBy("h")))
+      canonBy(nxt
+        .select(col("user_id"), col("h"), col("n_events"), col("last_v"),
+          explode(expr(
+            "sequence(h, coalesce(h_next - interval 1 hour, h), interval 1 hour)"))
+            .as("grid_ts"))
+        .select(col("user_id"), col("grid_ts"),
+          when(col("grid_ts") === col("h"), col("n_events")).otherwise(0L)
+            .as("n_events"),
+          col("last_v").cast("double").as("value_ffill")),
+        "user_id", "grid_ts")
+    },
+    Some(
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |    CAST(value AS DECIMAL(18,4)) AS v
+        |  FROM events),
+        |s AS (SELECT user_id, date_trunc('hour', min(ts)) AS h0,
+        |        date_trunc('hour', max(ts)) AS h1
+        |      FROM e GROUP BY 1),
+        |g AS (SELECT user_id, u.g AS grid_ts
+        |      FROM s, UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS u(g)),
+        |r AS (SELECT user_id, date_trunc('hour', ts) AS grid_ts, v,
+        |        ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+        |                           ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM e),
+        |cnts AS (SELECT user_id, grid_ts, COUNT(*) AS n_events FROM r GROUP BY 1, 2),
+        |lastv AS (SELECT user_id, grid_ts, v FROM r WHERE rn = 1),
+        |j AS (SELECT g.user_id, g.grid_ts,
+        |        CAST(COALESCE(c.n_events, 0) AS BIGINT) AS n_events, l.v
+        |      FROM g LEFT JOIN cnts c ON g.user_id = c.user_id AND g.grid_ts = c.grid_ts
+        |      LEFT JOIN lastv l ON g.user_id = l.user_id AND g.grid_ts = l.grid_ts)
+        |SELECT user_id, grid_ts, n_events,
+        |  CAST(last_value(v IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY grid_ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS value_ffill
+        |FROM j""".stripMargin +
+        orderAll("user_id", "grid_ts")))
+
+  def queries: Seq[GQuery] = Seq(q29, q30, q31, q32, q41)
 }
