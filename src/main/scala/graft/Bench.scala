@@ -68,12 +68,35 @@ object Bench {
       spark.catalog.clearCache()
       q.name -> t
     }
+    // The driver keeps only the LAST 2000 chars of stdout and parses the
+    // JSON line out of that window. Full query names (~2300 chars for the
+    // 94-query surface) overflow it — rounds 1/3/4 all recorded
+    // "parsed": null. Emit short ids (the unique prefix before the first
+    // '_', e.g. q11b/xd3/qx2 — the same ids BASELINE.md §2 budgets use),
+    // keep the line < 1400 chars, write the full-name map to
+    // bench/driver_last.json, and print the line AFTER spark.stop() so
+    // no shutdown log can land behind it.
+    val shortIds = results.map(_._1.takeWhile(_ != '_'))
+    require(shortIds.distinct.size == shortIds.size,
+      s"short query ids collide: ${shortIds.diff(shortIds.distinct).distinct}")
     val qs = results
+      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val fullQs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    try {
+      val full =
+        f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$fullQs,"sf":"$sfDir"}"""
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench/driver_last.json"),
+        (full + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () } // reporting must not fail the bench
     spark.stop()
+    println(line)
+    System.out.flush()
   }
 }

@@ -36,29 +36,47 @@ object Upsert {
   def merge(spark: SparkSession, path: String, source: DataFrame,
       keys: Seq[String], partitionCol: String): MergeStats = {
     import org.apache.spark.sql.functions.col
-    // touched partitions: bounded by the source's partition spread
-    val touched = source.select(partitionCol).distinct()
-      .collect().map(_.get(0).toString).sorted
-    val existing = touched.filter(v =>
-      new File(s"$path/$partitionCol=$v").isDirectory)
-    // basePath keeps the partition column when reading subdirectories
+    // Materialize the source ONCE up front: stats, the anti-join, and
+    // the written union must all see the same rows even if `source` is
+    // non-deterministic or itself derived from the lake being rewritten.
+    val src = source.persist()
+    val sourceRows = src.count()
+    // Touched partitions, kept as TYPED values (never .toString): the
+    // target slice is selected with a DataFrame filter on the partition
+    // column, so Spark's partition pruning + its own path escaping
+    // apply. Hand-built `$path/$col=$v` dirs miss values Spark escapes
+    // on write (space, ':', '%', '/') and the null partition
+    // (__HIVE_DEFAULT_PARTITION__) — rows in a missed partition would
+    // silently vanish from the merge output.
+    val touchedRows = src.select(partitionCol).distinct().collect()
+    val touched = touchedRows.map(_.get(0)).filter(_ != null)
+    val hasNullPart = touchedRows.exists(_.isNullAt(0))
+    val lakeFiles = Option(new File(path).listFiles()).getOrElse(Array.empty)
     val target =
-      if (existing.isEmpty) None
-      else Some(spark.read.option("basePath", path)
-        .parquet(existing.map(v => s"$path/$partitionCol=$v").toIndexedSeq: _*))
-    // survivors: touched-partition rows NOT replaced by a source key
-    val survivors = target.map(_.join(source.select(keys.map(col): _*), keys, "left_anti"))
-    val out = survivors match {
-      case Some(s) => s.unionByName(source)
-      case None => source
-    }
+      if (!lakeFiles.exists(_.getName.startsWith(s"$partitionCol="))) None
+      else {
+        val pc = col(partitionCol)
+        val inTouched = Option.when(touched.nonEmpty)(pc.isin(touched.toIndexedSeq: _*))
+        val isNullPart = Option.when(hasNullPart)(pc.isNull)
+        (inTouched ++ isNullPart).reduceOption(_ || _)
+          .map(spark.read.parquet(path).filter(_))
+      }
+    // survivors: touched-partition rows NOT replaced by a source key.
+    // persist + count BEFORE the overwrite — the write's input must not
+    // lazily re-read the very partitions dynamic overwrite is replacing
+    // (committer/FS-timing dependent otherwise).
+    val survivors = target.map(
+      _.join(src.select(keys.map(col).toIndexedSeq: _*), keys, "left_anti").persist())
     val targetRows = target.map(_.count()).getOrElse(0L)
     val survivorRows = survivors.map(_.count()).getOrElse(0L)
+    val out = survivors.map(_.unionByName(src)).getOrElse(src)
     out.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCol)
       .parquet(path)
+    survivors.foreach(_.unpersist())
+    src.unpersist()
     val updated = targetRows - survivorRows
-    MergeStats(touched.length, updated, source.count() - updated)
+    MergeStats(touchedRows.length, updated, sourceRows - updated)
   }
 }

@@ -6,10 +6,15 @@ import org.apache.spark.sql.expressions.Aggregator
 /** One (term, est) entry of a frequent-items summary. */
 case class TermCount(term: String, est: Long)
 
-/** Misra-Gries buffer: parallel arrays, unsorted (insertion order);
-  * the total count feeds the merged error bound N/cap.
+/** Misra-Gries buffer: term -> running count, plus the total token
+  * count `n` feeding the merged error bound N/cap. Backed by a hash
+  * map so the per-token hot path is O(1) expected — a parallel-array
+  * buffer would pay an O(cap) string scan per token plus a full copy
+  * per new term, on exactly the path the sketch exists to optimize.
+  * Immutable: reduce/merge never alias or mutate an input buffer, so
+  * any merge order / buffer reuse by the aggregation iterator is safe.
   */
-case class MGBuf(terms: Array[String], counts: Array[Long], n: Long)
+case class MGBuf(m: Map[String, Long], n: Long)
 
 /** Misra-Gries frequent-items sketch as a typed [[Aggregator]] — the
   * heavy-hitters scale path. A capacity-`cap` summary guarantees, for
@@ -37,56 +42,44 @@ case class MGBuf(terms: Array[String], counts: Array[Long], n: Long)
   */
 class FreqSketch(cap: Int) extends Aggregator[String, MGBuf, Seq[TermCount]] {
 
-  override def zero: MGBuf = MGBuf(Array.empty, Array.empty, 0L)
+  override def zero: MGBuf = MGBuf(Map.empty, 0L)
 
-  override def reduce(b: MGBuf, term: String): MGBuf = {
-    val idx = b.terms.indexOf(term)
-    if (idx >= 0) {
-      b.counts(idx) += 1 // in-place: Spark owns the buffer between calls
-      MGBuf(b.terms, b.counts, b.n + 1)
-    } else if (b.terms.length < cap) {
-      MGBuf(b.terms :+ term, b.counts :+ 1L, b.n + 1)
-    } else {
-      // MG decrement step: every counter down one, drop the zeros.
-      // The arriving term is "absorbed" by the decrement (not stored).
-      val keep = Array.newBuilder[Int]
-      var i = 0
-      while (i < b.counts.length) {
-        if (b.counts(i) > 1) keep += i
-        i += 1
-      }
-      val ks = keep.result()
-      MGBuf(ks.map(b.terms), ks.map(b.counts(_) - 1), b.n + 1)
+  override def reduce(b: MGBuf, term: String): MGBuf =
+    b.m.get(term) match {
+      case Some(c) => MGBuf(b.m.updated(term, c + 1), b.n + 1)
+      case None if b.m.size < cap =>
+        MGBuf(b.m.updated(term, 1L), b.n + 1)
+      case None =>
+        // MG decrement step: every counter down one, drop the zeros.
+        // The arriving term is "absorbed" by the decrement (not stored).
+        val dec = b.m.collect { case (t, c) if c > 1 => t -> (c - 1) }
+        MGBuf(dec, b.n + 1)
     }
-  }
 
   override def merge(x: MGBuf, y: MGBuf): MGBuf = {
-    if (y.terms.isEmpty) return MGBuf(x.terms, x.counts, x.n + y.n)
-    if (x.terms.isEmpty) return MGBuf(y.terms, y.counts, x.n + y.n)
-    val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-    var i = 0
-    while (i < x.terms.length) { m.update(x.terms(i), x.counts(i)); i += 1 }
-    i = 0
-    while (i < y.terms.length) {
-      m.update(y.terms(i), m.getOrElse(y.terms(i), 0L) + y.counts(i))
-      i += 1
+    if (y.m.isEmpty) return MGBuf(x.m, x.n + y.n)
+    if (x.m.isEmpty) return MGBuf(y.m, x.n + y.n)
+    val combined = y.m.foldLeft(x.m) { case (acc, (t, c)) =>
+      acc.updated(t, acc.getOrElse(t, 0L) + c)
     }
-    if (m.size > cap) {
-      // subtract the (cap+1)-th largest count from everything; at most
-      // cap entries stay strictly positive
-      val cut = m.values.toArray.sorted(Ordering[Long].reverse).apply(cap)
-      m.mapValuesInPlace((_, v) => v - cut)
-      m.filterInPlace((_, v) => v > 0)
-    }
-    MGBuf(m.keys.toArray, m.values.toArray, x.n + y.n)
+    val trimmed =
+      if (combined.size <= cap) combined
+      else {
+        // subtract the (cap+1)-th largest count from everything; at
+        // most cap entries stay strictly positive
+        val cut = combined.values.toArray
+          .sorted(Ordering[Long].reverse).apply(cap)
+        combined.collect { case (t, c) if c > cut => t -> (c - cut) }
+      }
+    MGBuf(trimmed, x.n + y.n)
   }
 
   /** Summary sorted by (est DESC, term ASC) — a deterministic order of
     * the retained entries, ready for slice-based top-k.
     */
   override def finish(b: MGBuf): Seq[TermCount] =
-    b.terms.indices
-      .map(i => TermCount(b.terms(i), b.counts(i)))
+    b.m.toSeq
+      .map { case (t, c) => TermCount(t, c) }
       .sortBy(tc => (-tc.est, tc.term))
 
   override def bufferEncoder: Encoder[MGBuf] = Encoders.product[MGBuf]

@@ -30,33 +30,47 @@ import org.apache.spark.sql.functions._
   */
 object ZOrder {
 
-  private val Bits = 16 // 16 bits/dim: up to 4 dims in one BIGINT code
+  private val Bits = 16 // bits/dim at 2-3 dims; 15 at 4 (see below)
 
   /** The Morton code of `cols` (2-4 columns), each min/max-scaled to
-    * [0, 2^16). Bit i of dim d lands at position i*dims + d — dims
+    * [0, 2^bits). Bit i of dim d lands at position i*dims + d — dims
     * interleaved coarsest-bit-first so the curve is the standard
-    * Z-curve.
+    * Z-curve. At 4 dims only 15 bits/dim are used: 4x16 would put the
+    * top interleaved bit at position 63 — the BIGINT sign bit — making
+    * half the curve negative and splitting it under the signed
+    * range-sort (the boundary file would get a full-width bounding
+    * box).
     */
   def zvalue(df: DataFrame, cols: Seq[String]): Column = {
     require(cols.size >= 2 && cols.size <= 4, "z-order needs 2-4 columns")
     val dims = cols.size
+    val bits = if (dims == 4) 15 else Bits
     // one partial-aggregated pass for the per-column bounds
     val aggCols = cols.zipWithIndex.flatMap { case (c, i) =>
       Seq(min(col(c)).cast("double").as(s"mn$i"),
         max(col(c)).cast("double").as(s"mx$i"))
     }
     val bounds = df.agg(aggCols.head, aggCols.tail.toIndexedSeq: _*).head()
-    val grid = (1 << Bits) - 1
+    // empty input or an all-null column yields null bounds: degrade to
+    // a degenerate [0,0] range instead of an NPE — every row (if any)
+    // lands in grid cell 0 for that dim.
+    def bound(i: Int): Double =
+      if (bounds.isNullAt(i)) 0.0 else bounds.getDouble(i)
+    val grid = (1 << bits) - 1
     val scaled = cols.zipWithIndex.map { case (c, d) =>
-      val mn = bounds.getDouble(2 * d)
-      val mx = bounds.getDouble(2 * d + 1)
+      val mn = bound(2 * d)
+      val mx = bound(2 * d + 1)
       val range = if (mx > mn) mx - mn else 1.0
+      // null cells cluster at grid 0 (coalesce to mn) — a deterministic
+      // placement; least() would otherwise skip the null and send them
+      // to the far end of the curve.
       least(lit(grid),
-        floor((col(c).cast("double") - lit(mn)) / lit(range) * lit(grid + 1)))
+        floor((coalesce(col(c).cast("double"), lit(mn)) - lit(mn))
+          / lit(range) * lit(grid + 1)))
         .cast("long")
     }
     // interleave: OR together each dim's bit i shifted to i*dims + d
-    (0 until Bits).flatMap { i =>
+    (0 until bits).flatMap { i =>
       scaled.zipWithIndex.map { case (s, d) =>
         shiftleft(shiftright(s, i).bitwiseAND(lit(1L)), i * dims + d)
       }

@@ -85,7 +85,7 @@ object Curation {
     (s, d) => {
       val c = Ctx(s, d)
       val base = c.documents
-        .select(col("doc_id"), col("lang"), Llm.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("lang"), Llm.tokens(s, col("text")).as("toks"))
         .filter(size(col("toks")) >= 2)
         .withColumn("bg", expr(
           "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))"))
@@ -128,7 +128,7 @@ object Curation {
     * same keys) per document.
     */
   private def shingles(docs: org.apache.spark.sql.DataFrame) =
-    docs.select(col("doc_id"), Llm.tokens(col("text")).as("toks"))
+    docs.select(col("doc_id"), Llm.tokens(docs.sparkSession, col("text")).as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(expr(
         "array_distinct(transform(sequence(0, size(toks) - 3), " +
@@ -230,7 +230,7 @@ object Curation {
       val budget = 2048
       val t = c.documents.select(
         col("doc_id"), col("lang"), drawOf(col("doc_id")).as("draw"),
-        size(Llm.tokens(col("text"))).cast("long").as("n_tokens"))
+        size(Llm.tokens(s, col("text"))).cast("long").as("n_tokens"))
       val w = Window.partitionBy("lang").orderBy(col("draw"), col("doc_id"))
       canonBy(
         t.withColumn("cum", sum(col("n_tokens")).over(w))
@@ -271,7 +271,7 @@ object Curation {
       val S = 48
       canonBy(
         c.documents
-          .select(col("doc_id"), Llm.tokens(col("text")).as("toks"))
+          .select(col("doc_id"), Llm.tokens(s, col("text")).as("toks"))
           .select(col("doc_id"), col("toks"),
             posexplode(expr(s"sequence(1, greatest(size(toks), 1), $S)"))
               .as(Seq("chunk_id", "start")))

@@ -68,7 +68,7 @@ object Dedup {
   private[queries] def setGroups(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"),
-        sort_array(array_distinct(Llm.tokens(col("text")))).as("toks"))
+        sort_array(array_distinct(Llm.tokens(docs.sparkSession, col("text")))).as("toks"))
       .groupBy("toks")
       .agg(sort_array(collect_list("doc_id")).as("ids"))
       .withColumn("gid", xxhash64(col("toks")))
@@ -457,7 +457,7 @@ object Dedup {
     // TextOpsSpec) instead of an interpreted transform + array_distinct
     graft.functions.TextOps.register(docs.sparkSession)
     val base = docs
-      .select(col("doc_id"), Llm.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), Llm.tokens(docs.sparkSession, col("text")).as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"),
         call_function("shingle_hash", col("toks"), lit(3)).as("sids"))

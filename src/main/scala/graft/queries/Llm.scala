@@ -19,11 +19,13 @@ object Llm {
     * filter(split(lower(c), "[^a-z]+"), _ <> "") on ASCII input) —
     * this call sits in the scan stage of every text-family query, so
     * it IS the corpus-facing hot path. Registration is idempotent and
-    * keyed to the active session.
+    * keyed to the session the plan is BUILT against — callers thread
+    * their session explicitly (SparkSession.active can differ from the
+    * GQuery session in multi-session use, and then call_function
+    * would fail to resolve at analysis).
     */
-  def tokens(c: Column): Column = {
-    graft.functions.TextOps.register(
-      org.apache.spark.sql.SparkSession.active)
+  def tokens(s: org.apache.spark.sql.SparkSession, c: Column): Column = {
+    graft.functions.TextOps.register(s)
     call_function("tokenize", c)
   }
 
@@ -73,7 +75,7 @@ object Llm {
       // vocabulary probe: one bounded action — 65 rows cap no matter
       // the corpus; full vocab is only ever collected when <= 64.
       val probe = c.documents
-        .select(explode(tokens(col("text"))).as("token"))
+        .select(explode(tokens(s, col("text"))).as("token"))
         .distinct().limit(65).as[String].collect()
       if (probe.length > 64) {
         val pairs = Dedup.exactJaccardPairs(Dedup.setGroups(c.documents), 0.8)
@@ -89,7 +91,7 @@ object Llm {
         val mapSql = probe.sorted.zipWithIndex
           .map { case (t, i) => s"'$t', $i" }.mkString("map(", ", ", ")")
         val masks = c.documents
-          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .select(col("doc_id"), tokens(s, col("text")).as("toks"))
           .select(col("doc_id"), expr(
             s"""aggregate(toks, CAST(0 AS BIGINT),
                |  (m, t) -> m | shiftleft(CAST(1 AS BIGINT), $mapSql[t]))"""
@@ -204,7 +206,7 @@ object Llm {
     "qx4_text_stats",
     (s, d) => {
       val c = Ctx(s, d)
-      val toks = c.documents.withColumn("n_tokens", size(tokens(col("text"))))
+      val toks = c.documents.withColumn("n_tokens", size(tokens(s, col("text"))))
       val base = toks.groupBy("lang").agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_chars")).cast("double").as("sum_chars"),

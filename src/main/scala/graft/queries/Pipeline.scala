@@ -29,7 +29,7 @@ object Pipeline {
     (s, d) => {
       val c = Ctx(s, d)
       val feat = c.documents
-        .withColumn("toks", Llm.tokens(col("text")))
+        .withColumn("toks", Llm.tokens(s, col("text")))
         .select(
           col("doc_id"), col("lang"),
           md5(col("text").cast("binary")).as("h"),
@@ -119,7 +119,7 @@ object Pipeline {
       // sf0.1). What's cached is features-not-text — a few dozen
       // bytes per doc, so at 100 TB it's a tiny fraction of the corpus.
       val feat = c.documents
-        .withColumn("toks", Llm.tokens(col("text")))
+        .withColumn("toks", Llm.tokens(s, col("text")))
         .withColumn("bg", expr(
           "CASE WHEN size(toks) >= 2 THEN transform(sequence(0, size(toks) - 2), " +
             "i -> concat(toks[i], ' ', toks[i + 1])) ELSE array() END"))
@@ -145,7 +145,7 @@ object Pipeline {
       // decouples the one text-shingling pass from the gate chain so
       // the expensive join runs once instead of once per report branch.
       def sh(df: org.apache.spark.sql.DataFrame) =
-        df.select(col("doc_id"), Llm.tokens(col("text")).as("toks"))
+        df.select(col("doc_id"), Llm.tokens(df.sparkSession, col("text")).as("toks"))
           .filter(size(col("toks")) >= 3)
           .select(col("doc_id"), explode(expr(
             "array_distinct(transform(sequence(0, size(toks) - 3), " +

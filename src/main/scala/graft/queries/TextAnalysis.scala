@@ -17,7 +17,7 @@ object TextAnalysis {
     (s, d) => {
       val c = Ctx(s, d)
       canonBy(c.documents
-        .withColumn("toks", Llm.tokens(col("text")))
+        .withColumn("toks", Llm.tokens(s, col("text")))
         .select(
           col("doc_id"),
           col("n_chars"),
@@ -48,7 +48,7 @@ object TextAnalysis {
     (s, d) => {
       val c = Ctx(s, d)
       val fp = c.documents
-        .withColumn("toks", Llm.tokens(col("text")))
+        .withColumn("toks", Llm.tokens(s, col("text")))
         .withColumn("fingerprint", expr(
           """aggregate(toks, CAST(0 AS BIGINT),
             |  (acc, t) -> (acc * 31 + length(t) * 131 + ascii(t)) % 1000000007)"""
@@ -121,7 +121,7 @@ object TextAnalysis {
     (s, d) => {
       val c = Ctx(s, d)
       canon(c.documents
-        .withColumn("toks", Llm.tokens(col("text")))
+        .withColumn("toks", Llm.tokens(s, col("text")))
         .groupBy("source")
         .agg(
           count(lit(1)).as("n_docs"),
@@ -158,7 +158,7 @@ object TextAnalysis {
     (s, d) => {
       val c = Ctx(s, d)
       val tok = c.documents
-        .select(col("doc_id"), explode(Llm.tokens(col("text"))).as("term"))
+        .select(col("doc_id"), explode(Llm.tokens(s, col("text"))).as("term"))
       val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val n = c.documents.agg(count(lit(1)).as("n"))
@@ -219,7 +219,7 @@ object TextAnalysis {
       val c = Ctx(s, d)
       // tf feeds the total, the model, and the scoring join
       val tf = c.documents
-        .select(col("doc_id"), col("lang"), explode(Llm.tokens(col("text"))).as("term"))
+        .select(col("doc_id"), col("lang"), explode(Llm.tokens(s, col("text"))).as("term"))
         .groupBy("doc_id", "lang", "term").agg(count(lit(1)).as("tf"))
         .persist()
       val total = tf.agg(sum(col("tf")).as("total"))
@@ -270,7 +270,7 @@ object TextAnalysis {
     (s, d) => {
       val c = Ctx(s, d)
       val tf = c.documents
-        .select(col("lang"), explode(Llm.tokens(col("text"))).as("term"))
+        .select(col("lang"), explode(Llm.tokens(s, col("text"))).as("term"))
         .groupBy("lang", "term").agg(count(lit(1)).as("cnt"))
       val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("term").asc)
       canonBy(tf.withColumn("rnk", row_number().over(w))
@@ -304,7 +304,7 @@ object TextAnalysis {
       val sk = udaf(new graft.functions.FreqSketch(256),
         org.apache.spark.sql.Encoders.STRING)
       canonBy(c.documents
-        .select(col("lang"), explode(Llm.tokens(col("text"))).as("term"))
+        .select(col("lang"), explode(Llm.tokens(s, col("text"))).as("term"))
         .groupBy("lang").agg(sk(col("term")).as("summary"))
         .select(col("lang"),
           posexplode(slice(col("summary"), 1, 10)).as(Seq("pos", "tc")))

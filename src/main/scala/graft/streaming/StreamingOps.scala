@@ -82,7 +82,7 @@ object StreamingOps {
       case (t, i) => Seq(lit(t), lit(i)) }: _*)
     val masked = docs
       .withColumn("toks",
-        array_distinct(graft.queries.Llm.tokens(col("text"))))
+        array_distinct(graft.queries.Llm.tokens(docs.sparkSession, col("text"))))
       .withColumn("sz_b", size(col("toks")).cast("long"))
       .withColumn("vmap", vmap)
       .withColumn("mask_b", expr(

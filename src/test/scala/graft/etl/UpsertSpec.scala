@@ -68,6 +68,37 @@ class UpsertSpec extends AnyFunSuite {
     assert(again == got)
   }
 
+  test("merge matches partitions Spark escapes on write, and the null partition") {
+    // ':' and ' ' are path-escaped (%3A, %20) and null becomes
+    // __HIVE_DEFAULT_PARTITION__ — raw `$path/$col=$v` probing misses
+    // all three, silently dropping their survivors from the merge.
+    val path = Files.createTempDirectory("upsert-esc").toString + "/t"
+    Seq(
+      (1L, Some("a b"), "keep1", 1.0), (2L, Some("a b"), "old", 2.0),
+      (3L, Some("x:y"), "keep2", 3.0),
+      (4L, None, "keepNull", 4.0), (5L, None, "oldNull", 5.0))
+      .toDF("event_id", "part", "payload", "value")
+      .write.partitionBy("part").parquet(path)
+
+    val source = Seq(
+      (2L, Some("a b"), "NEW", 20.0),
+      (5L, None, "NEWNULL", 50.0))
+      .toDF("event_id", "part", "payload", "value")
+
+    val stats = Upsert.merge(spark, path, source, Seq("event_id"), "part")
+    assert(stats.updated == 2 && stats.inserted == 0)
+
+    val got = spark.read.parquet(path)
+      .selectExpr("event_id", "payload", "part")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2))))
+      .toSet
+    assert(got == Set(
+      (1L, "keep1", Some("a b")), (2L, "NEW", Some("a b")),
+      (3L, "keep2", Some("x:y")),
+      (4L, "keepNull", None), (5L, "NEWNULL", None)))
+  }
+
   test("merge into an empty table is a plain partitioned insert") {
     val path = Files.createTempDirectory("upsert-empty").toString + "/t"
     new File(path).mkdirs()

@@ -87,4 +87,37 @@ class ZOrderSpec extends AnyFunSuite {
     val mx = z.agg(max("z")).head().getLong(0)
     assert(mx >= 0 && mx < (1L << 32))
   }
+
+  test("4-dim codes never go negative (sign bit stays clear)") {
+    // 4x16 bits would land the top interleaved bit on bit 63 and flip
+    // half the curve negative, splitting it under the signed sort —
+    // 4 dims must drop to 15 bits/dim (top bit 59).
+    val src = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select("l_orderkey", "l_suppkey", "l_partkey", "l_quantity")
+    val cols = Seq("l_orderkey", "l_suppkey", "l_partkey", "l_quantity")
+    val stats = src.withColumn("z", ZOrder.zvalue(src, cols))
+      .agg(min("z").as("mn"), max("z").as("mx")).head()
+    assert(stats.getLong(0) >= 0, "negative z-value: sign bit reached")
+    assert(stats.getLong(1) < (1L << 60), "z-value beyond 4x15-bit envelope")
+  }
+
+  test("null cells and empty/all-null inputs degrade safely") {
+    import spark.implicits._
+    val withNulls = Seq(
+      (Some(1L), Some(2L)), (Some(5L), None), (None, Some(9L)), (None, None))
+      .toDF("a", "b")
+    val z = withNulls.withColumn("z", ZOrder.zvalue(withNulls, Seq("a", "b")))
+    // every row gets a non-null, non-negative code (nulls -> grid 0)
+    assert(z.filter(col("z").isNull || col("z") < 0).count() == 0)
+
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    // bounds row is all-null: must not NPE, and produce an empty result
+    assert(empty.withColumn("z", ZOrder.zvalue(empty, Seq("a", "b")))
+      .count() == 0)
+
+    val allNull = Seq((Option.empty[Long], Option.empty[Long]))
+      .toDF("a", "b")
+    val zn = allNull.withColumn("z", ZOrder.zvalue(allNull, Seq("a", "b")))
+    assert(zn.head().getLong(2) == 0L)
+  }
 }

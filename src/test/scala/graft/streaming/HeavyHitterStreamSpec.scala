@@ -19,7 +19,7 @@ class HeavyHitterStreamSpec extends AnyFunSuite {
   test("streamed top-10 per language converges to the exact batch answer") {
     import org.apache.spark.sql.functions._
     val toks = spark.read.parquet(s"$sf/documents.parquet")
-      .select(col("lang"), explode(graft.queries.Llm.tokens(col("text"))).as("term"))
+      .select(col("lang"), explode(graft.queries.Llm.tokens(spark, col("text"))).as("term"))
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
 
     val input = MemoryStream[(String, String)](spark)
