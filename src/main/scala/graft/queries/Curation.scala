@@ -296,5 +296,61 @@ object Curation {
         |FROM st""".stripMargin +
         orderAll("doc_id", "chunk_id")))
 
-  def queries: Seq[GQuery] = Seq(xc1, xc2, xc3, xc4, xc5, xc6)
+  /** xc7: temperature-based language rebalancing — the multilingual
+    * training-mix step (XLM-R/mT5 style): sample languages
+    * proportional to n_l^α instead of n_l so low-resource languages
+    * are upweighted. α = 0.5 here because sqrt is IEEE-correctly-
+    * rounded in BOTH engines (a general pow() can differ in the last
+    * ulp cross-engine and flip a boundary draw); per-language sqrt
+    * weights are 6-decimal-quantized and summed as exact DECIMAL so
+    * the normalization is order-independent.
+    *
+    * Per doc: expected copies e_l = T · p_l / n_l for a T-doc target
+    * budget; emit floor(e_l) guaranteed copies plus one more when the
+    * doc's deterministic uniform draw falls under frac(e_l) —
+    * stochastic rounding with an explicit hash draw, so the output is
+    * exactly reproducible on re-run/retry AND its per-language
+    * expectation is T · p_l.
+    *
+    * Scale shape: one tiny per-lang aggregate (broadcast back), then
+    * a pure per-row projection — no shuffle touches the corpus. The
+    * consumer explodes `sequence(1, n_copies)` to materialize the
+    * epoch mix.
+    */
+  val xc7 = GQuery(
+    "xc7_lang_resample",
+    (s, d) => {
+      val c = Ctx(s, d)
+      val T = 1000.0
+      val counts = c.documents.groupBy("lang")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("w6", round(sqrt(col("n")), 6).cast("decimal(38,6)"))
+      val sumw = counts.agg(sum(col("w6")).as("sumw"))
+      val e = counts.crossJoin(Scale.maybeBroadcast(sumw))
+        .select(col("lang"),
+          round(
+            lit(T) * (col("w6").cast("double") / col("sumw").cast("double"))
+              / col("n"), 6).as("e"))
+      canon(
+        c.documents
+          .join(Scale.maybeBroadcast(e), "lang")
+          .select(col("doc_id"), col("lang"),
+            (floor(col("e")) +
+              when(drawOf(col("doc_id")) / lit(4294967296.0) <
+                col("e") - floor(col("e")), 1L).otherwise(0L))
+              .cast("long").as("n_copies")))
+    },
+    Some(
+      """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+        |w AS (SELECT lang, n, CAST(ROUND(SQRT(n), 6) AS DECIMAL(38,6)) AS w6 FROM c),
+        |s AS (SELECT SUM(w6) AS sumw FROM w),
+        |e AS (SELECT lang, ROUND(1000.0 * (CAST(w6 AS DOUBLE) / CAST(sumw AS DOUBLE)) / n, 6) AS e
+        |      FROM w, s)
+        |SELECT d.doc_id, lang,
+        |  CAST(FLOOR(e) + CASE WHEN ((d.doc_id * 2654435761) % 4294967296) / 4294967296.0
+        |                            < e - FLOOR(e) THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+        |FROM documents d JOIN e USING (lang)""".stripMargin +
+        orderAll("doc_id", "lang", "n_copies")))
+
+  def queries: Seq[GQuery] = Seq(xc1, xc2, xc3, xc4, xc5, xc6, xc7)
 }

@@ -283,6 +283,42 @@ object Joins {
         |FROM region r1 CROSS JOIN region r2""".stripMargin +
         orderAll("r1_name", "r2_name")))
 
+  /** Bloom-pruned selective join: urgent high-value orders (≈1% of
+    * orders) joined to their line items. The BloomPrune operator
+    * drops ~99% of lineitem BEFORE the join shuffle — the exchange
+    * moves the matching slice, not the table — and the exact join
+    * afterwards removes the bloom's false positives, so the result
+    * (and the oracle hash) is identical to the plain join. The dim
+    * side is read twice (once to sketch, once to join): at 100 TB
+    * both passes are over the small filtered slice, while the win is
+    * on the fact side's exchange.
+    */
+  val q44 = GQuery(
+    "q44_bloom_prune_join",
+    (s, d) => {
+      val c = Ctx(s, d)
+      val urgent = c.orders
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_totalprice") > 150000.0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val pruned = graft.operators.BloomPrune.prune(
+        c.lineitem, urgent, "l_orderkey", "o_orderkey",
+        expectedKeys = urgent.count())
+      canon(
+        pruned.join(urgent, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("l_returnflag")
+          .agg(
+            count(lit(1)).as("n_items"),
+            moneySum(col("l_extendedprice")).as("sum_price")))
+    },
+    Some(
+      """SELECT l_returnflag, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000.0
+        |GROUP BY l_returnflag""".stripMargin +
+        orderAll("l_returnflag", "n_items", "sum_price")))
+
   def queries: Seq[GQuery] =
-    Seq(q06, q07, q08, q08b, q09, q10, q11, q11b, q12, q13)
+    Seq(q06, q07, q08, q08b, q09, q10, q11, q11b, q12, q13, q44)
 }

@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bloom pruning must (a) never change the downstream exact join's
+  * result — false positives are allowed, false negatives are not —
+  * and (b) actually shrink the fact side for a selective dim, which
+  * is the whole point of spending a broadcast on it.
+  */
+class BloomPruneSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("pruned exact join equals the unpruned join; prune is selective") {
+    val lineitem = spark.read.parquet(s"$sf/lineitem.parquet")
+    val urgent = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_totalprice") > 150000.0)
+      .select("o_orderkey")
+
+    val pruned = BloomPrune.prune(
+      lineitem, urgent, "l_orderkey", "o_orderkey",
+      expectedKeys = urgent.count())
+
+    // no false negatives: every actually-matching row survives
+    val joinedPruned = pruned
+      .join(urgent, col("l_orderkey") === col("o_orderkey"))
+      .select("l_orderkey", "l_linenumber")
+    val joinedPlain = lineitem
+      .join(urgent, col("l_orderkey") === col("o_orderkey"))
+      .select("l_orderkey", "l_linenumber")
+    assert(joinedPruned.exceptAll(joinedPlain).isEmpty &&
+      joinedPlain.exceptAll(joinedPruned).isEmpty)
+
+    // selectivity: the filter drops the bulk of the fact side
+    val total = lineitem.count().toDouble
+    val kept = pruned.count().toDouble
+    assert(kept < total * 0.5,
+      s"bloom kept $kept of $total rows — dim not selective or filter inert")
+  }
+
+  test("string keys and null keys behave (null never matches)") {
+    import spark.implicits._
+    val dim = Seq("a", "b").toDF("k")
+    val fact = Seq(Some("a"), Some("zzz"), None).toDF("k")
+    val pruned = BloomPrune.prune(fact, dim, "k", "k", expectedKeys = 2)
+    val got = pruned.collect().map(_.getString(0)).toSet
+    assert(got.contains("a"))
+    assert(!got.contains(null.asInstanceOf[String]), "null key must be dropped")
+  }
+}
