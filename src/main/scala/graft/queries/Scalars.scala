@@ -219,6 +219,64 @@ object Scalars {
         |FROM m JOIN k ON m.user_id = k.user_id""".stripMargin +
         orderAll("user_id", "n_types", "types", "clicks", "k_sum")))
 
+  /** Spark 4 VARIANT over semi-structured JSON: parse once into the
+    * binary variant encoding, extract typed fields with variant_get,
+    * aggregate. Versus q27's get_json_object (a string re-parse per
+    * extraction), VARIANT parses each props ONCE at scan time and
+    * every downstream access is a binary field lookup — the right
+    * cost model when a 100 TB event stream carries JSON payloads read
+    * by many expressions. Oracle extracts the same typed values via
+    * DuckDB's JSON functions, so the variant path is value-certified
+    * against a plain-JSON reading.
+    */
+  val q47 = GQuery(
+    "q47_variant_json",
+    (s, d) => {
+      val c = Ctx(s, d)
+      canon(
+        c.events
+          .select(col("event_type"),
+            expr("variant_get(parse_json(props), '$.k', 'int')").as("k"))
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("k")).cast("bigint").as("k_sum"),
+            min(col("k")).cast("int").as("k_min"),
+            max(col("k")).cast("int").as("k_max")))
+    },
+    Some(
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS k_sum,
+        |  CAST(MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS k_min,
+        |  CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS k_max
+        |FROM events GROUP BY event_type""".stripMargin +
+        orderAll("event_type", "n", "k_sum", "k_min", "k_max")))
+
+  /** Spark 4 string collations: a case-insensitive predicate via
+    * UTF8_LCASE collation instead of wrapping both sides in lower() —
+    * collation-aware comparison keeps the original column untouched
+    * (no derived expression blocking stats/pushdown reasoning) and
+    * is the engine-native form for locale/case-insensitive semantics.
+    * The mixed-case literal proves the collation (not the data) does
+    * the matching; the oracle states the same predicate the pre-
+    * collation way.
+    */
+  val q48 = GQuery(
+    "q48_collation",
+    (s, d) => {
+      val c = Ctx(s, d)
+      canon(
+        c.customer
+          .filter(expr("collate(c_mktsegment, 'UTF8_LCASE') = 'bUiLdInG'"))
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).as("n_customers")))
+    },
+    Some(
+      """SELECT c_nationkey, COUNT(*) AS n_customers
+        |FROM customer WHERE lower(c_mktsegment) = 'building'
+        |GROUP BY c_nationkey""".stripMargin +
+        orderAll("c_nationkey", "n_customers")))
+
   // Schema-enforcing casts (reference P9 mirror): DOUBLE->DECIMAL(18,4),
   // TIMESTAMP->DATE, BIGINT->STRING. Decimal is re-emitted as its plain
   // string form so both engines serialize scale-4 identically.
@@ -290,5 +348,5 @@ object Scalars {
         |FROM orders""".stripMargin + orderAll("o_orderkey")))
 
   def queries: Seq[GQuery] =
-    Seq(q22, q23, q24, q25, q25b, q26, q26b, q27, q28, q28b)
+    Seq(q22, q23, q24, q25, q25b, q26, q26b, q27, q47, q48, q28, q28b)
 }
