@@ -88,7 +88,9 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    try {
+    // full-registry runs only: a focused SPARK_GRAFT_ONLY/HEADLINE run
+    // must not clobber the complete map tools/results.py reads
+    if (selected.size == Registry.all.size) try {
       val full =
         f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$fullQs,"sf":"$sfDir"}"""
       java.nio.file.Files.write(

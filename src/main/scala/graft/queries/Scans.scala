@@ -81,8 +81,11 @@ object Scans {
     "xv1_table_checksum",
     (s, d) => {
       val c = Ctx(s, d)
+      // spread: the per-row md5 is scan-stage work and the fixture is
+      // one row group — at 100 TB the scan is thousands of splits and
+      // this is a no-op-sized narrow shuffle (see Ctx.spread)
       canon(graft.operators.TableCheck.checksumBy(
-        c.lineitem,
+        c.spread(c.lineitem),
         Seq("l_returnflag"),
         Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
           "l_returnflag", "l_linestatus")))
