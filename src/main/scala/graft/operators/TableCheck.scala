@@ -26,15 +26,22 @@ import org.apache.spark.sql.functions._
   */
 object TableCheck {
 
-  /** 60-bit row hash of `cols`' canonical '|'-joined rendering. */
-  private def rowHash(cols: Seq[String]): Column =
-    conv(substring(md5(
-      concat_ws("|", cols.map(col): _*).cast("binary")), 1, 15), 16, 10)
+  /** 60-bit row hash of `cols`' canonical '|'-joined rendering — the
+    * Md5Hash60 kernel, bit-identical to
+    * `conv(substring(md5(x), 1, 15), 16, 10)` without the per-row hex
+    * string + substring + base-16 parse allocations (this projection
+    * runs once per row of a 100 TB table).
+    */
+  private def rowHash(df: DataFrame, cols: Seq[String]): Column = {
+    graft.functions.Md5Hash60.register(df.sparkSession)
+    call_function("md5_60",
+      concat_ws("|", cols.map(col): _*).cast("binary"))
       .cast("decimal(38,0)")
+  }
 
   /** One (n_rows, checksum) row for the whole table. */
   def checksum(df: DataFrame, cols: Seq[String]): DataFrame =
-    df.agg(count(lit(1)).as("n_rows"), sum(rowHash(cols)).as("checksum"))
+    df.agg(count(lit(1)).as("n_rows"), sum(rowHash(df, cols)).as("checksum"))
 
   /** Per-group (group, n_rows, checksum) — reconcile partition-sized
     * slices so a mismatch localizes to the slice, not the table.
@@ -42,5 +49,5 @@ object TableCheck {
   def checksumBy(df: DataFrame, groupCols: Seq[String],
       cols: Seq[String]): DataFrame =
     df.groupBy(groupCols.map(col): _*)
-      .agg(count(lit(1)).as("n_rows"), sum(rowHash(cols)).as("checksum"))
+      .agg(count(lit(1)).as("n_rows"), sum(rowHash(df, cols)).as("checksum"))
 }

@@ -185,5 +185,87 @@ object EventOps {
         |FROM j""".stripMargin +
         orderAll("user_id", "grid_ts")))
 
-  def queries: Seq[GQuery] = Seq(q29, q30, q31, q32, q41)
+  /** Ordered funnel (view → click → purchase): per user, the first
+    * view, the first click strictly AFTER that view, the first
+    * purchase strictly after that click — event ORDER matters, which
+    * is what separates a funnel from three filters. Each stage is a
+    * min-aggregate over a semi-joined slice, so the plan is three
+    * partial-aggregated shuffles on user_id (co-partitioned after the
+    * first — at 100 TB the stage joins reuse the same hash
+    * partitioning, no re-exchange). Output: per-stage user counts +
+    * conversion rates, deterministic (min of distinct event times).
+    */
+  val xe1 = GQuery(
+    "xe1_funnel",
+    (s, d) => {
+      val c = Ctx(s, d)
+      val ev = c.events.select(col("user_id"), col("event_type"), col("ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("v_ts"))
+      val clk = ev.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("ts") > col("v_ts"))
+        .groupBy("user_id").agg(min(col("ts")).as("c_ts"))
+      val pur = ev.filter(col("event_type") === "purchase")
+        .join(clk, "user_id").filter(col("ts") > col("c_ts"))
+        .groupBy("user_id").agg(min(col("ts")).as("p_ts"))
+      val nv = v.agg(count(lit(1)).as("n")).select(col("n").as("n_viewed"))
+      val nc = clk.agg(count(lit(1)).as("n")).select(col("n").as("n_clicked"))
+      val np = pur.agg(count(lit(1)).as("n")).select(col("n").as("n_purchased"))
+      canon(nv.crossJoin(nc).crossJoin(np)
+        .select(col("n_viewed"), col("n_clicked"), col("n_purchased"),
+          round(col("n_clicked").cast("double") / col("n_viewed"), 4)
+            .as("view_to_click"),
+          round(col("n_purchased").cast("double") / col("n_clicked"), 4)
+            .as("click_to_purchase")))
+    },
+    Some(
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |v AS (SELECT user_id, MIN(ts) AS v_ts FROM e WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, MIN(e.ts) AS c_ts
+        |      FROM e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.v_ts GROUP BY 1),
+        |p AS (SELECT e.user_id, MIN(e.ts) AS p_ts
+        |      FROM e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.c_ts GROUP BY 1)
+        |SELECT (SELECT COUNT(*) FROM v) AS n_viewed,
+        |  (SELECT COUNT(*) FROM c) AS n_clicked,
+        |  (SELECT COUNT(*) FROM p) AS n_purchased,
+        |  ROUND((SELECT COUNT(*) FROM c) / CAST((SELECT COUNT(*) FROM v) AS DOUBLE), 4) AS view_to_click,
+        |  ROUND((SELECT COUNT(*) FROM p) / CAST((SELECT COUNT(*) FROM c) AS DOUBLE), 4) AS click_to_purchase""".stripMargin +
+        orderAll("n_viewed", "n_clicked", "n_purchased", "view_to_click",
+          "click_to_purchase")))
+
+  /** Cohort retention: users grouped by first-activity day, and for
+    * each (cohort, day-offset) the count of cohort members active
+    * that day — the product-analytics retention matrix. Two shuffles
+    * on user_id (first-day aggregate + distinct active days), then a
+    * cohort-sized aggregate; nothing is data-sized on the driver and
+    * the matrix is (days × days), constant in event volume.
+    */
+  val xe2 = GQuery(
+    "xe2_retention",
+    (s, d) => {
+      val c = Ctx(s, d)
+      val days = c.events.select(col("user_id"),
+        to_date(date_trunc("day", col("ts"))).as("day")).distinct()
+      val cohort = days.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+      canon(
+        days.join(cohort, "user_id")
+          .select(col("cohort_day"),
+            datediff(col("day"), col("cohort_day")).cast("int").as("day_offset"))
+          .groupBy("cohort_day", "day_offset")
+          .agg(count(lit(1)).as("n_active")))
+    },
+    Some(
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day
+        |  FROM events),
+        |cohort AS (SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY 1)
+        |SELECT cohort_day, CAST(datediff('day', cohort_day, day) AS INT) AS day_offset,
+        |  COUNT(*) AS n_active
+        |FROM days JOIN cohort ON days.user_id = cohort.user_id
+        |GROUP BY 1, 2""".stripMargin +
+        orderAll("cohort_day", "day_offset", "n_active")))
+
+  def queries: Seq[GQuery] = Seq(q29, q30, q31, q32, q41, xe1, xe2)
 }

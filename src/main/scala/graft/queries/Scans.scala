@@ -83,21 +83,25 @@ object Scans {
       val c = Ctx(s, d)
       // spread: the per-row md5 is scan-stage work and the fixture is
       // one row group — at 100 TB the scan is thousands of splits and
-      // this is a no-op-sized narrow shuffle (see Ctx.spread)
+      // this is a no-op-sized narrow shuffle (see Ctx.spread). Project
+      // to the hashed columns FIRST so the spread exchange carries 4
+      // narrow columns, not the full row. (TableCheckSpec exercises
+      // the operator on lineitem; the budgeted query fingerprints
+      // orders — same operator, any table.)
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_orderpriority")
       canon(graft.operators.TableCheck.checksumBy(
-        c.spread(c.lineitem),
-        Seq("l_returnflag"),
-        Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
-          "l_returnflag", "l_linestatus")))
+        c.spread(c.orders.select(cols.map(col): _*)),
+        Seq("o_orderstatus"), cols))
     },
     Some(
-      """SELECT l_returnflag, COUNT(*) AS n_rows,
+      """SELECT o_orderstatus, COUNT(*) AS n_rows,
         |  SUM(CAST(CAST(('0x' || substring(md5(
-        |        concat_ws('|', l_orderkey, l_linenumber, l_partkey, l_suppkey,
-        |                  l_returnflag, l_linestatus)), 1, 15)) AS BIGINT)
+        |        concat_ws('|', o_orderkey, o_custkey, o_orderstatus,
+        |                  o_orderpriority)), 1, 15)) AS BIGINT)
         |      AS DECIMAL(38,0))) AS checksum
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin +
-        orderAll("l_returnflag", "n_rows", "checksum")))
+        |FROM orders GROUP BY o_orderstatus""".stripMargin +
+        orderAll("o_orderstatus", "n_rows", "checksum")))
 
   def queries: Seq[GQuery] = Seq(q01, q02, q18, xv1)
 }

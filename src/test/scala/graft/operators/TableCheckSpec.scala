@@ -15,6 +15,16 @@ class TableCheckSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
   private val cols = Seq("l_orderkey", "l_linenumber", "l_partkey")
 
+  test("Md5Hash60 kernel equals the composed conv(substring(md5)) form") {
+    graft.functions.Md5Hash60.register(spark)
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .withColumn("s", concat_ws("|", cols.map(col): _*).cast("binary"))
+      .select(
+        call_function("md5_60", col("s")).as("kernel"),
+        expr("conv(substring(md5(s), 1, 15), 16, 10)").cast("long").as("composed"))
+    assert(li.filter(col("kernel") =!= col("composed")).count() == 0)
+  }
+
   test("checksum is invariant under repartition and sort order") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     val base = TableCheck.checksum(li, cols).collect()(0)
