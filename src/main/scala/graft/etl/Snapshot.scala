@@ -1,0 +1,142 @@
+package graft.etl
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Versioned snapshots for a parquet lake table — the core of the
+  * Delta/Iceberg idea at its minimum viable size: data files are
+  * IMMUTABLE once published, and a table version is nothing but a
+  * manifest listing exactly the files that compose it. Readers pin a
+  * manifest (time travel = read an old one); writers add files and
+  * publish a new manifest with an atomic rename; nothing published is
+  * ever mutated, so readers of version N are never torn by a writer
+  * producing N+1 — the isolation plain-parquet dynamic overwrite
+  * (Upsert/Compact) cannot give against concurrent readers.
+  *
+  * Scale shape: a manifest is O(files), not O(rows) — the same
+  * metadata-not-data discipline as Compact.partitionStats; commit cost
+  * is the data write plus one file rename; `read` plans a normal
+  * parquet scan over the listed files (all pushdown/pruning intact).
+  * At warehouse scale the manifest list becomes a metadata table
+  * (Iceberg's avro manifests) — the contract here (immutable files +
+  * atomic pointer swap) is the part that carries over.
+  *
+  * Single-writer (P19): version allocation is max+1 with an atomic
+  * rename publish — concurrent writers would need a CAS on the
+  * manifest name (object-store conditional put); the ETL loop already
+  * serializes writers.
+  *
+  * Layout under `path`:
+  *   data/c<version>-<uuid>/part-*.parquet   (immutable once published)
+  *   manifests/v<version>                    (one referenced file path per line)
+  */
+object Snapshot {
+
+  private def manifestDir(path: String) = new File(path, "manifests")
+
+  private def manifestFile(path: String, v: Long) =
+    new File(manifestDir(path), f"v$v%06d")
+
+  /** Published versions, ascending. */
+  def versions(path: String): Seq[Long] =
+    Option(manifestDir(path).listFiles()).getOrElse(Array.empty)
+      .flatMap(f => f.getName match {
+        case n if n.startsWith("v") => Some(n.drop(1).toLong)
+        case _ => None
+      }).sorted.toIndexedSeq
+
+  def currentVersion(path: String): Option[Long] = versions(path).lastOption
+
+  private def readManifest(path: String, v: Long): Seq[String] =
+    new String(Files.readAllBytes(manifestFile(path, v).toPath),
+      StandardCharsets.UTF_8).split("\n").filter(_.nonEmpty).toIndexedSeq
+
+  /** Write df's files into an immutable commit directory and return
+    * their paths. The directory is named by the version being built
+    * plus a uuid, so a crashed commit leaves only unreferenced files
+    * (cleaned by vacuum), never a corrupt version.
+    */
+  private def writeData(df: DataFrame, path: String, v: Long): Seq[String] = {
+    val dir = new File(new File(path, "data"),
+      f"c$v%06d-${java.util.UUID.randomUUID().toString.take(8)}")
+    df.write.parquet(dir.toString)
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet"))
+      .map(_.toString).sorted.toIndexedSeq
+  }
+
+  /** Publish `files` as version `v`: temp write + atomic rename, the
+    * same durability move as the ETL cursor.
+    */
+  private def publish(path: String, v: Long, files: Seq[String]): Long = {
+    manifestDir(path).mkdirs()
+    val tmp = Paths.get(manifestDir(path).toString, s".v$v.tmp")
+    Files.write(tmp, (files.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, manifestFile(path, v).toPath,
+      StandardCopyOption.ATOMIC_MOVE)
+    v
+  }
+
+  /** Commit df as a FULL snapshot (overwrite semantics): the new
+    * version's manifest lists only df's files. Returns the version.
+    */
+  def commitOverwrite(df: DataFrame, path: String): Long = {
+    val v = currentVersion(path).getOrElse(0L) + 1
+    publish(path, v, writeData(df, path, v))
+  }
+
+  /** Commit df as an APPEND: the new manifest lists the previous
+    * version's files plus df's — no existing data is read or
+    * rewritten. Returns the version.
+    */
+  def commitAppend(df: DataFrame, path: String): Long = {
+    val v = currentVersion(path).getOrElse(0L) + 1
+    val prev = if (v == 1) Nil else readManifest(path, v - 1)
+    publish(path, v, prev ++ writeData(df, path, v))
+  }
+
+  /** Read a version (default: latest) as a plain parquet scan over its
+    * manifest's files — pushdown, pruning and column projection all
+    * behave as on any parquet read.
+    */
+  def read(spark: SparkSession, path: String,
+      version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(currentVersion(path)).getOrElse(
+      throw new IllegalStateException(s"no snapshot versions at $path"))
+    spark.read.parquet(readManifest(path, v): _*)
+  }
+
+  /** Roll back by PUBLISHING a new version whose manifest duplicates
+    * `to`'s — history stays linear and intact (an audit can still read
+    * every version); nothing is deleted.
+    */
+  def rollback(path: String, to: Long): Long = {
+    val v = currentVersion(path).getOrElse(0L) + 1
+    publish(path, v, readManifest(path, to))
+  }
+
+  /** Delete data files referenced by NO manifest among the most recent
+    * `keepVersions` (older manifests are dropped too). Returns deleted
+    * file paths. The one operation that destroys data — bounded by
+    * explicit retention, like Delta's VACUUM.
+    */
+  def vacuum(path: String, keepVersions: Int): Seq[String] = {
+    val vs = versions(path)
+    val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepVersions))
+    val live = keep.flatMap(readManifest(path, _)).toSet
+    val dataRoot = new File(path, "data")
+    val all = Option(dataRoot.listFiles()).getOrElse(Array.empty)
+      .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
+      .filter(_.getName.endsWith(".parquet"))
+    val dead = all.filterNot(f => live.contains(f.toString))
+    dead.foreach(_.delete())
+    // prune now-empty commit dirs and the dropped manifests
+    Option(dataRoot.listFiles()).getOrElse(Array.empty)
+      .filter(d => Option(d.listFiles()).exists(_.isEmpty)).foreach(_.delete())
+    drop.foreach(v => manifestFile(path, v).delete())
+    dead.map(_.toString).sorted.toIndexedSeq
+  }
+}

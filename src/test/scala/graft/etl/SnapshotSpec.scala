@@ -1,0 +1,70 @@
+package graft.etl
+
+import java.nio.file.Files
+
+import graft.SparkTestSession
+import graft.operators.TableCheck
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Snapshot contract: every published version stays readable and
+  * byte-stable while new versions land (immutable files + atomic
+  * manifest swap), append never rewrites existing data, rollback
+  * republishes without destroying history, and vacuum destroys
+  * exactly what retention says — nothing a kept version references.
+  * Content equality is asserted with TableCheck fingerprints — the
+  * reconciliation operator doing its actual job.
+  */
+class SnapshotSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def fp(df: org.apache.spark.sql.DataFrame) =
+    TableCheck.checksum(df, Seq("id", "v")).collect()(0)
+
+  test("overwrite/append/time-travel/rollback keep every version readable") {
+    val path = Files.createTempDirectory("snap").toString + "/t"
+    val d1 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val d2 = Seq((3L, "c")).toDF("id", "v")
+    val d3 = Seq((9L, "z")).toDF("id", "v")
+
+    assert(Snapshot.commitOverwrite(d1, path) == 1L)
+    assert(Snapshot.commitAppend(d2, path) == 2L)
+    assert(Snapshot.commitOverwrite(d3, path) == 3L)
+    assert(Snapshot.versions(path) == Seq(1L, 2L, 3L))
+
+    // time travel: each version is exactly its committed content
+    assert(fp(Snapshot.read(spark, path, Some(1))) == fp(d1))
+    assert(fp(Snapshot.read(spark, path, Some(2))) == fp(d1.unionByName(d2)))
+    assert(fp(Snapshot.read(spark, path)) == fp(d3))
+
+    // v2's files include v1's UNCHANGED files (append rewrote nothing)
+    val v1Files = Snapshot.read(spark, path, Some(1))
+      .select(org.apache.spark.sql.functions.input_file_name()).distinct()
+      .collect().map(_.getString(0)).toSet
+    val v2Files = Snapshot.read(spark, path, Some(2))
+      .select(org.apache.spark.sql.functions.input_file_name()).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(v1Files.subsetOf(v2Files), "append must reuse v1's files")
+
+    // rollback publishes v4 == v2; v3 remains readable (linear history)
+    assert(Snapshot.rollback(path, to = 2) == 4L)
+    assert(fp(Snapshot.read(spark, path)) == fp(d1.unionByName(d2)))
+    assert(fp(Snapshot.read(spark, path, Some(3))) == fp(d3))
+  }
+
+  test("vacuum deletes only what kept versions no longer reference") {
+    val path = Files.createTempDirectory("snap-vac").toString + "/t"
+    val d1 = Seq((1L, "a")).toDF("id", "v")
+    val d2 = Seq((2L, "b")).toDF("id", "v")
+    Snapshot.commitOverwrite(d1, path) // v1 (files die with retention)
+    Snapshot.commitOverwrite(d2, path) // v2
+    Snapshot.commitAppend(d1, path)    // v3 = d2 + d1' (new files for d1)
+
+    val deleted = Snapshot.vacuum(path, keepVersions = 2)
+    assert(deleted.nonEmpty, "v1's unreferenced files must be deleted")
+    assert(Snapshot.versions(path) == Seq(2L, 3L))
+    // kept versions still read correctly after the vacuum
+    assert(fp(Snapshot.read(spark, path, Some(2))) == fp(d2))
+    assert(fp(Snapshot.read(spark, path, Some(3))) == fp(d2.unionByName(d1)))
+  }
+}
