@@ -50,9 +50,15 @@ object Snapshot {
 
   def currentVersion(path: String): Option[Long] = versions(path).lastOption
 
-  private def readManifest(path: String, v: Long): Seq[String] =
+  /** Manifest lines: '#'-prefixed metadata (e.g. #batch=N), then one
+    * referenced file path per line.
+    */
+  private def manifestLines(path: String, v: Long): Seq[String] =
     new String(Files.readAllBytes(manifestFile(path, v).toPath),
       StandardCharsets.UTF_8).split("\n").filter(_.nonEmpty).toIndexedSeq
+
+  private def readManifest(path: String, v: Long): Seq[String] =
+    manifestLines(path, v).filterNot(_.startsWith("#"))
 
   /** Write df's files into an immutable commit directory and return
     * their paths. The directory is named by the version being built
@@ -68,13 +74,18 @@ object Snapshot {
       .map(_.toString).sorted.toIndexedSeq
   }
 
-  /** Publish `files` as version `v`: temp write + atomic rename, the
-    * same durability move as the ETL cursor.
+  /** Publish `files` (plus optional '#'-metadata header lines) as
+    * version `v`: temp write + atomic rename, the same durability
+    * move as the ETL cursor. The rename is the single commit point —
+    * any metadata in the header (batch markers) becomes visible
+    * atomically WITH the file list.
     */
-  private def publish(path: String, v: Long, files: Seq[String]): Long = {
+  private def publish(path: String, v: Long, files: Seq[String],
+      meta: Seq[String] = Nil): Long = {
     manifestDir(path).mkdirs()
     val tmp = Paths.get(manifestDir(path).toString, s".v$v.tmp")
-    Files.write(tmp, (files.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+    Files.write(tmp,
+      ((meta ++ files).mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, manifestFile(path, v).toPath,
       StandardCopyOption.ATOMIC_MOVE)
     v
@@ -109,6 +120,32 @@ object Snapshot {
     spark.read.parquet(readManifest(path, v): _*)
   }
 
+  /** Exactly-once append for streaming foreachBatch: the micro-batch
+    * id rides in the manifest's '#batch=' header, so the ONE atomic
+    * manifest rename commits the data AND the batch marker together —
+    * no window where a crash records one without the other. A
+    * REPLAYED batch (Structured Streaming re-delivers the last batch
+    * after a crash) is skipped instead of appended twice — upgrading
+    * the sink from at-least-once + dedup-view to exactly-once, the
+    * same role StreamingOps.writeBatch's batch_id-partition overwrite
+    * plays for the partitioned sink. A crash BEFORE the rename leaves
+    * only unreferenced data files (vacuum's job), and the replay
+    * commits cleanly. Returns the published version, or None if the
+    * batch was already committed.
+    */
+  def commitAppendOnce(df: DataFrame, path: String,
+      batchId: Long): Option[Long] = {
+    val mark = s"#batch=$batchId"
+    val committed = versions(path).exists(v =>
+      manifestLines(path, v).takeWhile(_.startsWith("#")).contains(mark))
+    if (committed) None
+    else {
+      val v = currentVersion(path).getOrElse(0L) + 1
+      val prev = if (v == 1) Nil else readManifest(path, v - 1)
+      Some(publish(path, v, prev ++ writeData(df, path, v), Seq(mark)))
+    }
+  }
+
   /** Roll back by PUBLISHING a new version whose manifest duplicates
     * `to`'s — history stays linear and intact (an audit can still read
     * every version); nothing is deleted.
@@ -119,9 +156,12 @@ object Snapshot {
   }
 
   /** Delete data files referenced by NO manifest among the most recent
-    * `keepVersions` (older manifests are dropped too). Returns deleted
-    * file paths. The one operation that destroys data — bounded by
-    * explicit retention, like Delta's VACUUM.
+    * `keepVersions` (older manifests are dropped too — keep ≥ 2 so
+    * the last batch marker survives for streaming replay checks).
+    * Unreferenced files include any orphans from a commit that
+    * crashed before its manifest rename. Returns deleted file paths.
+    * The one operation that destroys data — bounded by explicit
+    * retention, like Delta's VACUUM.
     */
   def vacuum(path: String, keepVersions: Int): Seq[String] = {
     val vs = versions(path)

@@ -52,6 +52,51 @@ class SnapshotSpec extends AnyFunSuite {
     assert(fp(Snapshot.read(spark, path, Some(3))) == fp(d3))
   }
 
+  test("commitAppendOnce is exactly-once under batch replay and crashed commits") {
+    val path = Files.createTempDirectory("snap-once").toString + "/t"
+    val b0 = Seq((1L, "a")).toDF("id", "v")
+    val b1 = Seq((2L, "b")).toDF("id", "v")
+
+    assert(Snapshot.commitAppendOnce(b0, path, batchId = 0).contains(1L))
+    // replay of batch 0 (post-crash redelivery): skipped, nothing new
+    assert(Snapshot.commitAppendOnce(b0, path, batchId = 0).isEmpty)
+    assert(Snapshot.versions(path) == Seq(1L))
+
+    // crash BEFORE the manifest rename: only orphan data files exist.
+    // simulate by writing a data dir with no manifest
+    b1.write.parquet(path + "/data/c999999-orphan")
+    // the replayed batch 1 commits cleanly (orphans don't block it)
+    assert(Snapshot.commitAppendOnce(b1, path, batchId = 1).contains(2L))
+    assert(fp(Snapshot.read(spark, path)) == fp(b0.unionByName(b1)))
+    // vacuum clears the orphan; committed versions unaffected
+    val deleted = Snapshot.vacuum(path, keepVersions = 2)
+    assert(deleted.exists(_.contains("c999999-orphan")))
+    assert(fp(Snapshot.read(spark, path)) == fp(b0.unionByName(b1)))
+  }
+
+  test("foreachBatch snapshot sink: the stream lands exactly once, time-travelable") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val path = Files.createTempDirectory("snap-stream").toString + "/t"
+    val input = MemoryStream[(Long, String)](spark)
+    val q = input.toDF().toDF("id", "v")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        Snapshot.commitAppendOnce(batch, path, id); ()
+      }
+      .start()
+    input.addData((1L, "a"), (2L, "b"))
+    q.processAllAvailable()
+    input.addData((3L, "c"))
+    q.processAllAvailable()
+    q.stop()
+    val all = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    assert(fp(Snapshot.read(spark, path)) == fp(all))
+    // each micro-batch is its own time-travelable version
+    assert(Snapshot.versions(path).size == 2)
+    assert(fp(Snapshot.read(spark, path, Some(1))) ==
+      fp(Seq((1L, "a"), (2L, "b")).toDF("id", "v")))
+  }
+
   test("vacuum deletes only what kept versions no longer reference") {
     val path = Files.createTempDirectory("snap-vac").toString + "/t"
     val d1 = Seq((1L, "a")).toDF("id", "v")
