@@ -54,6 +54,11 @@ object Bench {
     val selected = Registry.all
       .filter(q => only.forall(_.contains(q.name)))
       .filter(q => !headlineOnly || q.headline)
+    // fail fast, BEFORE any query runs: a short-id collision detected
+    // only after the ~10-minute sf0.1 sweep would discard every timing
+    val shortIds = selected.map(_.name.takeWhile(_ != '_'))
+    require(shortIds.distinct.size == shortIds.size,
+      s"short query ids collide: ${shortIds.diff(shortIds.distinct).distinct}")
     val results = selected.map { q =>
       val t = try {
         if (cold) once(q.name)
@@ -76,9 +81,6 @@ object Bench {
     // keep the line < 1400 chars, write the full-name map to
     // bench/driver_last.json, and print the line AFTER spark.stop() so
     // no shutdown log can land behind it.
-    val shortIds = results.map(_._1.takeWhile(_ != '_'))
-    require(shortIds.distinct.size == shortIds.size,
-      s"short query ids collide: ${shortIds.diff(shortIds.distinct).distinct}")
     val qs = results
       .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

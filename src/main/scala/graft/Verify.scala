@@ -6,8 +6,15 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
-    // optional third arg: comma-separated focus list for local iteration
+    // optional third arg: comma-separated focus list for local
+    // iteration — full names or the short ids Bench reports (q44, xv1)
     val only = args.drop(2).headOption.map(_.split(",").map(_.trim).toSet)
+    def selectedBy(filter: Set[String], name: String): Boolean =
+      filter.contains(name) || filter.contains(name.takeWhile(_ != '_'))
+    only.foreach { f =>
+      val hit = SparkEntry.queries.keys.count(selectedBy(f, _))
+      require(hit > 0, s"focus list matches no queries: ${f.mkString(",")}")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -18,7 +25,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .filter { case (name, _) => only.forall(selectedBy(_, name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

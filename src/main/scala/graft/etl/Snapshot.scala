@@ -61,9 +61,12 @@ object Snapshot {
     manifestLines(path, v).filterNot(_.startsWith("#"))
 
   /** Write df's files into an immutable commit directory and return
-    * their paths. The directory is named by the version being built
-    * plus a uuid, so a crashed commit leaves only unreferenced files
-    * (cleaned by vacuum), never a corrupt version.
+    * their CANONICAL paths (manifest paths and directory listings must
+    * compare equal in vacuum no matter how the caller spelled `path` —
+    * a relative-vs-absolute mismatch there would delete live files).
+    * The directory is named by the version being built plus a uuid, so
+    * a crashed commit leaves only unreferenced files (cleaned by
+    * vacuum), never a corrupt version.
     */
   private def writeData(df: DataFrame, path: String, v: Long): Seq[String] = {
     val dir = new File(new File(path, "data"),
@@ -71,8 +74,16 @@ object Snapshot {
     df.write.parquet(dir.toString)
     Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.endsWith(".parquet"))
-      .map(_.toString).sorted.toIndexedSeq
+      .map(_.getCanonicalPath).sorted.toIndexedSeq
   }
+
+  /** df's schema as a manifest header line — what makes an EMPTY
+    * version (cleared table, filtered-out micro-batch) readable:
+    * Spark writes no part files for empty partitions, so without the
+    * recorded schema a zero-file read could not even infer one.
+    */
+  private def schemaMeta(df: DataFrame): String =
+    "#schema=" + df.schema.toDDL
 
   /** Publish `files` (plus optional '#'-metadata header lines) as
     * version `v`: temp write + atomic rename, the same durability
@@ -96,7 +107,7 @@ object Snapshot {
     */
   def commitOverwrite(df: DataFrame, path: String): Long = {
     val v = currentVersion(path).getOrElse(0L) + 1
-    publish(path, v, writeData(df, path, v))
+    publish(path, v, writeData(df, path, v), Seq(schemaMeta(df)))
   }
 
   /** Commit df as an APPEND: the new manifest lists the previous
@@ -106,7 +117,7 @@ object Snapshot {
   def commitAppend(df: DataFrame, path: String): Long = {
     val v = currentVersion(path).getOrElse(0L) + 1
     val prev = if (v == 1) Nil else readManifest(path, v - 1)
-    publish(path, v, prev ++ writeData(df, path, v))
+    publish(path, v, prev ++ writeData(df, path, v), Seq(schemaMeta(df)))
   }
 
   /** Read a version (default: latest) as a plain parquet scan over its
@@ -117,7 +128,18 @@ object Snapshot {
       version: Option[Long] = None): DataFrame = {
     val v = version.orElse(currentVersion(path)).getOrElse(
       throw new IllegalStateException(s"no snapshot versions at $path"))
-    spark.read.parquet(readManifest(path, v): _*)
+    val files = readManifest(path, v)
+    if (files.nonEmpty) spark.read.parquet(files: _*)
+    else {
+      // empty version: rebuild from the recorded schema header
+      val ddl = manifestLines(path, v)
+        .collectFirst { case l if l.startsWith("#schema=") => l.drop(8) }
+        .getOrElse(throw new IllegalStateException(
+          s"version $v at $path is empty and carries no schema header"))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(ddl))
+    }
   }
 
   /** Exactly-once append for streaming foreachBatch: the micro-batch
@@ -135,14 +157,21 @@ object Snapshot {
     */
   def commitAppendOnce(df: DataFrame, path: String,
       batchId: Long): Option[Long] = {
-    val mark = s"#batch=$batchId"
-    val committed = versions(path).exists(v =>
-      manifestLines(path, v).takeWhile(_.startsWith("#")).contains(mark))
-    if (committed) None
+    // batch ids are delivered monotonically, so only the NEWEST batch
+    // marker matters: scan manifests newest-first and stop at the
+    // first one carrying a marker — O(1) amortized per commit instead
+    // of re-reading every manifest of the stream's lifetime (10k
+    // micro-batches must not mean 10k manifest reads per commit).
+    val lastMarked = versions(path).reverseIterator
+      .map(v => manifestLines(path, v).takeWhile(_.startsWith("#"))
+        .collectFirst { case l if l.startsWith("#batch=") => l.drop(7).toLong })
+      .collectFirst { case Some(id) => id }
+    if (lastMarked.exists(_ >= batchId)) None
     else {
       val v = currentVersion(path).getOrElse(0L) + 1
       val prev = if (v == 1) Nil else readManifest(path, v - 1)
-      Some(publish(path, v, prev ++ writeData(df, path, v), Seq(mark)))
+      Some(publish(path, v, prev ++ writeData(df, path, v),
+        Seq(s"#batch=$batchId", schemaMeta(df))))
     }
   }
 
@@ -171,7 +200,10 @@ object Snapshot {
     val all = Option(dataRoot.listFiles()).getOrElse(Array.empty)
       .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
       .filter(_.getName.endsWith(".parquet"))
-    val dead = all.filterNot(f => live.contains(f.toString))
+    // canonical paths on BOTH sides: manifests store canonical paths,
+    // and the listing must compare equal however `path` was spelled —
+    // a raw-string mismatch here would delete live data
+    val dead = all.filterNot(f => live.contains(f.getCanonicalPath))
     dead.foreach(_.delete())
     // prune now-empty commit dirs and the dropped manifests
     Option(dataRoot.listFiles()).getOrElse(Array.empty)

@@ -26,16 +26,24 @@ import org.apache.spark.sql.functions._
   */
 object TableCheck {
 
-  /** 60-bit row hash of `cols`' canonical '|'-joined rendering — the
-    * Md5Hash60 kernel, bit-identical to
-    * `conv(substring(md5(x), 1, 15), 16, 10)` without the per-row hex
-    * string + substring + base-16 parse allocations (this projection
-    * runs once per row of a 100 TB table).
+  /** 60-bit row hash of `cols`' canonical rendering — the Md5Hash60
+    * kernel, bit-identical to `conv(substring(md5(x), 1, 15), 16, 10)`
+    * without the per-row hex string + substring + base-16 parse
+    * allocations (this projection runs once per row of a 100 TB
+    * table). Each value is LENGTH-PREFIXED before joining, so the
+    * rendering is unambiguous under embedded delimiters: ("a|b", "c")
+    * renders "3:a|b|1:c" while ("a", "b|c") renders "1:a|3:b|c" — a
+    * bare '|' join would hash both identically and silently certify a
+    * value shifted across a column boundary.
     */
   private def rowHash(df: DataFrame, cols: Seq[String]): Column = {
     graft.functions.Md5Hash60.register(df.sparkSession)
+    val rendered = cols.map { c =>
+      val s = col(c).cast("string")
+      concat(length(s).cast("string"), lit(":"), s)
+    }
     call_function("md5_60",
-      concat_ws("|", cols.map(col): _*).cast("binary"))
+      concat_ws("|", rendered: _*).cast("binary"))
       .cast("decimal(38,0)")
   }
 

@@ -96,9 +96,11 @@ object Scans {
     },
     Some(
       """SELECT o_orderstatus, COUNT(*) AS n_rows,
-        |  SUM(CAST(CAST(('0x' || substring(md5(
-        |        concat_ws('|', o_orderkey, o_custkey, o_orderstatus,
-        |                  o_orderpriority)), 1, 15)) AS BIGINT)
+        |  SUM(CAST(CAST(('0x' || substring(md5(concat_ws('|',
+        |        length(CAST(o_orderkey AS VARCHAR)) || ':' || CAST(o_orderkey AS VARCHAR),
+        |        length(CAST(o_custkey AS VARCHAR)) || ':' || CAST(o_custkey AS VARCHAR),
+        |        length(o_orderstatus) || ':' || o_orderstatus,
+        |        length(o_orderpriority) || ':' || o_orderpriority)), 1, 15)) AS BIGINT)
         |      AS DECIMAL(38,0))) AS checksum
         |FROM orders GROUP BY o_orderstatus""".stripMargin +
         orderAll("o_orderstatus", "n_rows", "checksum")))

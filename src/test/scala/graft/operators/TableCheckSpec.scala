@@ -15,6 +15,16 @@ class TableCheckSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
   private val cols = Seq("l_orderkey", "l_linenumber", "l_partkey")
 
+  test("length-prefixed rendering distinguishes delimiter-shifted rows") {
+    import spark.implicits._
+    // a bare '|' join renders both rows as "a|b|c" — identical hashes
+    // would certify a value shifted across a column boundary
+    val a = Seq(("a|b", "c")).toDF("x", "y")
+    val b = Seq(("a", "b|c")).toDF("x", "y")
+    assert(TableCheck.checksum(a, Seq("x", "y")).collect()(0) !=
+      TableCheck.checksum(b, Seq("x", "y")).collect()(0))
+  }
+
   test("Md5Hash60 kernel equals the composed conv(substring(md5)) form") {
     graft.functions.Md5Hash60.register(spark)
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
