@@ -233,4 +233,50 @@ object StreamingOps {
       .select(col("user_id"), col("click_id"), col("view_id"),
         col("click_ts"), col("view_ts"))
   }
+
+  /** One (user, count, exact decimal sum) snapshot per updated key. */
+  final case class UserTotals(user_id: Long, n: Long, sum_c: Long)
+
+  /** Running per-user totals via Spark 4's transformWithState — the
+    * arbitrary-state API succeeding mapGroupsWithState: typed state
+    * handles (ValueState here; List/Map state and timers for richer
+    * shapes) live in the RocksDB state store, so per-key state is
+    * disk-backed and changelog-checkpointed rather than bounded by
+    * executor memory — the state-scale headroom the older API lacks.
+    * The sum accumulates in integer CENTS: exact under any arrival
+    * order/partitioning, so the stream converges bit-for-bit to the
+    * batch groupBy answer (spec'd), matching the engine-wide decimal
+    * discipline (Det).
+    */
+  class RunningTotals
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long), UserTotals] {
+    @transient private var state:
+        org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[(Long, Long)]("totals",
+        org.apache.spark.sql.Encoders.product[(Long, Long)],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[UserTotals] = {
+      var (n, s) = if (state.exists()) state.get() else (0L, 0L)
+      rows.foreach { case (_, cents) => n += 1; s += cents }
+      state.update((n, s))
+      Iterator.single(UserTotals(key, n, s))
+    }
+  }
+
+  /** events (user_id, value-in-cents) -> running totals stream. */
+  def runningTotals(events: org.apache.spark.sql.Dataset[(Long, Long)])
+      : org.apache.spark.sql.Dataset[UserTotals] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .transformWithState(new RunningTotals,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+  }
 }
