@@ -595,5 +595,69 @@ object Dedup {
         |SELECT doc_a, doc_b, dist FROM lv WHERE dist <= 10""".stripMargin +
         orderAll("doc_a", "doc_b")))
 
-  def queries: Seq[GQuery] = Seq(xd1, xd2, xd3, xd4, xd6, xd9)
+  /** Containment (asymmetric Jaccard) near-dup: |A∩B| / |A| ≥ 0.9 —
+    * catches PARTIAL duplication symmetric Jaccard misses: a short doc
+    * quoted wholesale inside a longer one has containment ~1 but low
+    * Jaccard (the union is dominated by the long doc). Directed
+    * output (doc_in, doc_of, containment): doc_in's token set is
+    * ~contained in doc_of's. Shape: ONE undirected group-level
+    * co-occurrence join (the qx2 general-vocabulary path over
+    * distinct token-set groups) emits BOTH directions per group pair;
+    * identical-set groups contribute member pairs at containment 1.0
+    * both ways. Same 100 TB posture as the Jaccard family: linear
+    * shuffle on hashed tokens, pairs born at group (not doc)
+    * granularity, persist on the two-consumer inter table.
+    */
+  val xd10 = GQuery(
+    "xd10_containment",
+    (s, d) => {
+      val c = Ctx(s, d)
+      val groups = setGroups(c.documents)
+      val gtok = groups.select(col("gid"), col("sz"),
+        explode(col("htoks")).as("token"))
+      val und = gtok.as("a").join(gtok.as("b"),
+          col("a.token") === col("b.token") && col("a.gid") < col("b.gid"))
+        .groupBy(col("a.gid").as("gid_a"), col("a.sz").as("sa"),
+          col("b.gid").as("gid_b"), col("b.sz").as("sb"))
+        .agg(count(lit(1)).as("inter"))
+        .persist() // both direction projections consume it
+      val dirs = und.select(col("gid_a").as("gid_in"), col("sa").as("sz_in"),
+          col("gid_b").as("gid_of"), col("inter"))
+        .unionByName(und.select(col("gid_b").as("gid_in"),
+          col("sb").as("sz_in"), col("gid_a").as("gid_of"), col("inter")))
+        .withColumn("containment", col("inter").cast("double") / col("sz_in"))
+        .filter(col("containment") >= 0.9)
+      val gIn = groups.select(col("gid").as("gid_in"), col("ids").as("ids_in"))
+      val gOf = groups.select(col("gid").as("gid_of"), col("ids").as("ids_of"))
+      val cross = dirs
+        .join(Scale.maybeBroadcast(gIn), "gid_in")
+        .join(Scale.maybeBroadcast(gOf), "gid_of")
+        .select(explode(expr(
+          "flatten(transform(ids_in, a -> transform(ids_of, b -> named_struct('a', a, 'b', b))))"))
+          .as("p"), round(col("containment"), 4).as("containment"))
+        .select(col("p.a").as("doc_in"), col("p.b").as("doc_of"),
+          col("containment"))
+      val intra = groups.filter(size(col("ids")) >= 2)
+        .select(explode(expr(
+          """filter(flatten(transform(ids, a -> transform(ids, b -> named_struct('a', a, 'b', b)))),
+            |       p -> p.a <> p.b)""".stripMargin)).as("p"))
+        .select(col("p.a").as("doc_in"), col("p.b").as("doc_of"),
+          lit(1.0).as("containment"))
+      canon(intra.unionByName(cross))
+    },
+    Some(
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, t.token FROM documents,
+        |    UNNEST(list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS t(token)),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY 1),
+        |pr AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
+        |  FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT da AS doc_in, db AS doc_of, ROUND(inter / sa.sz, 4) AS containment
+        |FROM pr JOIN sz sa ON pr.da = sa.doc_id
+        |WHERE inter / sa.sz >= 0.9""".stripMargin +
+        orderAll("doc_in", "doc_of", "containment")))
+
+  def queries: Seq[GQuery] = Seq(xd1, xd2, xd3, xd4, xd6, xd9, xd10)
 }
