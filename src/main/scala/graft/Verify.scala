@@ -12,8 +12,12 @@ object Verify {
     def selectedBy(filter: Set[String], name: String): Boolean =
       filter.contains(name) || filter.contains(name.takeWhile(_ != '_'))
     only.foreach { f =>
-      val hit = SparkEntry.queries.keys.count(selectedBy(f, _))
-      require(hit > 0, s"focus list matches no queries: ${f.mkString(",")}")
+      // validate each entry, not the list as a whole — one valid id
+      // next to a typo'd one must not silently verify a subset
+      f.foreach { e =>
+        require(SparkEntry.queries.keys.exists(n => selectedBy(Set(e), n)),
+          s"focus entry matches no query: $e")
+      }
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()

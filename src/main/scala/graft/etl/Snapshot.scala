@@ -102,12 +102,23 @@ object Snapshot {
     v
   }
 
+  /** The one version-allocation + publish sequence every commit shape
+    * shares (overwrite/append/append-once/rollback) — header handling
+    * is a decision made once, not per call site.
+    */
+  private def commitNext(path: String, files: Seq[String],
+      meta: Seq[String]): Long =
+    publish(path, currentVersion(path).getOrElse(0L) + 1, files, meta)
+
+  private def prevFiles(path: String): Seq[String] =
+    currentVersion(path).map(readManifest(path, _)).getOrElse(Nil)
+
   /** Commit df as a FULL snapshot (overwrite semantics): the new
     * version's manifest lists only df's files. Returns the version.
     */
   def commitOverwrite(df: DataFrame, path: String): Long = {
     val v = currentVersion(path).getOrElse(0L) + 1
-    publish(path, v, writeData(df, path, v), Seq(schemaMeta(df)))
+    commitNext(path, writeData(df, path, v), Seq(schemaMeta(df)))
   }
 
   /** Commit df as an APPEND: the new manifest lists the previous
@@ -116,73 +127,91 @@ object Snapshot {
     */
   def commitAppend(df: DataFrame, path: String): Long = {
     val v = currentVersion(path).getOrElse(0L) + 1
-    val prev = if (v == 1) Nil else readManifest(path, v - 1)
-    publish(path, v, prev ++ writeData(df, path, v), Seq(schemaMeta(df)))
+    commitNext(path, prevFiles(path) ++ writeData(df, path, v),
+      Seq(schemaMeta(df)))
   }
 
-  /** Read a version (default: latest) as a plain parquet scan over its
-    * manifest's files — pushdown, pruning and column projection all
-    * behave as on any parquet read.
+  private def schemaOf(path: String, v: Long): Option[String] =
+    manifestLines(path, v)
+      .collectFirst { case l if l.startsWith("#schema=") => l.drop(8) }
+
+  /** Read a version (default: latest) as a parquet scan over its
+    * manifest's files, under the version's RECORDED schema — so mixed
+    * footers after additive evolution (commitAppend with a new
+    * column) read deterministically (old files yield nulls for the
+    * added column) instead of depending on which footer Spark picks,
+    * and an EMPTY version (cleared table, filtered-out micro-batch)
+    * returns an empty DataFrame with the right shape. Pushdown,
+    * pruning and column projection behave as on any parquet read.
     */
   def read(spark: SparkSession, path: String,
       version: Option[Long] = None): DataFrame = {
     val v = version.orElse(currentVersion(path)).getOrElse(
       throw new IllegalStateException(s"no snapshot versions at $path"))
     val files = readManifest(path, v)
-    if (files.nonEmpty) spark.read.parquet(files: _*)
-    else {
-      // empty version: rebuild from the recorded schema header
-      val ddl = manifestLines(path, v)
-        .collectFirst { case l if l.startsWith("#schema=") => l.drop(8) }
-        .getOrElse(throw new IllegalStateException(
-          s"version $v at $path is empty and carries no schema header"))
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType.fromDDL(ddl))
+    val schema = schemaOf(path, v)
+      .map(org.apache.spark.sql.types.StructType.fromDDL)
+    (files.nonEmpty, schema) match {
+      case (true, Some(s)) => spark.read.schema(s).parquet(files: _*)
+      case (true, None) => spark.read.parquet(files: _*)
+      case (false, Some(s)) => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+      case (false, None) => throw new IllegalStateException(
+        s"version $v at $path is empty and carries no schema header")
     }
   }
 
-  /** Exactly-once append for streaming foreachBatch: the micro-batch
-    * id rides in the manifest's '#batch=' header, so the ONE atomic
-    * manifest rename commits the data AND the batch marker together —
-    * no window where a crash records one without the other. A
-    * REPLAYED batch (Structured Streaming re-delivers the last batch
-    * after a crash) is skipped instead of appended twice — upgrading
-    * the sink from at-least-once + dedup-view to exactly-once, the
-    * same role StreamingOps.writeBatch's batch_id-partition overwrite
-    * plays for the partitioned sink. A crash BEFORE the rename leaves
-    * only unreferenced data files (vacuum's job), and the replay
-    * commits cleanly. Returns the published version, or None if the
-    * batch was already committed.
+  /** Exactly-once append for streaming foreachBatch: the
+    * (stream id, batch id) transaction marker rides in the manifest's
+    * '#txn=' header, so the ONE atomic manifest rename commits the
+    * data AND the marker together — no window where a crash records
+    * one without the other. A REPLAYED batch (Structured Streaming
+    * re-delivers the last batch after a crash) is skipped instead of
+    * appended twice — upgrading the sink from at-least-once +
+    * dedup-view to exactly-once, the same role
+    * StreamingOps.writeBatch's batch_id-partition overwrite plays for
+    * the partitioned sink. The marker is scoped to `streamId` (the
+    * Delta-style transactional app id): a NEW stream (fresh
+    * checkpoint ⇒ batch numbering restarts at 0) picks a new id and
+    * its batches are not mistaken for replays of the old stream's. A
+    * crash BEFORE the rename leaves only unreferenced data files
+    * (vacuum's job), and the replay commits cleanly. Returns the
+    * published version, or None if the batch was already committed.
     */
-  def commitAppendOnce(df: DataFrame, path: String,
+  def commitAppendOnce(df: DataFrame, path: String, streamId: String,
       batchId: Long): Option[Long] = {
-    // batch ids are delivered monotonically, so only the NEWEST batch
-    // marker matters: scan manifests newest-first and stop at the
-    // first one carrying a marker — O(1) amortized per commit instead
-    // of re-reading every manifest of the stream's lifetime (10k
-    // micro-batches must not mean 10k manifest reads per commit).
+    require(!streamId.contains("\n") && !streamId.contains("/"),
+      s"streamId must be a plain token: $streamId")
+    val prefix = s"#txn=$streamId/"
+    // batch ids are delivered monotonically PER STREAM, so only this
+    // stream's newest marker matters: scan manifests newest-first and
+    // stop at the first one carrying this stream's marker — O(1)
+    // amortized per commit instead of re-reading every manifest of
+    // the stream's lifetime.
     val lastMarked = versions(path).reverseIterator
       .map(v => manifestLines(path, v).takeWhile(_.startsWith("#"))
-        .collectFirst { case l if l.startsWith("#batch=") => l.drop(7).toLong })
+        .collectFirst {
+          case l if l.startsWith(prefix) => l.drop(prefix.length).toLong
+        })
       .collectFirst { case Some(id) => id }
     if (lastMarked.exists(_ >= batchId)) None
     else {
       val v = currentVersion(path).getOrElse(0L) + 1
-      val prev = if (v == 1) Nil else readManifest(path, v - 1)
-      Some(publish(path, v, prev ++ writeData(df, path, v),
-        Seq(s"#batch=$batchId", schemaMeta(df))))
+      Some(commitNext(path, prevFiles(path) ++ writeData(df, path, v),
+        Seq(s"$prefix$batchId", schemaMeta(df))))
     }
   }
 
   /** Roll back by PUBLISHING a new version whose manifest duplicates
-    * `to`'s — history stays linear and intact (an audit can still read
-    * every version); nothing is deleted.
+    * `to`'s — file list AND schema header (an empty version must stay
+    * readable after rollback), but NOT its transaction marker (a
+    * rollback is not a stream commit). History stays linear and
+    * intact (an audit can still read every version); nothing is
+    * deleted.
     */
-  def rollback(path: String, to: Long): Long = {
-    val v = currentVersion(path).getOrElse(0L) + 1
-    publish(path, v, readManifest(path, to))
-  }
+  def rollback(path: String, to: Long): Long =
+    commitNext(path, readManifest(path, to),
+      schemaOf(path, to).map("#schema=" + _).toSeq)
 
   /** Delete data files referenced by NO manifest among the most recent
     * `keepVersions` (older manifests are dropped too — keep ≥ 2 so
@@ -193,6 +222,10 @@ object Snapshot {
     * retention, like Delta's VACUUM.
     */
   def vacuum(path: String, keepVersions: Int): Seq[String] = {
+    // keep >= 1 always: vacuum(path, 0) would otherwise delete every
+    // manifest and every data file — the whole table — in one call
+    require(keepVersions >= 1,
+      s"vacuum must keep at least 1 version, got $keepVersions")
     val vs = versions(path)
     val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepVersions))
     val live = keep.flatMap(readManifest(path, _)).toSet
@@ -205,9 +238,18 @@ object Snapshot {
     // a raw-string mismatch here would delete live data
     val dead = all.filterNot(f => live.contains(f.getCanonicalPath))
     dead.foreach(_.delete())
-    // prune now-empty commit dirs and the dropped manifests
+    // prune commit dirs with no live parquet left — recursively, since
+    // Spark leaves _SUCCESS/.crc sidecars in every commit dir (a
+    // "files.isEmpty" check would never fire and dead dirs, including
+    // crashed-commit orphans, would accumulate forever)
     Option(dataRoot.listFiles()).getOrElse(Array.empty)
-      .filter(d => Option(d.listFiles()).exists(_.isEmpty)).foreach(_.delete())
+      .filter(d => !Option(d.listFiles()).getOrElse(Array.empty)
+        .exists(f => f.getName.endsWith(".parquet") &&
+          live.contains(f.getCanonicalPath)))
+      .foreach { d =>
+        Option(d.listFiles()).getOrElse(Array.empty).foreach(_.delete())
+        d.delete()
+      }
     drop.foreach(v => manifestFile(path, v).delete())
     dead.map(_.toString).sorted.toIndexedSeq
   }

@@ -608,42 +608,54 @@ object Dedup {
     * shuffle on hashed tokens, pairs born at group (not doc)
     * granularity, persist on the two-consumer inter table.
     */
+  /** xd10's core over a setGroups table — directed (doc_in, doc_of,
+    * containment) pairs at containment >= t. Factored out so specs can
+    * run it on synthetic corpora (asymmetric direction, empty-set
+    * docs) without a parquet fixture.
+    */
+  private[queries] def containmentPairs(groups: DataFrame,
+      t: Double): DataFrame = {
+    val gtok = groups.select(col("gid"), col("sz"),
+      explode(col("htoks")).as("token"))
+    val und = gtok.as("a").join(gtok.as("b"),
+        col("a.token") === col("b.token") && col("a.gid") < col("b.gid"))
+      .groupBy(col("a.gid").as("gid_a"), col("a.sz").as("sa"),
+        col("b.gid").as("gid_b"), col("b.sz").as("sb"))
+      .agg(count(lit(1)).as("inter"))
+      .persist() // both direction projections consume it
+    val dirs = und.select(col("gid_a").as("gid_in"), col("sa").as("sz_in"),
+        col("gid_b").as("gid_of"), col("inter"))
+      .unionByName(und.select(col("gid_b").as("gid_in"),
+        col("sb").as("sz_in"), col("gid_a").as("gid_of"), col("inter")))
+      .withColumn("containment", col("inter").cast("double") / col("sz_in"))
+      .filter(col("containment") >= t)
+    val gIn = groups.select(col("gid").as("gid_in"), col("ids").as("ids_in"))
+    val gOf = groups.select(col("gid").as("gid_of"), col("ids").as("ids_of"))
+    val cross = dirs
+      .join(Scale.maybeBroadcast(gIn), "gid_in")
+      .join(Scale.maybeBroadcast(gOf), "gid_of")
+      .select(explode(expr(
+        "flatten(transform(ids_in, a -> transform(ids_of, b -> named_struct('a', a, 'b', b))))"))
+        .as("p"), round(col("containment"), 4).as("containment"))
+      .select(col("p.a").as("doc_in"), col("p.b").as("doc_of"),
+        col("containment"))
+    // sz > 0: token-less docs (empty set) have UNDEFINED containment
+    // (0/0) — the oracle emits nothing for them, so the intra branch
+    // must not claim containment 1.0
+    val intra = groups.filter(size(col("ids")) >= 2 && col("sz") > 0)
+      .select(explode(expr(
+        """filter(flatten(transform(ids, a -> transform(ids, b -> named_struct('a', a, 'b', b)))),
+          |       p -> p.a <> p.b)""".stripMargin)).as("p"))
+      .select(col("p.a").as("doc_in"), col("p.b").as("doc_of"),
+        lit(1.0).as("containment"))
+    intra.unionByName(cross)
+  }
+
   val xd10 = GQuery(
     "xd10_containment",
     (s, d) => {
       val c = Ctx(s, d)
-      val groups = setGroups(c.documents)
-      val gtok = groups.select(col("gid"), col("sz"),
-        explode(col("htoks")).as("token"))
-      val und = gtok.as("a").join(gtok.as("b"),
-          col("a.token") === col("b.token") && col("a.gid") < col("b.gid"))
-        .groupBy(col("a.gid").as("gid_a"), col("a.sz").as("sa"),
-          col("b.gid").as("gid_b"), col("b.sz").as("sb"))
-        .agg(count(lit(1)).as("inter"))
-        .persist() // both direction projections consume it
-      val dirs = und.select(col("gid_a").as("gid_in"), col("sa").as("sz_in"),
-          col("gid_b").as("gid_of"), col("inter"))
-        .unionByName(und.select(col("gid_b").as("gid_in"),
-          col("sb").as("sz_in"), col("gid_a").as("gid_of"), col("inter")))
-        .withColumn("containment", col("inter").cast("double") / col("sz_in"))
-        .filter(col("containment") >= 0.9)
-      val gIn = groups.select(col("gid").as("gid_in"), col("ids").as("ids_in"))
-      val gOf = groups.select(col("gid").as("gid_of"), col("ids").as("ids_of"))
-      val cross = dirs
-        .join(Scale.maybeBroadcast(gIn), "gid_in")
-        .join(Scale.maybeBroadcast(gOf), "gid_of")
-        .select(explode(expr(
-          "flatten(transform(ids_in, a -> transform(ids_of, b -> named_struct('a', a, 'b', b))))"))
-          .as("p"), round(col("containment"), 4).as("containment"))
-        .select(col("p.a").as("doc_in"), col("p.b").as("doc_of"),
-          col("containment"))
-      val intra = groups.filter(size(col("ids")) >= 2)
-        .select(explode(expr(
-          """filter(flatten(transform(ids, a -> transform(ids, b -> named_struct('a', a, 'b', b)))),
-            |       p -> p.a <> p.b)""".stripMargin)).as("p"))
-        .select(col("p.a").as("doc_in"), col("p.b").as("doc_of"),
-          lit(1.0).as("containment"))
-      canon(intra.unionByName(cross))
+      canon(containmentPairs(setGroups(c.documents), 0.9))
     },
     Some(
       """WITH tok AS (

@@ -57,21 +57,57 @@ class SnapshotSpec extends AnyFunSuite {
     val b0 = Seq((1L, "a")).toDF("id", "v")
     val b1 = Seq((2L, "b")).toDF("id", "v")
 
-    assert(Snapshot.commitAppendOnce(b0, path, batchId = 0).contains(1L))
+    assert(Snapshot.commitAppendOnce(b0, path, "s1", batchId = 0).contains(1L))
     // replay of batch 0 (post-crash redelivery): skipped, nothing new
-    assert(Snapshot.commitAppendOnce(b0, path, batchId = 0).isEmpty)
+    assert(Snapshot.commitAppendOnce(b0, path, "s1", batchId = 0).isEmpty)
     assert(Snapshot.versions(path) == Seq(1L))
 
     // crash BEFORE the manifest rename: only orphan data files exist.
     // simulate by writing a data dir with no manifest
     b1.write.parquet(path + "/data/c999999-orphan")
     // the replayed batch 1 commits cleanly (orphans don't block it)
-    assert(Snapshot.commitAppendOnce(b1, path, batchId = 1).contains(2L))
+    assert(Snapshot.commitAppendOnce(b1, path, "s1", batchId = 1).contains(2L))
     assert(fp(Snapshot.read(spark, path)) == fp(b0.unionByName(b1)))
     // vacuum clears the orphan; committed versions unaffected
     val deleted = Snapshot.vacuum(path, keepVersions = 2)
     assert(deleted.exists(_.contains("c999999-orphan")))
     assert(fp(Snapshot.read(spark, path)) == fp(b0.unionByName(b1)))
+  }
+
+  test("a new stream id is not mistaken for a replay of the old stream") {
+    val path = Files.createTempDirectory("snap-newstream").toString + "/t"
+    val b = Seq((1L, "a")).toDF("id", "v")
+    assert(Snapshot.commitAppendOnce(b, path, "s1", batchId = 0).contains(1L))
+    assert(Snapshot.commitAppendOnce(b, path, "s1", batchId = 1).contains(2L))
+    // fresh checkpoint => batch numbering restarts at 0 under a NEW id:
+    // must commit, not be dropped as a replay of s1's batch 0/1
+    assert(Snapshot.commitAppendOnce(b, path, "s2", batchId = 0).contains(3L))
+    // while s1's own replay is still recognized
+    assert(Snapshot.commitAppendOnce(b, path, "s1", batchId = 1).isEmpty)
+  }
+
+  test("empty commits, rollback to them, and additive schema evolution stay readable") {
+    val path = Files.createTempDirectory("snap-empty").toString + "/t"
+    val d1 = Seq((1L, "a")).toDF("id", "v")
+    Snapshot.commitOverwrite(d1, path)                        // v1
+    Snapshot.commitOverwrite(d1.filter("id < 0"), path)       // v2: EMPTY
+    val empty = Snapshot.read(spark, path, Some(2))
+    assert(empty.count() == 0 && empty.columns.toSeq == Seq("id", "v"))
+    // rollback to the empty version must keep its schema header
+    assert(Snapshot.rollback(path, to = 2) == 3L)
+    assert(Snapshot.read(spark, path).count() == 0)
+    // additive evolution: append a frame with an extra column; the
+    // recorded schema governs ALL files, so old rows read with nulls
+    // deterministically (not footer-pick-dependent)
+    val d2 = Seq((2L, "b", 0.9)).toDF("id", "v", "quality")
+    Snapshot.commitAppend(d2, path)                           // v4
+    val got = Snapshot.read(spark, path)
+    assert(got.columns.toSeq == Seq("id", "v", "quality"))
+    assert(got.count() == 1 &&
+      got.filter(org.apache.spark.sql.functions.col("quality").isNull)
+        .count() == 0)
+
+    intercept[IllegalArgumentException](Snapshot.vacuum(path, 0))
   }
 
   test("foreachBatch snapshot sink: the stream lands exactly once, time-travelable") {
@@ -81,7 +117,7 @@ class SnapshotSpec extends AnyFunSuite {
     val q = input.toDF().toDF("id", "v")
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
-        Snapshot.commitAppendOnce(batch, path, id); ()
+        Snapshot.commitAppendOnce(batch, path, "stream-a", id); ()
       }
       .start()
     input.addData((1L, "a"), (2L, "b"))

@@ -126,4 +126,21 @@ class GeneralVocabSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(got.toSeq == Seq((100L, 200L, 1.0)))
   }
+
+  test("containmentPairs: asymmetric direction and empty-set docs") {
+    import spark.implicits._
+    // base: 40 tokens; sub: its first 20 tokens (C(sub->base)=1.0,
+    // C(base->sub)=0.5 — only one direction passes 0.9); two token-less
+    // docs (digits only) must emit NOTHING (containment is 0/0)
+    val base = (0 until 40).map(vocab).toSeq
+    val sub = base.take(20)
+    val docs = Seq(
+      (1L, base.mkString(" ")),
+      (2L, sub.mkString(" ")),
+      (3L, "123 456"),
+      (4L, "789")).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(Dedup.setGroups(docs), 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((2L, 1L, 1.0)))
+  }
 }
