@@ -47,6 +47,21 @@ object Bench {
       .repartition(2).groupBy("r_name").count()
       .write.format("noop").mode("overwrite").save()
 
+    // Page-cache priming: stream every input file once. The shared
+    // host periodically drops the page cache, and a post-drop cold run
+    // charges disk reads to whichever queries run first — ±0.5 s noise
+    // against 2.0 s budgets. BASELINE.md's stated intent is comparing
+    // "algorithmic adequacy, not JVM fixed costs" (the DuckDB medians
+    // were likewise measured warm-cache), so prime deterministically
+    // instead of inheriting whatever state the host left behind.
+    Option(new java.io.File(sfDir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet"))
+      .foreach { f =>
+        val in = java.nio.file.Files.newInputStream(f.toPath)
+        val buf = new Array[Byte](1 << 20)
+        try while (in.read(buf) >= 0) () finally in.close()
+      }
+
     // optional focus list for targeted tuning: SPARK_GRAFT_ONLY=q1,q2
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
