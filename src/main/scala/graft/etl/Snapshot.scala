@@ -213,6 +213,23 @@ object Snapshot {
     commitNext(path, readManifest(path, to),
       schemaOf(path, to).map("#schema=" + _).toSeq)
 
+  /** One history row per version: (version, file count, txn marker if
+    * the version was a stream commit) — the audit view of the linear
+    * history, read from manifest metadata only (no data I/O).
+    */
+  final case class VersionInfo(version: Long, files: Int,
+      txn: Option[String])
+
+  def history(path: String): Seq[VersionInfo] =
+    versions(path).map { v =>
+      val lines = manifestLines(path, v)
+      VersionInfo(v,
+        lines.count(!_.startsWith("#")),
+        lines.collectFirst {
+          case l if l.startsWith("#txn=") => l.drop(5)
+        })
+    }
+
   /** Delete data files referenced by NO manifest among the most recent
     * `keepVersions` (older manifests are dropped too — keep ≥ 2 so
     * the last batch marker survives for streaming replay checks).

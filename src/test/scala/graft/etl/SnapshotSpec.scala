@@ -84,6 +84,10 @@ class SnapshotSpec extends AnyFunSuite {
     assert(Snapshot.commitAppendOnce(b, path, "s2", batchId = 0).contains(3L))
     // while s1's own replay is still recognized
     assert(Snapshot.commitAppendOnce(b, path, "s1", batchId = 1).isEmpty)
+
+    // history reads the audit trail from manifest metadata alone
+    assert(Snapshot.history(path).map(h => (h.version, h.txn)) == Seq(
+      (1L, Some("s1/0")), (2L, Some("s1/1")), (3L, Some("s2/0"))))
   }
 
   test("empty commits, rollback to them, and additive schema evolution stay readable") {
