@@ -95,13 +95,18 @@ object Scans {
         Seq("o_orderstatus"), cols))
     },
     Some(
+      // Checksum is the exact DECIMAL(38,0) sum folded mod 2^60 into
+      // BIGINT on BOTH engines: the raw sum (~2.9e21) exceeds 2^53
+      // and any float64 hop on the comparing side loses digits.
+      // NULLs render as the reserved token 'N' (cannot collide with
+      // 'len:value', which always contains ':').
       """SELECT o_orderstatus, COUNT(*) AS n_rows,
-        |  SUM(CAST(CAST(('0x' || substring(md5(concat_ws('|',
-        |        length(CAST(o_orderkey AS VARCHAR)) || ':' || CAST(o_orderkey AS VARCHAR),
-        |        length(CAST(o_custkey AS VARCHAR)) || ':' || CAST(o_custkey AS VARCHAR),
-        |        length(o_orderstatus) || ':' || o_orderstatus,
-        |        length(o_orderpriority) || ':' || o_orderpriority)), 1, 15)) AS BIGINT)
-        |      AS DECIMAL(38,0))) AS checksum
+        |  CAST(SUM(CAST(CAST(('0x' || substring(md5(concat_ws('|',
+        |        coalesce(length(CAST(o_orderkey AS VARCHAR)) || ':' || CAST(o_orderkey AS VARCHAR), 'N'),
+        |        coalesce(length(CAST(o_custkey AS VARCHAR)) || ':' || CAST(o_custkey AS VARCHAR), 'N'),
+        |        coalesce(length(o_orderstatus) || ':' || o_orderstatus, 'N'),
+        |        coalesce(length(o_orderpriority) || ':' || o_orderpriority, 'N'))), 1, 15)) AS BIGINT)
+        |      AS DECIMAL(38,0))) % 1152921504606846976 AS BIGINT) AS checksum
         |FROM orders GROUP BY o_orderstatus""".stripMargin +
         orderAll("o_orderstatus", "n_rows", "checksum")))
 

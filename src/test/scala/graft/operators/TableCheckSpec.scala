@@ -25,6 +25,29 @@ class TableCheckSpec extends AnyFunSuite {
       TableCheck.checksum(b, Seq("x", "y")).collect()(0))
   }
 
+  test("NULL position is part of the fingerprint") {
+    import spark.implicits._
+    // concat_ws drops NULL tokens, so without the reserved 'N'
+    // rendering these two rows would hash identically and the
+    // operator would certify mismatched nullable tables
+    val a = Seq(("a", Option.empty[String], Some("b"))).toDF("x", "y", "z")
+    val b = Seq(("a", Some("b"), Option.empty[String])).toDF("x", "y", "z")
+    val ks = Seq("x", "y", "z")
+    assert(TableCheck.checksum(a, ks).collect()(0) !=
+      TableCheck.checksum(b, ks).collect()(0))
+    // and NULL is distinct from the literal string "N"
+    val c = Seq(("a", Some("N"), Some("b"))).toDF("x", "y", "z")
+    assert(TableCheck.checksum(a, ks).collect()(0) !=
+      TableCheck.checksum(c, ks).collect()(0))
+  }
+
+  test("published checksum is a folded BIGINT in [0, 2^60)") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val row = TableCheck.checksum(li, cols).collect()(0)
+    val cs = row.getLong(1)
+    assert(cs >= 0L && cs < TableCheck.FoldMod)
+  }
+
   test("Md5Hash60 kernel equals the composed conv(substring(md5)) form") {
     graft.functions.Md5Hash60.register(spark)
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
@@ -60,9 +83,9 @@ class TableCheckSpec extends AnyFunSuite {
       "a changed row must flip the checksum")
 
     val a = TableCheck.checksumBy(li, Seq("l_returnflag"), cols)
-      .collect().map(r => r.getString(0) -> r.getDecimal(2)).toMap
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
     val b = TableCheck.checksumBy(perturbed, Seq("l_returnflag"), cols)
-      .collect().map(r => r.getString(0) -> r.getDecimal(2)).toMap
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
     val mismatched = a.keySet.filter(k => a(k) != b(k))
     assert(mismatched.size == 1,
       s"exactly one slice should mismatch, got $mismatched")
