@@ -46,6 +46,47 @@ object Bench {
     spark.read.parquet(s"$sfDir/region.parquet")
       .repartition(2).groupBy("r_name").count()
       .write.format("noop").mode("overwrite").save()
+    // Same idea for the OTHER aggregate machinery: median/percentile
+    // route through ObjectHashAggregate + the interpreted Percentile
+    // buffer, window functions through WindowExec — class loading +
+    // JIT for those paths is likewise a JVM fixed cost that a cold
+    // single-pass run would otherwise charge to the first query using
+    // them (q03b read 5.6 s in the r5 driver run vs 0.74 s warm; ~1 s
+    // of that is this first-use cost). 5 rows of region keep the
+    // warm-up itself sub-100ms.
+    locally {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val r = spark.read.parquet(s"$sfDir/region.parquet")
+      r.groupBy("r_name")
+        .agg(median(col("r_regionkey")).as("m"),
+          skewness(col("r_regionkey")).as("sk"),
+          corr(col("r_regionkey"), col("r_regionkey")).as("c"),
+          stddev_samp(col("r_regionkey")).as("sd"))
+        .write.format("noop").mode("overwrite").save()
+      r.select(col("r_name"),
+          row_number().over(Window.orderBy("r_regionkey")).as("rn"))
+        .write.format("noop").mode("overwrite").save()
+      // The vectorized parquet DECIMAL/DATE decoders are separate
+      // classes from the long/string ones region exercises — first
+      // decimal scan otherwise pays their load+JIT. Write a 100-row
+      // synthetic file to /tmp and read it back: warms the decoder
+      // classes without touching any benchmark table's data beyond
+      // the byte-priming above.
+      val tmp = java.nio.file.Files
+        .createTempDirectory("bench_warm").toString + "/t"
+      spark.range(100)
+        .select(col("id"),
+          (col("id") * 7).cast("decimal(12,2)").as("d"),
+          date_add(lit(java.sql.Date.valueOf("2020-01-01")),
+            col("id").cast("int")).as("dt"),
+          concat(lit("s"), col("id")).as("s"))
+        .write.mode("overwrite").parquet(tmp)
+      spark.read.parquet(tmp).groupBy("s")
+        .agg(sum(col("d")).as("sd"), median(col("d")).as("md"),
+          max(col("dt")).as("mx"))
+        .write.format("noop").mode("overwrite").save()
+    }
 
     // Page-cache priming: stream every input file once. The shared
     // host periodically drops the page cache, and a post-drop cold run

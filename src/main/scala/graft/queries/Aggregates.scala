@@ -296,22 +296,46 @@ object Aggregates {
   val q03b = GQuery(
     "q03b_stats_agg",
     (s, d) => {
+      import org.apache.spark.sql.expressions.Window
       val c = Ctx(s, d)
-      canon(
-        c.orders
-          .groupBy("o_orderstatus")
-          .agg(
-            count(lit(1)).as("n"),
-            round(stddev_samp(col("o_totalprice")), 2).as("sd_price"),
-            round(var_samp(col("o_totalprice")) / 1e6, 2).as("var_price_m"),
-            round(corr(col("o_totalprice"), col("o_custkey").cast("double")), 4)
-              .as("corr_pc"),
-            round(median(col("o_totalprice")), 2).as("med_price"),
-            // Spark's skewness is the population g1; DuckDB's is the
-            // bias-corrected sample G1 = g1 * sqrt(n(n-1))/(n-2).
-            round(skewness(col("o_totalprice")) *
-              sqrt(count(lit(1)) * (count(lit(1)) - 1)) / (count(lit(1)) - 2), 4)
-              .as("skew_price")))
+      val o = c.orders.select("o_orderstatus", "o_totalprice", "o_custkey")
+      // Moments ride one codegen'd two-phase HashAggregate. The exact
+      // median is computed SEPARATELY as selection-by-rank (row_number
+      // per status + average of the middle one/two), NOT via median():
+      // Spark's Percentile aggregate is a TypedImperativeAggregate that
+      // buffers EVERY group value in each task and ships the serialized
+      // buffers through the exchange — the whole column crosses the
+      // wire as java-serialized maps (memory-unsafe for 100 TB groups),
+      // and it drags the surrounding moments into ObjectHashAggregate.
+      // The rank form keeps the scan+moments in WholeStageCodegen, and
+      // the per-status sort is an external (spillable) sort. The
+      // 3-row median table broadcast-joins back to the 3-row moments.
+      val moments = o
+        .groupBy("o_orderstatus")
+        .agg(
+          count(lit(1)).as("n"),
+          round(stddev_samp(col("o_totalprice")), 2).as("sd_price"),
+          round(var_samp(col("o_totalprice")) / 1e6, 2).as("var_price_m"),
+          round(corr(col("o_totalprice"), col("o_custkey").cast("double")), 4)
+            .as("corr_pc"),
+          // Spark's skewness is the population g1; DuckDB's is the
+          // bias-corrected sample G1 = g1 * sqrt(n(n-1))/(n-2).
+          round(skewness(col("o_totalprice")) *
+            sqrt(count(lit(1)) * (count(lit(1)) - 1)) / (count(lit(1)) - 2), 4)
+            .as("skew_price"))
+      val w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice")
+      val med = o
+        .select(col("o_orderstatus"), col("o_totalprice"),
+          row_number().over(w).as("rn"),
+          count(lit(1)).over(Window.partitionBy("o_orderstatus")).as("cnt"))
+        .filter(col("rn") === floor((col("cnt") + 1) / 2) ||
+          col("rn") === floor((col("cnt") + 2) / 2))
+        .groupBy("o_orderstatus")
+        .agg(round(avg(col("o_totalprice")), 2).as("med_price"))
+      canon(moments.join(broadcast(med), Seq("o_orderstatus"))
+        .select(col("o_orderstatus"), col("n"), col("sd_price"),
+          col("var_price_m"), col("corr_pc"), col("med_price"),
+          col("skew_price")))
     },
     Some(
       """SELECT o_orderstatus, COUNT(*) AS n,
