@@ -1,7 +1,5 @@
 package graft.etl
 
-import java.io.File
-
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -41,19 +39,21 @@ object Compact {
     */
   final case class PartitionStat(dir: String, files: Int, bytes: Long)
 
-  /** List data-file stats per first-level partition directory. Local
-    * filesystem walk — the fixture/lake stand-in for a FileSystem
-    * listing; at scale this is the table manifest query.
+  /** List data-file stats per first-level partition directory, via
+    * the Hadoop FileSystem bound to the path's scheme — one listing
+    * per partition directory, metadata-only (no data reads). At
+    * warehouse scale this becomes the table-manifest query; the
+    * listing form is what a filesystem-backed lake gives.
     */
   def partitionStats(path: String): Seq[PartitionStat] = {
-    val root = new File(path)
-    val parts = Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.contains("="))
-    parts.toIndexedSeq.map { p =>
-      val data = Option(p.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-      PartitionStat(p.getName, data.length, data.map(_.length()).sum)
-    }
+    val (fs, root) = LakeFs.resolve(path)
+    LakeFs.listStatus(fs, root)
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .map { p =>
+        val data = fs.listStatus(p.getPath)
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        PartitionStat(p.getPath.getName, data.length, data.map(_.getLen).sum)
+      }
   }
 
   /** Compact every partition with more than `maxFiles` data files down

@@ -1,8 +1,8 @@
 package graft.etl
 
-import java.io.File
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.hadoop.fs.{FileSystem, Path}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -24,57 +24,93 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (Iceberg's avro manifests) — the contract here (immutable files +
   * atomic pointer swap) is the part that carries over.
   *
-  * Single-writer (P19): version allocation is max+1 with an atomic
-  * rename publish — concurrent writers would need a CAS on the
-  * manifest name (object-store conditional put); the ETL loop already
-  * serializes writers.
+  * All I/O goes through the Hadoop FileSystem API resolved from the
+  * table path's scheme (active session's Hadoop conf), so the layer
+  * works unchanged against HDFS or an object store with a Hadoop
+  * connector; the local filesystem is just the test instance.
+  *
+  * Manifests store file paths RELATIVE to the table root, so a table
+  * directory can be relocated/renamed wholesale and every version
+  * stays readable (absolute paths from older manifests are still
+  * honored on read/vacuum for compatibility).
+  *
+  * Writer concurrency (P19): version allocation is max+1; publish
+  * refuses to replace an existing manifest, so a lost race surfaces
+  * as a ConcurrentModificationException instead of a silently
+  * overwritten commit. That check is best-effort on filesystems
+  * without atomic no-overwrite rename (posix rename replaces; a true
+  * CAS needs HDFS rename semantics or an object-store conditional
+  * put) — the ETL loop already serializes writers, so the guard is a
+  * race DETECTOR, not a coordination mechanism.
   *
   * Layout under `path`:
   *   data/c<version>-<uuid>/part-*.parquet   (immutable once published)
-  *   manifests/v<version>                    (one referenced file path per line)
+  *   manifests/v<version>                    (header lines + one file path per line)
   */
 object Snapshot {
 
-  private def manifestDir(path: String) = new File(path, "manifests")
+  private def resolve(path: String): (FileSystem, Path) =
+    LakeFs.resolve(path)
 
-  private def manifestFile(path: String, v: Long) =
-    new File(manifestDir(path), f"v$v%06d")
+  private def manifestDir(root: Path) = new Path(root, "manifests")
+
+  private def manifestFile(root: Path, v: Long) =
+    new Path(manifestDir(root), f"v$v%06d")
+
+  private def listNames(fs: FileSystem, dir: Path): Seq[String] =
+    LakeFs.listStatus(fs, dir).map(_.getPath.getName)
 
   /** Published versions, ascending. */
-  def versions(path: String): Seq[Long] =
-    Option(manifestDir(path).listFiles()).getOrElse(Array.empty)
-      .flatMap(f => f.getName match {
-        case n if n.startsWith("v") => Some(n.drop(1).toLong)
-        case _ => None
-      }).sorted.toIndexedSeq
+  def versions(path: String): Seq[Long] = {
+    val (fs, root) = resolve(path)
+    versionsIn(fs, root)
+  }
+
+  private def versionsIn(fs: FileSystem, root: Path): Seq[Long] =
+    listNames(fs, manifestDir(root))
+      .collect { case n if n.startsWith("v") => n.drop(1).toLong }
+      .sorted
 
   def currentVersion(path: String): Option[Long] = versions(path).lastOption
 
-  /** Manifest lines: '#'-prefixed metadata (e.g. #batch=N), then one
-    * referenced file path per line.
+  /** Manifest lines: '#'-prefixed header (schema, txn markers), then
+    * one referenced file path per line (relative to the table root).
     */
-  private def manifestLines(path: String, v: Long): Seq[String] =
-    new String(Files.readAllBytes(manifestFile(path, v).toPath),
-      StandardCharsets.UTF_8).split("\n").filter(_.nonEmpty).toIndexedSeq
+  private def manifestLines(fs: FileSystem, root: Path, v: Long): Seq[String] = {
+    val in = fs.open(manifestFile(root, v))
+    val bytes = try in.readAllBytes() finally in.close()
+    new String(bytes, StandardCharsets.UTF_8)
+      .split("\n").filter(_.nonEmpty).toIndexedSeq
+  }
 
-  private def readManifest(path: String, v: Long): Seq[String] =
-    manifestLines(path, v).filterNot(_.startsWith("#"))
+  private def headerOf(fs: FileSystem, root: Path, v: Long): Seq[String] =
+    manifestLines(fs, root, v).takeWhile(_.startsWith("#"))
+
+  private def fileEntries(fs: FileSystem, root: Path, v: Long): Seq[String] =
+    manifestLines(fs, root, v).filterNot(_.startsWith("#"))
+
+  /** Resolve a manifest file entry against the table root. Relative
+    * entries (current format) follow a relocated root; absolute ones
+    * (legacy manifests) pass through qualified.
+    */
+  private def resolveEntry(fs: FileSystem, root: Path, entry: String): Path =
+    if (entry.startsWith("/") || entry.contains("://"))
+      fs.makeQualified(new Path(entry))
+    else new Path(root, entry)
 
   /** Write df's files into an immutable commit directory and return
-    * their CANONICAL paths (manifest paths and directory listings must
-    * compare equal in vacuum no matter how the caller spelled `path` —
-    * a relative-vs-absolute mismatch there would delete live files).
-    * The directory is named by the version being built plus a uuid, so
-    * a crashed commit leaves only unreferenced files (cleaned by
-    * vacuum), never a corrupt version.
+    * their paths RELATIVE to the table root (what the manifest
+    * stores). The directory is named by the version being built plus
+    * a uuid, so a crashed commit leaves only unreferenced files
+    * (cleaned by vacuum), never a corrupt version.
     */
-  private def writeData(df: DataFrame, path: String, v: Long): Seq[String] = {
-    val dir = new File(new File(path, "data"),
-      f"c$v%06d-${java.util.UUID.randomUUID().toString.take(8)}")
+  private def writeData(df: DataFrame, fs: FileSystem, root: Path,
+      v: Long): Seq[String] = {
+    val dirName = f"c$v%06d-${java.util.UUID.randomUUID().toString.take(8)}"
+    val dir = new Path(new Path(root, "data"), dirName)
     df.write.parquet(dir.toString)
-    Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".parquet"))
-      .map(_.getCanonicalPath).sorted.toIndexedSeq
+    listNames(fs, dir).filter(_.endsWith(".parquet"))
+      .map(n => s"data/$dirName/$n").sorted
   }
 
   /** df's schema as a manifest header line — what makes an EMPTY
@@ -85,40 +121,103 @@ object Snapshot {
   private def schemaMeta(df: DataFrame): String =
     "#schema=" + df.schema.toDDL
 
-  /** Publish `files` (plus optional '#'-metadata header lines) as
-    * version `v`: temp write + atomic rename, the same durability
-    * move as the ETL cursor. The rename is the single commit point —
-    * any metadata in the header (batch markers) becomes visible
-    * atomically WITH the file list.
+  /** Publish `files` (plus '#'-header lines) as version `v`: temp
+    * write + rename, the same durability move as the ETL cursor. The
+    * rename is the single commit point — any header metadata becomes
+    * visible atomically WITH the file list. Refuses to replace an
+    * existing manifest: a concurrent writer that allocated the same
+    * version loses the race LOUDLY (its data files stay unreferenced
+    * for vacuum; the table is untouched).
     */
-  private def publish(path: String, v: Long, files: Seq[String],
-      meta: Seq[String] = Nil): Long = {
-    manifestDir(path).mkdirs()
-    val tmp = Paths.get(manifestDir(path).toString, s".v$v.tmp")
-    Files.write(tmp,
+  private def publish(fs: FileSystem, root: Path, v: Long,
+      files: Seq[String], meta: Seq[String] = Nil): Long = {
+    val dst = manifestFile(root, v)
+    fs.mkdirs(manifestDir(root))
+    val tmp = new Path(manifestDir(root),
+      s".v$v.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, true)
+    try out.write(
       ((meta ++ files).mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, manifestFile(path, v).toPath,
-      StandardCopyOption.ATOMIC_MOVE)
+    finally out.close()
+    def lose(why: String): Nothing = {
+      fs.delete(tmp, false)
+      throw new java.util.ConcurrentModificationException(
+        s"snapshot version $v at $root $why — concurrent writer won the race")
+    }
+    if (fs.exists(dst)) lose("already published")
+    if (!fs.rename(tmp, dst)) lose("could not be published")
     v
+  }
+
+  private def splitMarker(m: String): (String, Long) = {
+    val i = m.lastIndexOf('/')
+    (m.take(i), m.drop(i + 1).toLong)
+  }
+
+  /** Stream txn state carried into every new manifest (Delta-style):
+    * the newest marker per streamId, merged from the PREVIOUS
+    * manifest's state and this commit's own '#txn=' marker. Because
+    * every manifest carries the full state forward, the replay check
+    * never depends on an OLD manifest surviving vacuum — dropping all
+    * but the newest manifest cannot lose a marker.
+    */
+  private def carriedTxnState(fs: FileSystem, root: Path,
+      meta: Seq[String]): Seq[String] = {
+    val own = meta.collect {
+      case l if l.startsWith("#txn=") => splitMarker(l.drop(5))
+    }
+    val prev = versionsIn(fs, root).lastOption.toSeq
+      .flatMap(headerOf(fs, root, _))
+      .collect {
+        case l if l.startsWith("#txn=") => splitMarker(l.drop(5))
+        case l if l.startsWith("#txnstate=") => splitMarker(l.drop(10))
+      }
+    val ownStreams = own.map(_._1).toSet
+    (prev ++ own).groupMapReduce(_._1)(_._2)(math.max)
+      .toSeq.filterNot { case (s, _) => ownStreams.contains(s) }
+      .sortBy(_._1)
+      .map { case (s, b) => s"#txnstate=$s/$b" }
   }
 
   /** The one version-allocation + publish sequence every commit shape
     * shares (overwrite/append/append-once/rollback) — header handling
     * is a decision made once, not per call site.
     */
-  private def commitNext(path: String, files: Seq[String],
-      meta: Seq[String]): Long =
-    publish(path, currentVersion(path).getOrElse(0L) + 1, files, meta)
+  private def commitNext(fs: FileSystem, root: Path, files: Seq[String],
+      meta: Seq[String]): Long = {
+    val state = carriedTxnState(fs, root, meta)
+    publish(fs, root, versionsIn(fs, root).lastOption.getOrElse(0L) + 1,
+      files, meta ++ state)
+  }
 
-  private def prevFiles(path: String): Seq[String] =
-    currentVersion(path).map(readManifest(path, _)).getOrElse(Nil)
+  private def prevFiles(fs: FileSystem, root: Path): Seq[String] =
+    versionsIn(fs, root).lastOption
+      .map(fileEntries(fs, root, _)).getOrElse(Nil)
 
   /** Commit df as a FULL snapshot (overwrite semantics): the new
     * version's manifest lists only df's files. Returns the version.
     */
   def commitOverwrite(df: DataFrame, path: String): Long = {
-    val v = currentVersion(path).getOrElse(0L) + 1
-    commitNext(path, writeData(df, path, v), Seq(schemaMeta(df)))
+    val (fs, root) = resolve(path)
+    val v = versionsIn(fs, root).lastOption.getOrElse(0L) + 1
+    commitNext(fs, root, writeData(df, fs, root, v), Seq(schemaMeta(df)))
+  }
+
+  /** Test seam for the version-allocation race: commit df AT a
+    * pre-allocated version instead of allocating at publish time —
+    * the interleaving a concurrent writer creates (allocate max+1,
+    * write data, lose the publish race to a writer that published the
+    * same version first). Production commit paths allocate and
+    * publish back-to-back; this exists so the race DETECTION (publish
+    * refuses to replace an existing manifest) is spec-testable
+    * deterministically.
+    */
+  private[etl] def commitOverwriteAt(df: DataFrame, path: String,
+      v: Long): Long = {
+    val (fs, root) = resolve(path)
+    val meta = Seq(schemaMeta(df))
+    publish(fs, root, v, writeData(df, fs, root, v),
+      meta ++ carriedTxnState(fs, root, meta))
   }
 
   /** Commit df as an APPEND: the new manifest lists the previous
@@ -126,13 +225,14 @@ object Snapshot {
     * rewritten. Returns the version.
     */
   def commitAppend(df: DataFrame, path: String): Long = {
-    val v = currentVersion(path).getOrElse(0L) + 1
-    commitNext(path, prevFiles(path) ++ writeData(df, path, v),
+    val (fs, root) = resolve(path)
+    val v = versionsIn(fs, root).lastOption.getOrElse(0L) + 1
+    commitNext(fs, root, prevFiles(fs, root) ++ writeData(df, fs, root, v),
       Seq(schemaMeta(df)))
   }
 
-  private def schemaOf(path: String, v: Long): Option[String] =
-    manifestLines(path, v)
+  private def schemaOf(fs: FileSystem, root: Path, v: Long): Option[String] =
+    headerOf(fs, root, v)
       .collectFirst { case l if l.startsWith("#schema=") => l.drop(8) }
 
   /** Read a version (default: latest) as a parquet scan over its
@@ -146,10 +246,12 @@ object Snapshot {
     */
   def read(spark: SparkSession, path: String,
       version: Option[Long] = None): DataFrame = {
-    val v = version.orElse(currentVersion(path)).getOrElse(
+    val (fs, root) = resolve(path)
+    val v = version.orElse(versionsIn(fs, root).lastOption).getOrElse(
       throw new IllegalStateException(s"no snapshot versions at $path"))
-    val files = readManifest(path, v)
-    val schema = schemaOf(path, v)
+    val files = fileEntries(fs, root, v)
+      .map(resolveEntry(fs, root, _).toString)
+    val schema = schemaOf(fs, root, v)
       .map(org.apache.spark.sql.types.StructType.fromDDL)
     (files.nonEmpty, schema) match {
       case (true, Some(s)) => spark.read.schema(s).parquet(files: _*)
@@ -182,22 +284,28 @@ object Snapshot {
       batchId: Long): Option[Long] = {
     require(!streamId.contains("\n") && !streamId.contains("/"),
       s"streamId must be a plain token: $streamId")
+    val (fs, root) = resolve(path)
     val prefix = s"#txn=$streamId/"
+    val statePrefix = s"#txnstate=$streamId/"
     // batch ids are delivered monotonically PER STREAM, so only this
-    // stream's newest marker matters: scan manifests newest-first and
-    // stop at the first one carrying this stream's marker — O(1)
-    // amortized per commit instead of re-reading every manifest of
-    // the stream's lifetime.
-    val lastMarked = versions(path).reverseIterator
-      .map(v => manifestLines(path, v).takeWhile(_.startsWith("#"))
-        .collectFirst {
+    // stream's newest marker matters. Every manifest carries the full
+    // txn state forward, so the scan stops at the newest manifest in
+    // the current format; the walk continues only across legacy
+    // manifests that predate carried state.
+    val lastMarked = versionsIn(fs, root).reverseIterator
+      .map { v =>
+        val ids = headerOf(fs, root, v).collect {
           case l if l.startsWith(prefix) => l.drop(prefix.length).toLong
-        })
+          case l if l.startsWith(statePrefix) => l.drop(statePrefix.length).toLong
+        }
+        ids.maxOption
+      }
       .collectFirst { case Some(id) => id }
     if (lastMarked.exists(_ >= batchId)) None
     else {
-      val v = currentVersion(path).getOrElse(0L) + 1
-      Some(commitNext(path, prevFiles(path) ++ writeData(df, path, v),
+      val v = versionsIn(fs, root).lastOption.getOrElse(0L) + 1
+      Some(commitNext(fs, root,
+        prevFiles(fs, root) ++ writeData(df, fs, root, v),
         Seq(s"$prefix$batchId", schemaMeta(df))))
     }
   }
@@ -205,69 +313,77 @@ object Snapshot {
   /** Roll back by PUBLISHING a new version whose manifest duplicates
     * `to`'s — file list AND schema header (an empty version must stay
     * readable after rollback), but NOT its transaction marker (a
-    * rollback is not a stream commit). History stays linear and
-    * intact (an audit can still read every version); nothing is
-    * deleted.
+    * rollback is not a stream commit; the carried txn state still
+    * flows forward from the latest version, so replay protection
+    * survives the rollback — the Delta RESTORE posture: data rewinds,
+    * stream transaction state does not).
     */
-  def rollback(path: String, to: Long): Long =
-    commitNext(path, readManifest(path, to),
-      schemaOf(path, to).map("#schema=" + _).toSeq)
+  def rollback(path: String, to: Long): Long = {
+    val (fs, root) = resolve(path)
+    commitNext(fs, root, fileEntries(fs, root, to),
+      schemaOf(fs, root, to).map("#schema=" + _).toSeq)
+  }
 
   /** One history row per version: (version, file count, txn marker if
     * the version was a stream commit) — the audit view of the linear
-    * history, read from manifest metadata only (no data I/O).
+    * history, read from manifest metadata only (no data I/O). Carried
+    * '#txnstate=' lines are bookkeeping, not commits, and don't
+    * appear here.
     */
   final case class VersionInfo(version: Long, files: Int,
       txn: Option[String])
 
-  def history(path: String): Seq[VersionInfo] =
-    versions(path).map { v =>
-      val lines = manifestLines(path, v)
+  def history(path: String): Seq[VersionInfo] = {
+    val (fs, root) = resolve(path)
+    versionsIn(fs, root).map { v =>
+      val lines = manifestLines(fs, root, v)
       VersionInfo(v,
         lines.count(!_.startsWith("#")),
         lines.collectFirst {
           case l if l.startsWith("#txn=") => l.drop(5)
         })
     }
+  }
 
   /** Delete data files referenced by NO manifest among the most recent
-    * `keepVersions` (older manifests are dropped too — keep ≥ 2 so
-    * the last batch marker survives for streaming replay checks).
-    * Unreferenced files include any orphans from a commit that
-    * crashed before its manifest rename. Returns deleted file paths.
-    * The one operation that destroys data — bounded by explicit
-    * retention, like Delta's VACUUM.
+    * `keepVersions` (older manifests are dropped too — stream replay
+    * markers survive any retention because every manifest carries the
+    * txn state forward). Unreferenced files include any orphans from
+    * a commit that crashed before its manifest rename. Returns
+    * deleted file paths. The one operation that destroys data —
+    * bounded by explicit retention, like Delta's VACUUM.
     */
   def vacuum(path: String, keepVersions: Int): Seq[String] = {
     // keep >= 1 always: vacuum(path, 0) would otherwise delete every
     // manifest and every data file — the whole table — in one call
     require(keepVersions >= 1,
       s"vacuum must keep at least 1 version, got $keepVersions")
-    val vs = versions(path)
+    val (fs, root) = resolve(path)
+    val vs = versionsIn(fs, root)
     val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepVersions))
-    val live = keep.flatMap(readManifest(path, _)).toSet
-    val dataRoot = new File(path, "data")
-    val all = Option(dataRoot.listFiles()).getOrElse(Array.empty)
-      .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
-      .filter(_.getName.endsWith(".parquet"))
-    // canonical paths on BOTH sides: manifests store canonical paths,
-    // and the listing must compare equal however `path` was spelled —
-    // a raw-string mismatch here would delete live data
-    val dead = all.filterNot(f => live.contains(f.getCanonicalPath))
-    dead.foreach(_.delete())
+    // resolve every kept entry to a fully-qualified path string so the
+    // comparison is spelling-independent (and legacy absolute entries
+    // still protect their files)
+    val live = keep.flatMap(fileEntries(fs, root, _))
+      .map(resolveEntry(fs, root, _).toString).toSet
+    val dataRoot = new Path(root, "data")
+    val commitDirs = LakeFs.listStatus(fs, dataRoot).filter(_.isDirectory)
+    val dead = commitDirs
+      .flatMap(d => fs.listStatus(d.getPath))
+      .filter(f => f.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath)
+      .filterNot(p => live.contains(p.toString))
+    dead.foreach(fs.delete(_, false))
     // prune commit dirs with no live parquet left — recursively, since
     // Spark leaves _SUCCESS/.crc sidecars in every commit dir (a
     // "files.isEmpty" check would never fire and dead dirs, including
     // crashed-commit orphans, would accumulate forever)
-    Option(dataRoot.listFiles()).getOrElse(Array.empty)
-      .filter(d => !Option(d.listFiles()).getOrElse(Array.empty)
-        .exists(f => f.getName.endsWith(".parquet") &&
-          live.contains(f.getCanonicalPath)))
-      .foreach { d =>
-        Option(d.listFiles()).getOrElse(Array.empty).foreach(_.delete())
-        d.delete()
-      }
-    drop.foreach(v => manifestFile(path, v).delete())
+    commitDirs.map(_.getPath)
+      .filter(d => !fs.listStatus(d)
+        .exists(f => f.getPath.getName.endsWith(".parquet") &&
+          live.contains(f.getPath.toString)))
+      .foreach(fs.delete(_, true))
+    drop.foreach(v => fs.delete(manifestFile(root, v), false))
     dead.map(_.toString).sorted.toIndexedSeq
   }
 }

@@ -1,7 +1,5 @@
 package graft.etl
 
-import java.io.File
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** MERGE INTO (SCD-1 upsert) for the partitioned parquet lake — the
@@ -51,15 +49,26 @@ object Upsert {
     val touchedRows = src.select(partitionCol).distinct().collect()
     val touched = touchedRows.map(_.get(0)).filter(_ != null)
     val hasNullPart = touchedRows.exists(_.isNullAt(0))
-    val lakeFiles = Option(new File(path).listFiles()).getOrElse(Array.empty)
+    val (fs, root) = LakeFs.resolve(path)
+    val hasTable = LakeFs.listStatus(fs, root)
+      .exists(_.getPath.getName.startsWith(s"$partitionCol="))
     val target =
-      if (!lakeFiles.exists(_.getName.startsWith(s"$partitionCol="))) None
+      if (!hasTable) None
       else {
         val pc = col(partitionCol)
         val inTouched = Option.when(touched.nonEmpty)(pc.isin(touched.toIndexedSeq: _*))
         val isNullPart = Option.when(hasNullPart)(pc.isNull)
+        // Read the target under the SOURCE's schema: without it Spark
+        // re-infers the partition column's type from directory names
+        // (e.g. '2024-01-01' strings infer as DATE), which can diverge
+        // from the source column's type — unionByName would then
+        // coerce, and the rewrite would silently change the stored
+        // partition type/rendering. Parquet matches user-schema fields
+        // by name, and the partition column takes the schema's type
+        // instead of the inferred one. (Contract above: source and
+        // target share a schema.)
         (inTouched ++ isNullPart).reduceOption(_ || _)
-          .map(spark.read.parquet(path).filter(_))
+          .map(spark.read.schema(src.schema).parquet(path).filter(_))
       }
     // survivors: touched-partition rows NOT replaced by a source key.
     // persist + count BEFORE the overwrite — the write's input must not

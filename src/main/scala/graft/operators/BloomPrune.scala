@@ -34,12 +34,31 @@ import org.apache.spark.sql.types._
   */
 object BloomPrune {
 
+  /** A pruned plan plus the lifecycle of its broadcast filter bits:
+    * `release()` destroys the broadcast once every query derived from
+    * `df` has COMPLETED (the plan is unusable afterwards). Broadcasts
+    * are otherwise held on the driver and executors for the
+    * application lifetime — one leaked filter is noise, but a
+    * long-lived service pruning per request accumulates them without
+    * bound.
+    */
+  final case class Pruned(df: DataFrame, release: () => Unit)
+
   /** `fact` rows whose `factKey` probably appears in `dim`'s `dimKey`
     * (false positives at ~`fpp`, zero false negatives). Long-ish and
     * string keys supported — the two shapes join keys actually take.
+    *
+    * One-shot convenience over `pruneManaged`: the broadcast filter
+    * lives until application end. Fine for a query-at-a-time driver;
+    * repeated callers should use `pruneManaged` and release.
     */
   def prune(fact: DataFrame, dim: DataFrame, factKey: String,
-      dimKey: String, expectedKeys: Long, fpp: Double = 0.01): DataFrame = {
+      dimKey: String, expectedKeys: Long, fpp: Double = 0.01): DataFrame =
+    pruneManaged(fact, dim, factKey, dimKey, expectedKeys, fpp).df
+
+  /** As `prune`, returning the broadcast's lifecycle handle. */
+  def pruneManaged(fact: DataFrame, dim: DataFrame, factKey: String,
+      dimKey: String, expectedKeys: Long, fpp: Double = 0.01): Pruned = {
     val bf = dim.stat.bloomFilter(dimKey, math.max(expectedKeys, 1L), fpp)
     val bc = fact.sparkSession.sparkContext.broadcast(bf)
     val pred = fact.schema(factKey).dataType match {
@@ -52,6 +71,6 @@ object BloomPrune {
       case other => throw new IllegalArgumentException(
         s"bloom prune supports integral/string keys, got ${other.sql}")
     }
-    fact.filter(pred)
+    Pruned(fact.filter(pred), () => bc.destroy())
   }
 }

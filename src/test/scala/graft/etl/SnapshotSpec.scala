@@ -137,6 +137,66 @@ class SnapshotSpec extends AnyFunSuite {
       fp(Seq((1L, "a"), (2L, "b")).toDF("id", "v")))
   }
 
+  test("a table directory can be relocated between commit and read") {
+    val base = Files.createTempDirectory("snap-move")
+    val path = base.toString + "/t"
+    val d1 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val d2 = Seq((3L, "c")).toDF("id", "v")
+    Snapshot.commitOverwrite(d1, path)
+    Snapshot.commitAppend(d2, path)
+    // rename the whole table dir: manifests store root-relative paths,
+    // so every version must stay readable at the new location
+    val moved = base.toString + "/renamed"
+    assert(new java.io.File(path).renameTo(new java.io.File(moved)))
+    assert(fp(Snapshot.read(spark, moved, Some(1))) == fp(d1))
+    assert(fp(Snapshot.read(spark, moved)) == fp(d1.unionByName(d2)))
+    // vacuum at the new location still resolves liveness correctly:
+    // nothing kept may be deleted
+    Snapshot.commitOverwrite(d2, moved)
+    Snapshot.vacuum(moved, keepVersions = 3)
+    assert(fp(Snapshot.read(spark, moved, Some(1))) == fp(d1))
+    assert(fp(Snapshot.read(spark, moved, Some(2))) == fp(d1.unionByName(d2)))
+  }
+
+  test("a lost version-allocation race fails loudly, not silently") {
+    val path = Files.createTempDirectory("snap-race").toString + "/t"
+    val d1 = Seq((1L, "a")).toDF("id", "v")
+    val d2 = Seq((2L, "b")).toDF("id", "v")
+    Snapshot.commitOverwrite(d1, path) // v1
+    // the race: writer A allocates v2 (max+1), then writer B commits
+    // v2 first; A's publish of its stale v2 must fail loudly instead
+    // of replacing B's manifest
+    val stale = Snapshot.currentVersion(path).get + 1 // A allocates 2
+    assert(Snapshot.commitOverwrite(d2, path) == stale) // B wins v2
+    intercept[java.util.ConcurrentModificationException](
+      Snapshot.commitOverwriteAt(d1, path, stale))
+    // the loser changed nothing: B's v2 is intact and the loser's
+    // data files are unreferenced (vacuum's job)
+    assert(Snapshot.versions(path) == Seq(1L, 2L))
+    assert(fp(Snapshot.read(spark, path, Some(2))) == fp(d2))
+    assert(Snapshot.vacuum(path, keepVersions = 2).nonEmpty,
+      "the loser's orphaned data files must be vacuumable")
+  }
+
+  test("stream replay markers survive vacuum dropping old manifests") {
+    val path = Files.createTempDirectory("snap-marker").toString + "/t"
+    val b0 = Seq((1L, "a")).toDF("id", "v")
+    val d = Seq((9L, "z")).toDF("id", "v")
+    assert(Snapshot.commitAppendOnce(b0, path, "s1", batchId = 5).contains(1L))
+    // OTHER commits land after the stream's last batch...
+    Snapshot.commitAppend(d, path)    // v2
+    Snapshot.commitOverwrite(d, path) // v3
+    // ...and vacuum drops every manifest before the stream restarts —
+    // including the one that carried s1's own #txn marker
+    Snapshot.vacuum(path, keepVersions = 1)
+    assert(Snapshot.versions(path) == Seq(3L))
+    // the carried txn state in v3 still identifies the replay: batch 5
+    // must be skipped, not double-appended
+    assert(Snapshot.commitAppendOnce(b0, path, "s1", batchId = 5).isEmpty)
+    // while the stream's NEXT batch commits normally
+    assert(Snapshot.commitAppendOnce(b0, path, "s1", batchId = 6).contains(4L))
+  }
+
   test("vacuum deletes only what kept versions no longer reference") {
     val path = Files.createTempDirectory("snap-vac").toString + "/t"
     val d1 = Seq((1L, "a")).toDF("id", "v")

@@ -99,6 +99,36 @@ class UpsertSpec extends AnyFunSuite {
       (4L, "keepNull", None), (5L, "NEWNULL", None)))
   }
 
+  test("merge preserves a string partition column that LOOKS like a date") {
+    // '2024-01-01' directory names infer as DATE on a bare read; the
+    // merge reads the target under the SOURCE's schema, so the
+    // partition column must come back a STRING and the rewrite must
+    // not change its stored rendering
+    val path = Files.createTempDirectory("upsert-datestr").toString + "/t"
+    Seq((1L, "2024-01-01", "a"), (2L, "2024-01-01", "b"),
+        (3L, "2024-01-02", "c"))
+      .toDF("event_id", "day", "payload")
+      .write.partitionBy("day").parquet(path)
+
+    val source = Seq((2L, "2024-01-01", "B2"))
+      .toDF("event_id", "day", "payload")
+    val stats = Upsert.merge(spark, path, source, Seq("event_id"), "day")
+    assert(stats.updated == 1 && stats.inserted == 0)
+
+    // the partition directories kept their string rendering
+    assert(new File(path).listFiles().map(_.getName).toSet
+      .filter(_.startsWith("day=")) == Set("day=2024-01-01", "day=2024-01-02"))
+    // reading under an explicit schema (the table's contract) round-trips
+    val got = spark.read
+      .schema("event_id BIGINT, payload STRING, day STRING")
+      .parquet(path)
+      .selectExpr("event_id", "payload", "day").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set(
+      (1L, "a", "2024-01-01"), (2L, "B2", "2024-01-01"),
+      (3L, "c", "2024-01-02")))
+  }
+
   test("merge into an empty table is a plain partitioned insert") {
     val path = Files.createTempDirectory("upsert-empty").toString + "/t"
     new File(path).mkdirs()

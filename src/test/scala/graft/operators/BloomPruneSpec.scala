@@ -51,4 +51,17 @@ class BloomPruneSpec extends AnyFunSuite {
     assert(got.contains("a"))
     assert(!got.contains(null.asInstanceOf[String]), "null key must be dropped")
   }
+
+  test("pruneManaged releases the broadcast filter after use") {
+    import spark.implicits._
+    val dim = Seq(1L, 2L).toDF("k")
+    val fact = Seq(1L, 2L, 999L).toDF("k")
+    val h = BloomPrune.pruneManaged(fact, dim, "k", "k", expectedKeys = 2)
+    val kept = h.df.count()
+    assert(kept >= 2 && kept <= 3) // exact matches + possible fp
+    h.release()
+    // the destroyed broadcast makes the plan unusable — the handle's
+    // contract is release AFTER every derived query completed
+    intercept[Exception](h.df.count())
+  }
 }
