@@ -73,6 +73,13 @@ object EtlDemo {
     val ok = sec <= 15.0 && s1.ran && s2.ran && !s3.ran &&
       streamedMax <= ChainFixture.Epoch + ChainFixture.Span - 5
     println(s"[etl-demo] PASS=$ok")
+    // record the pipeline-layer baseline row (BASELINE.md §2: one
+    // 1,000-block cycle <= 15 s) where tools/results.py picks it up
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench/etl_last.json"),
+      (f"""{"metric":"etl_cycle_1000_blocks","value":$sec%.3f,""" +
+        f""""unit":"sec","budget":15.0,"pass":$ok}""" + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () } // reporting must not fail the demo
     spark.stop()
     if (!ok) sys.exit(1)
   }

@@ -1,52 +1,89 @@
 #!/usr/bin/env python3
-"""Generate bench/RESULTS.md per BASELINE.md §2.5: query | duckdb | spark |
-ratio | pass/fail. Inputs: spark bench JSON line + duckdb timings JSON.
+"""Generate bench/RESULTS.md per BASELINE.md §2.5: query | duckdb | spark
+warm | spark cold | ratio | pass/fail. Inputs: spark bench JSON line
+(warm median protocol), duckdb timings JSON, optionally a cold-mode
+spark JSON (SPARK_GRAFT_BENCH_MODE=cold — mirrors the driver's
+single-pass measurement) and the EtlDemo pipeline-baseline JSON.
 
-Usage: tools/results.py [spark_json] [duckdb_json] [out_md]
+Usage: tools/results.py [spark_json] [duckdb_json] [out_md] [cold_json] [etl_json]
 """
-import json, sys
+import json, os, sys
 
 spark_path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/bench_sf01.json"
 duck_path = sys.argv[2] if len(sys.argv) > 2 else "/tmp/duckdb_bench.json"
 out_path = sys.argv[3] if len(sys.argv) > 3 else "bench/RESULTS.md"
+cold_path = sys.argv[4] if len(sys.argv) > 4 else "/tmp/bench_cold.json"
+etl_path = sys.argv[5] if len(sys.argv) > 5 else "bench/etl_last.json"
 
-raw = open(spark_path).read()
-spark = json.loads(raw[raw.index("{"):])
+
+def load_line(path):
+    raw = open(path).read()
+    return json.loads(raw[raw.index("{"):])
+
+
+spark = load_line(spark_path)
 duck = json.load(open(duck_path))
+cold = load_line(cold_path)["queries"] if os.path.exists(cold_path) else {}
+etl = load_line(etl_path) if os.path.exists(etl_path) else None
 
 rows = []
+cold_risks = []
 for name in sorted(spark["queries"]):
     s = spark["queries"][name]
+    c = cold.get(name)
     d = duck.get(name)
     if d is None or d <= 0:
-        rows.append((name, None, s, None, "⊘ no oracle"))
+        rows.append((name, None, s, c, None, "⊘ no oracle"))
         continue
     budget = max(2 * d, 2.0)
     ok = 0 <= s <= budget
-    rows.append((name, d, s, s / d if d else None,
+    if c is not None and c > budget:
+        cold_risks.append((name, c, budget))
+    rows.append((name, d, s, c, s / d if d else None,
                  "PASS" if ok else f"FAIL (budget {budget:.2f}s)"))
 
-n_pass = sum(1 for r in rows if r[4] == "PASS")
-n_fail = sum(1 for r in rows if r[4].startswith("FAIL"))
+n_pass = sum(1 for r in rows if r[5] == "PASS")
+n_fail = sum(1 for r in rows if r[5].startswith("FAIL"))
 with open(out_path, "w") as f:
     f.write("# Bench results — sf0.1 (BASELINE.md §2 protocol)\n\n")
-    f.write(f"Spark: median of 3 timed runs after 1 warm-up, noop sink, "
-            f"`local[32]`, AQE on. DuckDB: same queries, same parquet, "
-            f"median of 3 (known-slow oracles timed once — see duckbench.py "
-            f"ONCE; xd9's unbounded-DP levenshtein dominates the duckdb "
-            f"total). Pass: spark <= max(2x duckdb, 2.0s).\n\n")
-    budgeted_s = sum(r[2] for r in rows if not r[4].startswith("⊘"))
+    f.write(f"Spark warm: median of 3 timed runs after 1 warm-up, noop sink, "
+            f"`local[32]`, AQE on. Spark cold: ONE timed run per query in a "
+            f"fresh JVM sweep (generic engine warm-up only) — the driver's "
+            f"measurement shape, recorded so cold-only budget breaches "
+            f"surface before the driver runs. DuckDB: same queries, same "
+            f"parquet, median of 3 (known-slow oracles timed once — see "
+            f"duckbench.py ONCE; xd9's unbounded-DP levenshtein dominates "
+            f"the duckdb total). Pass: spark warm <= max(2x duckdb, 2.0s).\n\n")
+    budgeted_s = sum(r[2] for r in rows if not r[5].startswith("⊘"))
     budgeted_d = sum(r[1] for r in rows if r[1] is not None)
-    unbudgeted_s = sum(r[2] for r in rows if r[4].startswith("⊘"))
+    unbudgeted_s = sum(r[2] for r in rows if r[5].startswith("⊘"))
     f.write(f"**{n_pass} pass, {n_fail} fail** "
-            f"(+{sum(1 for r in rows if r[4].startswith('⊘'))} no-oracle "
+            f"(+{sum(1 for r in rows if r[5].startswith('⊘'))} no-oracle "
             f"sketch queries, timed but unbudgeted). "
             f"Spark total {spark['value']:.1f}s = {budgeted_s:.1f}s budgeted "
             f"(duckdb {budgeted_d:.1f}s) + {unbudgeted_s:.1f}s unbudgeted "
             f"sketch/ANN paths DuckDB has no counterpart for.\n\n")
-    f.write("| query | duckdb s | spark s | ratio | verdict |\n")
-    f.write("|---|---|---|---|---|\n")
-    for name, d, s, r, v in rows:
+    if cold:
+        if cold_risks:
+            f.write("Cold-run budget risks (cold > warm budget; verdicts "
+                    "stay warm-based per protocol): "
+                    + ", ".join(f"{n} ({c:.2f}s vs {b:.2f}s)"
+                                for n, c, b in cold_risks) + ".\n\n")
+        else:
+            f.write("Cold sweep: every budgeted query under its budget "
+                    "cold as well.\n\n")
+    if etl is not None:
+        verdict = "PASS" if etl.get("pass") else "FAIL"
+        f.write(f"**Pipeline-layer baseline** (BASELINE.md §2, reference "
+                f"catch-up ceiling analog): one 1,000-block synthetic cycle "
+                f"end-to-end (scan → enrich → enforce → append → cursor "
+                f"commit) = {etl['value']:.2f}s vs {etl['budget']:.0f}s "
+                f"budget → {verdict} (graft.etl.EtlDemo).\n\n")
+    f.write("| query | duckdb s | spark warm s | spark cold s | ratio | verdict |\n")
+    f.write("|---|---|---|---|---|---|\n")
+    for name, d, s, c, r, v in rows:
         f.write(f"| {name} | {d if d is not None else '—'} | {s:.3f} | "
+                f"{f'{c:.3f}' if c is not None else '—'} | "
                 f"{f'{r:.2f}x' if r else '—'} | {v} |\n")
-print(f"wrote {out_path}: {n_pass} pass, {n_fail} fail")
+print(f"wrote {out_path}: {n_pass} pass, {n_fail} fail, "
+      f"{len(cold_risks)} cold risks")
