@@ -263,6 +263,78 @@ object Snapshot {
     }
   }
 
+  /** Incremental consumption (append-only CDC): the rows ADDED after
+    * `sinceVersion` (exclusive) up to `untilVersion` (inclusive,
+    * default latest), as a parquet scan over exactly the manifest
+    * entries new in that range — a downstream job (embedding refresh,
+    * incremental dedup xd6, training-mix rebuild) processes each
+    * version delta without ever rescanning the table. `sinceVersion
+    * = 0` bootstraps with the full first version. Cost is
+    * O(files-in-two-manifests) metadata plus a scan of only the new
+    * files.
+    *
+    * Append-only is VERIFIED, not assumed: if any file referenced at
+    * `sinceVersion` is gone at `untilVersion` (overwrite, rollback,
+    * or an optimize rewrite happened in between), the delta is not
+    * expressible as added-files and this throws — the Delta streaming
+    * source's posture — instead of silently emitting wrong changes.
+    */
+  def readChanges(spark: SparkSession, path: String, sinceVersion: Long,
+      untilVersion: Option[Long] = None): DataFrame = {
+    val (fs, root) = resolve(path)
+    val to = untilVersion.orElse(versionsIn(fs, root).lastOption).getOrElse(
+      throw new IllegalStateException(s"no snapshot versions at $path"))
+    require(sinceVersion >= 0 && sinceVersion <= to,
+      s"sinceVersion $sinceVersion outside [0, $to]")
+    val base = if (sinceVersion == 0) Nil else fileEntries(fs, root, sinceVersion)
+    val cur = fileEntries(fs, root, to)
+    val removed = base.filterNot(cur.toSet)
+    if (removed.nonEmpty) throw new IllegalStateException(
+      s"versions ($sinceVersion, $to] at $path are not append-only: " +
+        s"${removed.size} base file(s) were removed/rewritten — " +
+        "consume the full snapshot instead")
+    val added = cur.filterNot(base.toSet)
+      .map(resolveEntry(fs, root, _).toString)
+    val schema = schemaOf(fs, root, to)
+      .map(org.apache.spark.sql.types.StructType.fromDDL)
+    (added.nonEmpty, schema) match {
+      case (true, Some(s)) => spark.read.schema(s).parquet(added: _*)
+      case (true, None) => spark.read.parquet(added: _*)
+      case (false, Some(s)) => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+      case (false, None) => throw new IllegalStateException(
+        s"empty delta at $path ($sinceVersion, $to] carries no schema header")
+    }
+  }
+
+  /** OPTIMIZE: republish the CURRENT content re-laid-out — compacted
+    * into `targetFiles` files, optionally Z-ORDER clustered on
+    * `zorderBy` (2-4 columns, operators.ZOrder) so footer min/max
+    * stats prune scans on any clustered dimension — as a NEW version.
+    * Content is byte-identical (pure re-layout, TableCheck-provable);
+    * readers pinned to old versions are untouched (their files are
+    * immutable) and vacuum reclaims the small files once retention
+    * passes. The snapshot-native form of Compact: same motivation
+    * (small-file open/footer overhead dominates scans long before
+    * bytes do), but transactional — a crash mid-optimize leaves only
+    * unreferenced files, never a half-compacted table.
+    */
+  def optimize(spark: SparkSession, path: String, targetFiles: Int,
+      zorderBy: Seq[String] = Nil): Long = {
+    require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
+    val cur = read(spark, path)
+    val laid =
+      if (zorderBy.isEmpty) cur.repartition(targetFiles)
+      else {
+        import org.apache.spark.sql.functions.col
+        cur.withColumn("_z", graft.operators.ZOrder.zvalue(cur, zorderBy))
+          .repartitionByRange(targetFiles, col("_z"))
+          .sortWithinPartitions("_z")
+          .drop("_z")
+      }
+    commitOverwrite(laid, path)
+  }
+
   /** Exactly-once append for streaming foreachBatch: the
     * (stream id, batch id) transaction marker rides in the manifest's
     * '#txn=' header, so the ONE atomic manifest rename commits the

@@ -352,5 +352,39 @@ object Curation {
         |FROM documents d JOIN e USING (lang)""".stripMargin +
         orderAll("doc_id", "lang", "n_copies")))
 
-  def queries: Seq[GQuery] = Seq(xc1, xc2, xc3, xc4, xc5, xc6, xc7)
+  /** xc8: deterministic train/val/test assignment — the split every
+    * training pipeline pins BEFORE any curation so no document ever
+    * migrates between splits across reruns, refreshes, or engine
+    * swaps (val/test contamination is unfixable after the fact). The
+    * assignment is a pure function of doc_id via the same explicit
+    * hash draw as xc1 (never rand(), never row position — both change
+    * under retries/repartitioning): 90/5/5 by hash bucket. Scale
+    * shape: a per-row projection in the scan stage — zero shuffles,
+    * zero state; composes with any downstream filter while staying
+    * stable. Oracle-matched: DuckDB computes the identical buckets.
+    */
+  val xc8 = GQuery(
+    "xc8_split_assign",
+    (s, d) => {
+      val c = Ctx(s, d)
+      val bucket = drawOf(col("doc_id")) % 100
+      canonBy(
+        c.documents.select(
+          col("doc_id"), col("lang"),
+          bucket.cast("long").as("bucket"),
+          when(bucket < 90, "train")
+            .when(bucket < 95, "val")
+            .otherwise("test").as("split")),
+        "doc_id")
+    },
+    Some(
+      """SELECT doc_id, lang,
+        |  CAST((doc_id * 2654435761) % 4294967296 % 100 AS BIGINT) AS bucket,
+        |  CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90 THEN 'train'
+        |       WHEN (doc_id * 2654435761) % 4294967296 % 100 < 95 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin +
+        orderAll("doc_id")))
+
+  def queries: Seq[GQuery] = Seq(xc1, xc2, xc3, xc4, xc5, xc6, xc7, xc8)
 }

@@ -197,6 +197,56 @@ class SnapshotSpec extends AnyFunSuite {
     assert(Snapshot.commitAppendOnce(b0, path, "s1", batchId = 6).contains(4L))
   }
 
+  test("readChanges yields exactly the appended rows; rejects rewrites") {
+    val path = Files.createTempDirectory("snap-cdc").toString + "/t"
+    val d1 = Seq((1L, "a")).toDF("id", "v")
+    val d2 = Seq((2L, "b")).toDF("id", "v")
+    val d3 = Seq((3L, "c")).toDF("id", "v")
+    Snapshot.commitOverwrite(d1, path) // v1
+    Snapshot.commitAppend(d2, path)    // v2
+    Snapshot.commitAppend(d3, path)    // v3
+    // bootstrap (since 0) and per-delta consumption
+    assert(fp(Snapshot.readChanges(spark, path, 0, Some(1))) == fp(d1))
+    assert(fp(Snapshot.readChanges(spark, path, 1, Some(2))) == fp(d2))
+    assert(fp(Snapshot.readChanges(spark, path, 1)) == fp(d2.unionByName(d3)))
+    // an empty delta is an empty frame with the right shape
+    val none = Snapshot.readChanges(spark, path, 3)
+    assert(none.count() == 0 && none.columns.toSeq == Seq("id", "v"))
+    // an overwrite breaks append-only: the delta must refuse, loudly
+    Snapshot.commitOverwrite(d1, path) // v4 rewrites everything
+    intercept[IllegalStateException](Snapshot.readChanges(spark, path, 3))
+    // but deltas entirely within the append-only prefix still work
+    assert(fp(Snapshot.readChanges(spark, path, 2, Some(3))) == fp(d3))
+  }
+
+  test("optimize compacts and z-orders into a new version, content identical") {
+    val path = Files.createTempDirectory("snap-opt").toString + "/t"
+    val ks = Seq("id", "x")
+    def fpx(df: org.apache.spark.sql.DataFrame) =
+      TableCheck.checksum(df, ks).collect()(0)
+    // many tiny appends -> many small files
+    val parts = (0 until 6).map { i =>
+      Seq((i.toLong, i.toLong * 7), (i + 100L, i * 3L)).toDF("id", "x")
+    }
+    parts.foreach(Snapshot.commitAppend(_, path))
+    val all = parts.reduce(_ unionByName _)
+    val before = Snapshot.currentVersion(path).get
+    val nFilesBefore = Snapshot.history(path).last.files
+    assert(nFilesBefore > 2, s"fixture should be fragmented, got $nFilesBefore")
+
+    val v = Snapshot.optimize(spark, path, targetFiles = 2,
+      zorderBy = Seq("id", "x"))
+    assert(v == before + 1)
+    assert(Snapshot.history(path).last.files <= 2, "optimize must compact")
+    assert(fpx(Snapshot.read(spark, path)) == fpx(all),
+      "optimize changed content")
+    // old version untouched and still readable
+    assert(fpx(Snapshot.read(spark, path, Some(before))) == fpx(all))
+    // optimize is a rewrite: incremental consumers must be told
+    intercept[IllegalStateException](
+      Snapshot.readChanges(spark, path, before))
+  }
+
   test("vacuum deletes only what kept versions no longer reference") {
     val path = Files.createTempDirectory("snap-vac").toString + "/t"
     val d1 = Seq((1L, "a")).toDF("id", "v")
