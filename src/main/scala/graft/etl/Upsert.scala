@@ -24,7 +24,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Contract: `source` must be key-unique (SQL MERGE raises on a row
   * matched twice; here the surviving duplicate would be arbitrary).
   * Brand-new partition values insert cleanly — they have no existing
-  * directory to read and dynamic overwrite creates them.
+  * directory to read and dynamic overwrite creates them. Additive
+  * schema evolution is free: the target is read under the SOURCE's
+  * schema, so a new source column reads as NULL from old files,
+  * rewritten partitions carry it physically, and untouched partitions
+  * gain it lazily at read time (UpsertSpec).
   */
 object Upsert {
 

@@ -129,6 +129,33 @@ class UpsertSpec extends AnyFunSuite {
       (3L, "c", "2024-01-02")))
   }
 
+  test("merge with an added source column evolves the table additively") {
+    // the target is read under the SOURCE's schema, so a new source
+    // column reads as NULL from old files and the rewritten partitions
+    // carry it — additive evolution without a separate migration step.
+    // Untouched partitions keep their old footprint (their rows gain
+    // the column lazily at read time under the evolved schema).
+    val path = Files.createTempDirectory("upsert-evolve").toString + "/t"
+    Seq((1L, 10L, "a"), (2L, 10L, "b"), (3L, 20L, "c"))
+      .toDF("event_id", "bucket", "payload")
+      .write.partitionBy("bucket").parquet(path)
+
+    val source = Seq((2L, 10L, "B2", Some(0.9)), (4L, 10L, "d", None))
+      .toDF("event_id", "bucket", "payload", "quality")
+    val stats = Upsert.merge(spark, path, source, Seq("event_id"), "bucket")
+    assert(stats.updated == 1 && stats.inserted == 1)
+
+    val got = spark.read
+      .schema("event_id BIGINT, payload STRING, quality DOUBLE, bucket BIGINT")
+      .parquet(path)
+      .selectExpr("event_id", "payload", "quality").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    assert(got == Set(
+      (1L, "a", None), (2L, "B2", Some(0.9)), (4L, "d", None),
+      (3L, "c", None)))
+  }
+
   test("merge into an empty table is a plain partitioned insert") {
     val path = Files.createTempDirectory("upsert-empty").toString + "/t"
     new File(path).mkdirs()
