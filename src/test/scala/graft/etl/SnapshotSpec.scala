@@ -197,6 +197,21 @@ class SnapshotSpec extends AnyFunSuite {
     assert(Snapshot.commitAppendOnce(b0, path, "s1", batchId = 6).contains(4L))
   }
 
+  test("snapshot reads keep filter pushdown and column pruning") {
+    val path = Files.createTempDirectory("snap-push").toString + "/t"
+    val d = (1L to 100L).map(i => (i, s"v$i", i * 2)).toDF("id", "v", "x")
+    Snapshot.commitOverwrite(d, path)
+    val q = Snapshot.read(spark, path)
+      .filter(org.apache.spark.sql.functions.col("id") > 90)
+      .select("id", "v")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.replaceAll("\\s", "").contains("GreaterThan(id,90)"),
+      s"id filter must reach the parquet scan:\n$plan")
+    assert(plan.contains("ReadSchema") && !plan.contains("x:"),
+      s"unprojected column x must not be read:\n$plan")
+  }
+
   test("readChanges yields exactly the appended rows; rejects rewrites") {
     val path = Files.createTempDirectory("snap-cdc").toString + "/t"
     val d1 = Seq((1L, "a")).toDF("id", "v")
