@@ -179,6 +179,48 @@ object Snapshot {
       .map { case (s, b) => s"#txnstate=$s/$b" }
   }
 
+  /** Per-file stats lines for `files` (data skipping,
+    * Snapshot.readWhere): files already covered by the PREVIOUS
+    * manifest reuse its '#stats=' entry verbatim — a carried file's
+    * footer is never re-read, the same carry-forward discipline as
+    * txn state — and only genuinely new files (plus, once, files of
+    * legacy manifests that predate stats) cost a footer read. Footer
+    * reads are metadata-only; a file whose stats can't be collected
+    * simply gets no line (readers keep statless files).
+    */
+  private def statsLines(fs: FileSystem, root: Path,
+      files: Seq[String]): Seq[String] = {
+    val prev: Map[String, String] = versionsIn(fs, root).lastOption.toSeq
+      .flatMap(headerOf(fs, root, _))
+      .flatMap { l =>
+        if (!l.startsWith("#stats=")) None
+        else {
+          val rest = l.drop(7)
+          val i = rest.indexOf('\t')
+          Option.when(i > 0)(rest.take(i) -> rest.drop(i + 1))
+        }
+      }.toMap
+    lazy val conf = LakeFs.hadoopConf
+    files.flatMap { f =>
+      prev.get(f)
+        .orElse(FileStats.collect(conf, resolveEntry(fs, root, f))
+          .map(FileStats.toJson))
+        .map(j => s"#stats=$f\t$j")
+    }
+  }
+
+  private def statsOf(fs: FileSystem, root: Path,
+      v: Long): Map[String, FileStats.FileStat] =
+    headerOf(fs, root, v).flatMap { l =>
+      if (!l.startsWith("#stats=")) None
+      else {
+        val rest = l.drop(7)
+        val i = rest.indexOf('\t')
+        Option.when(i > 0)(rest.take(i) -> rest.drop(i + 1))
+          .flatMap { case (f, j) => FileStats.fromJson(j).map(f -> _) }
+      }
+    }.toMap
+
   /** The one version-allocation + publish sequence every commit shape
     * shares (overwrite/append/append-once/rollback) — header handling
     * is a decision made once, not per call site.
@@ -186,8 +228,9 @@ object Snapshot {
   private def commitNext(fs: FileSystem, root: Path, files: Seq[String],
       meta: Seq[String]): Long = {
     val state = carriedTxnState(fs, root, meta)
+    val stats = statsLines(fs, root, files)
     publish(fs, root, versionsIn(fs, root).lastOption.getOrElse(0L) + 1,
-      files, meta ++ state)
+      files, meta ++ state ++ stats)
   }
 
   private def prevFiles(fs: FileSystem, root: Path): Seq[String] =
@@ -216,8 +259,9 @@ object Snapshot {
       v: Long): Long = {
     val (fs, root) = resolve(path)
     val meta = Seq(schemaMeta(df))
-    publish(fs, root, v, writeData(df, fs, root, v),
-      meta ++ carriedTxnState(fs, root, meta))
+    val files = writeData(df, fs, root, v)
+    publish(fs, root, v, files,
+      meta ++ carriedTxnState(fs, root, meta) ++ statsLines(fs, root, files))
   }
 
   /** Commit df as an APPEND: the new manifest lists the previous
@@ -261,6 +305,47 @@ object Snapshot {
       case (false, None) => throw new IllegalStateException(
         s"version $v at $path is empty and carries no schema header")
     }
+  }
+
+  /** Read with FILE SKIPPING: plan the scan over only the manifest
+    * files whose stats envelope ([min,max] + null counts per column,
+    * FileStats) may satisfy `predicate` — the read-side payoff of
+    * `optimize(zorderBy = …)`: clustered files carry disjoint ranges,
+    * so a selective predicate opens a handful of files out of
+    * thousands, decided driver-side from manifest metadata BEFORE any
+    * footer is fetched. Pruning is conservative (files without usable
+    * stats, predicates outside the supported shapes, and type
+    * mismatches are kept) and the predicate is re-applied as a normal
+    * filter on the survivors — so results are always exactly
+    * `read(...).filter(predicate)`, pruning only removes I/O.
+    *
+    * Supported pruning shapes: AND/OR of =, <=>, <, <=, >, >=, IN,
+    * IS [NOT] NULL, startsWith on top-level numeric / date /
+    * timestamp / boolean / string columns.
+    */
+  def readWhere(spark: SparkSession, path: String,
+      predicate: org.apache.spark.sql.Column,
+      version: Option[Long] = None): DataFrame = {
+    val (fs, root) = resolve(path)
+    val v = version.orElse(versionsIn(fs, root).lastOption).getOrElse(
+      throw new IllegalStateException(s"no snapshot versions at $path"))
+    val stats = statsOf(fs, root, v)
+    val pred =
+      org.apache.spark.sql.graftbridge.ColumnExpr.expression(predicate)
+    val kept = fileEntries(fs, root, v).filter(e =>
+      stats.get(e).forall(FileStats.mayMatch(pred, _)))
+    val files = kept.map(resolveEntry(fs, root, _).toString)
+    val schema = schemaOf(fs, root, v)
+      .map(org.apache.spark.sql.types.StructType.fromDDL)
+    val base = (files.nonEmpty, schema) match {
+      case (true, Some(s)) => spark.read.schema(s).parquet(files: _*)
+      case (true, None) => spark.read.parquet(files: _*)
+      case (false, Some(s)) => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+      case (false, None) => throw new IllegalStateException(
+        s"version $v at $path pruned to empty and carries no schema header")
+    }
+    base.filter(predicate)
   }
 
   /** Incremental consumption (append-only CDC): the rows ADDED after
