@@ -671,5 +671,87 @@ object Dedup {
         |WHERE inter / sa.sz >= 0.9""".stripMargin +
         orderAll("doc_in", "doc_of", "containment")))
 
-  def queries: Seq[GQuery] = Seq(xd1, xd2, xd3, xd4, xd6, xd9, xd10)
+  /** Duplicated-SPAN coverage (exact-substring dedup signal, the
+    * word-k-gram approximation of suffix-array training-data dedup):
+    * for every document, the fraction of its tokens covered by some
+    * 8-gram that also occurs in ANOTHER document. Doc-level dedup
+    * (qx1/xd1) misses partial duplication — a boilerplate header or a
+    * quoted paragraph inside otherwise-unique pages; span coverage is
+    * the per-document gate ("drop or trim docs that are >X% duplicated
+    * spans") used on real web corpora.
+    *
+    * Scale shape: positional k-grams are scan-stage projection; the
+    * duplicated-gram set comes from one partial-aggregated count over
+    * (gram, doc) pairs (map-side combine collapses a doc's internal
+    * repeats); flagging is an equi-join of positions against that set;
+    * and coverage is an interval-union in one per-doc window pass —
+    * sorted flagged starts, each contributing min(next-start, k)
+    * tokens, so overlapping spans are never double-counted. Every
+    * exchange is corpus-linear; nothing driver-side. At 100 TB the
+    * join/group key becomes the gram's 64-bit hash (xxhash64 at a
+    * ~n²/2⁶⁴ false-flag rate) instead of the gram string — the
+    * oracle-matched form keeps the exact string so the gate stays
+    * collision-free.
+    */
+  val xd11 = GQuery(
+    "xd11_dup_spans",
+    (s, d) => {
+      val K = 8
+      val c = Ctx(s, d)
+      val docs = c.documents
+        .select(col("doc_id"), Llm.tokens(s, col("text")).as("toks"))
+        .select(col("doc_id"), col("toks"),
+          size(col("toks")).cast("long").as("n_tokens"))
+      val grams = docs.filter(col("n_tokens") >= K)
+        .select(col("doc_id"), col("n_tokens"), posexplode(expr(
+          s"transform(sequence(1, size(toks) - ${K - 1}), i -> concat_ws(' ', slice(toks, i, $K)))"))
+          .as(Seq("pos", "kg")))
+      val dup = grams.select(col("kg"), col("doc_id")).distinct()
+        .groupBy("kg").agg(count(lit(1)).as("nd"))
+        .filter(col("nd") > 1).select("kg")
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val cov = grams.join(dup, "kg")
+        .select(col("doc_id"), col("pos"))
+        .withColumn("covered",
+          least(coalesce(lead(col("pos"), 1).over(w) - col("pos"), lit(K)),
+            lit(K)))
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_dup_grams"),
+          sum(col("covered")).cast("long").as("covered_tokens"))
+      canon(docs.select(col("doc_id"), col("n_tokens"))
+        .join(cov, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+          coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+          round(coalesce(col("covered_tokens"), lit(0L)).cast("double") /
+            col("n_tokens"), 6).as("dup_frac")))
+    },
+    Some(
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |dd AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens FROM d),
+        |g AS (
+        |  SELECT doc_id, CAST(u.i AS INT) AS pos,
+        |    array_to_string(toks[CAST(u.i AS INT): CAST(u.i AS INT) + 7], ' ') AS kg
+        |  FROM dd, UNNEST(range(1, CAST(n_tokens AS INT) - 6)) AS u(i)
+        |  WHERE n_tokens >= 8),
+        |dup AS (SELECT kg FROM (
+        |    SELECT kg, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY kg) WHERE nd > 1),
+        |f AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (kg)),
+        |cov AS (SELECT doc_id,
+        |    LEAST(COALESCE(LEAD(pos) OVER (PARTITION BY doc_id ORDER BY pos) - pos, 8), 8) AS covered
+        |  FROM f),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_dup_grams,
+        |    CAST(SUM(covered) AS BIGINT) AS covered_tokens FROM cov GROUP BY doc_id)
+        |SELECT dd.doc_id, dd.n_tokens,
+        |  COALESCE(a.n_dup_grams, 0) AS n_dup_grams,
+        |  COALESCE(a.covered_tokens, 0) AS covered_tokens,
+        |  ROUND(COALESCE(a.covered_tokens, 0) / CAST(dd.n_tokens AS DOUBLE), 6) AS dup_frac
+        |FROM dd LEFT JOIN agg a USING (doc_id)""".stripMargin +
+        orderAll("doc_id", "n_tokens", "n_dup_grams", "covered_tokens",
+          "dup_frac")))
+
+  def queries: Seq[GQuery] = Seq(xd1, xd2, xd3, xd4, xd6, xd9, xd10, xd11)
 }

@@ -267,5 +267,48 @@ object EventOps {
         |GROUP BY 1, 2""".stripMargin +
         orderAll("cohort_day", "day_offset", "n_active")))
 
-  def queries: Seq[GQuery] = Seq(q29, q30, q31, q32, q41, xe1, xe2)
+  /** Markov transition matrix over per-user event sequences: for each
+    * ordered (previous event_type → event_type) step, the step count
+    * and the row-normalized transition probability — the
+    * behavioral-model / next-event-prediction primitive on top of the
+    * same sessionized ordering q32 uses.
+    *
+    * Scale shape: ONE shuffle of the event stream (the per-user
+    * ordering window); everything after is type×type sized — the
+    * normalizing window runs over at most |event_type|² rows, so at
+    * 100 TB the cost is the user_id exchange and nothing else. Ties
+    * in ts break on event_id (unique), making the sequence — and so
+    * the matrix — deterministic on both engines.
+    */
+  val xe3 = GQuery(
+    "xe3_transitions",
+    (s, d) => {
+      val c = Ctx(s, d)
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val steps = c.events
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .withColumn("src", lag(col("event_type"), 1).over(w))
+        .filter(col("src").isNotNull)
+        .groupBy(col("src"), col("event_type").as("dst"))
+        .agg(count(lit(1)).as("n_steps"))
+      val wSrc = Window.partitionBy("src")
+      canon(steps.select(col("src"), col("dst"), col("n_steps"),
+        round(col("n_steps").cast("double") / sum(col("n_steps")).over(wSrc), 6)
+          .as("p")))
+    },
+    Some(
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+        |  FROM events),
+        |s AS (SELECT event_type AS dst,
+        |        LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+        |      FROM e),
+        |t AS (SELECT src, dst, COUNT(*) AS n_steps FROM s
+        |      WHERE src IS NOT NULL GROUP BY src, dst)
+        |SELECT src, dst, n_steps,
+        |  ROUND(n_steps / CAST(SUM(n_steps) OVER (PARTITION BY src) AS DOUBLE), 6) AS p
+        |FROM t""".stripMargin +
+        orderAll("src", "dst", "n_steps", "p")))
+
+  def queries: Seq[GQuery] = Seq(q29, q30, q31, q32, q41, xe1, xe2, xe3)
 }

@@ -335,5 +335,50 @@ object TextAnalysis {
         |SELECT lang, term, est, rnk FROM r WHERE rnk <= 10""".stripMargin +
         orderAll("lang", "rnk")))
 
-  def queries: Seq[GQuery] = Seq(xt1, xt2, xt3, xt4, xt5, xt6, xt7, xt8)
+  /** Corpus vocabulary statistics per language: token mass, distinct
+    * vocabulary, hapax legomena (terms seen exactly once — the Zipf
+    * tail that dominates vocabulary growth), and the head term's
+    * share of all tokens. The corpus-health dashboard for a training
+    * pipeline: hapax fraction spots OCR noise / boilerplate explosions,
+    * top-term share spots degenerate crawls, and vocab-vs-mass tracks
+    * Heaps-law growth across snapshots.
+    *
+    * Scale shape: same two-phase discipline as xt7 — the token stream
+    * partial-aggregates into the (lang, term) count table in the scan
+    * stage, and every statistic here is a second aggregate OVER that
+    * vocabulary-sized table, so the only corpus-sized exchange is the
+    * map-side-combined term count. Nothing driver-side.
+    */
+  val xt9 = GQuery(
+    "xt9_vocab_stats",
+    (s, d) => {
+      val c = Ctx(s, d)
+      val tf = c.documents
+        .select(col("lang"), explode(Llm.tokens(s, col("text"))).as("term"))
+        .groupBy("lang", "term").agg(count(lit(1)).as("cnt"))
+      canon(tf.groupBy("lang").agg(
+          sum(col("cnt")).as("n_tokens"),
+          count(lit(1)).as("n_vocab"),
+          sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("n_hapax"),
+          max(col("cnt")).as("top_cnt"))
+        .select(col("lang"), col("n_tokens"), col("n_vocab"), col("n_hapax"),
+          round(col("n_hapax").cast("double") / col("n_vocab"), 6)
+            .as("hapax_frac"),
+          round(col("top_cnt").cast("double") / col("n_tokens"), 6)
+            .as("top_share")))
+    },
+    Some(
+      """WITH tok AS (
+        |  SELECT lang, t.term FROM documents,
+        |    UNNEST(list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS t(term)),
+        |tf AS (SELECT lang, term, COUNT(*) AS cnt FROM tok GROUP BY 1, 2)
+        |SELECT lang, CAST(SUM(cnt) AS BIGINT) AS n_tokens, COUNT(*) AS n_vocab,
+        |  CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        |  ROUND(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6) AS hapax_frac,
+        |  ROUND(MAX(cnt) / CAST(SUM(cnt) AS DOUBLE), 6) AS top_share
+        |FROM tf GROUP BY lang""".stripMargin +
+        orderAll("lang", "n_tokens", "n_vocab", "n_hapax", "hapax_frac",
+          "top_share")))
+
+  def queries: Seq[GQuery] = Seq(xt1, xt2, xt3, xt4, xt5, xt6, xt7, xt8, xt9)
 }
