@@ -73,8 +73,10 @@ object TextAnalysis {
 
   // Language-ID: character-bigram profiles learned from the corpus
   // itself (top bigrams per language), docs classified by profile
-  // overlap. Self-referential accuracy report per language. ⊘ rows-only
-  // (the training join is beyond reasonable oracle SQL).
+  // overlap. Self-referential accuracy report per language. Every step
+  // is deterministic (count ties break on gram asc, score ties on
+  // profile_lang asc), so the whole train-then-classify pipeline is
+  // oracle-matched — profile learning included.
   val xt3 = GQuery(
     "xt3_lang_id",
     (s, d) => {
@@ -119,7 +121,34 @@ object TextAnalysis {
         round(sum(when(col("lang") === col("profile_lang"), 1L).otherwise(0L))
           .cast("double") / count(lit(1)), 4).as("self_accuracy")))
     },
-    None)
+    Some(
+      """WITH base AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(list_transform(range(1, length(text)),
+        |                i -> substring(text, CAST(i AS INT), 2)),
+        |                g -> length(g) = 2 AND NOT contains(g, ' ')) AS grams
+        |  FROM documents),
+        |prof AS (
+        |  SELECT lang AS profile_lang, gram FROM (
+        |    SELECT lang, t.gram, COUNT(*) AS cnt,
+        |      ROW_NUMBER() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, t.gram) AS rn
+        |    FROM base, UNNEST(grams) AS t(gram)
+        |    GROUP BY lang, t.gram) WHERE rn <= 20),
+        |dg AS (
+        |  SELECT DISTINCT doc_id, lang, t.gram
+        |  FROM base, UNNEST(grams) AS t(gram)),
+        |scored AS (
+        |  SELECT doc_id, lang, profile_lang, COUNT(*) AS overlap
+        |  FROM dg JOIN prof USING (gram) GROUP BY 1, 2, 3),
+        |best AS (
+        |  SELECT doc_id, lang, profile_lang FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY overlap DESC, profile_lang) AS rn
+        |    FROM scored) WHERE rn = 1)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN lang = profile_lang THEN 1 ELSE 0 END) AS BIGINT) AS n_predicted_self,
+        |  ROUND(SUM(CASE WHEN lang = profile_lang THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 4) AS self_accuracy
+        |FROM best GROUP BY lang""".stripMargin +
+        orderAll("lang", "n_docs", "n_predicted_self", "self_accuracy")))
 
   // Token counting at corpus scale: whitespace tokens vs a BPE-ish
   // subword estimate (ceil(len/4) per word — the common ~4 chars/token
