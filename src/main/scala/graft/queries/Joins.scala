@@ -319,6 +319,65 @@ object Joins {
         |GROUP BY l_returnflag""".stripMargin +
         orderAll("l_returnflag", "n_items", "sum_price")))
 
+  /** xi3: incremental JOIN-view maintenance — the join member of the
+    * incremental family (xi1 sums, xi2 quantiles, xd6 dedup). A
+    * materialized view V = orders ⋈ lineitem maintained as monthly
+    * batches arrive ON BOTH SIDES follows the delta algebra
+    *
+    *   ΔV_t = ΔA_t ⋈ B_{<t}  ∪  A_{<t} ⋈ ΔB_t  ∪  ΔA_t ⋈ ΔB_t
+    *
+    * which means each joined pair materializes EXACTLY ONCE — in the
+    * batch max(t_a, t_b) where its later side arrived. This query
+    * certifies that accounting cross-engine: per batch, the delta
+    * rows/revenue a maintenance job would append, plus the running
+    * view size — so the oracle's direct join must agree with the
+    * sum of every delta. IncrementalJoinSpec runs the actual
+    * batch-by-batch maintenance loop and proves each intermediate
+    * state equals the prefix join.
+    *
+    * Scale shape: one equi-join shuffle on the join key (exactly the
+    * full-recompute cost ONCE — the point is the per-batch job only
+    * joins delta-sized inputs against the other side, xd6's
+    * cross-side discipline); the per-batch table is months-sized, so
+    * the unpartitioned cumulative window is batch-count work, not
+    * data work (same posture as xi2's bin table).
+    */
+  val xi3 = GQuery(
+    "xi3_incremental_join",
+    (s, d) => {
+      val c = Ctx(s, d)
+      val o = c.orders.select(col("o_orderkey"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("ob"))
+      val l = c.lineitem.select(col("l_orderkey"),
+        dec(col("l_extendedprice")).as("price"),
+        date_trunc("month", col("l_shipdate")).cast("date").as("lb"))
+      val perBatch = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .withColumn("batch", greatest(col("ob"), col("lb")))
+        .groupBy("batch")
+        .agg(count(lit(1)).as("pairs_added"), sum(col("price")).as("s"))
+      val w = Window.orderBy("batch")
+      canon(perBatch.select(col("batch"), col("pairs_added"),
+        d6(col("s")).as("rev_added"),
+        sum(col("pairs_added")).over(w).as("view_rows"),
+        d6(sum(col("s")).over(w)).as("view_rev")))
+    },
+    Some(
+      """WITH o AS (SELECT o_orderkey,
+        |    CAST(date_trunc('month', o_orderdate) AS DATE) AS ob FROM orders),
+        |l AS (SELECT l_orderkey, CAST(l_extendedprice AS DECIMAL(18,4)) AS price,
+        |    CAST(date_trunc('month', l_shipdate) AS DATE) AS lb FROM lineitem),
+        |j AS (SELECT GREATEST(ob, lb) AS batch, price
+        |      FROM o JOIN l ON o_orderkey = l_orderkey),
+        |pb AS (SELECT batch, COUNT(*) AS pairs_added, SUM(price) AS s
+        |       FROM j GROUP BY batch)
+        |SELECT batch, pairs_added,
+        |  CAST(CAST(s AS DECIMAL(38,6)) AS DOUBLE) AS rev_added,
+        |  CAST(SUM(pairs_added) OVER (ORDER BY batch) AS BIGINT) AS view_rows,
+        |  CAST(CAST(SUM(s) OVER (ORDER BY batch) AS DECIMAL(38,6)) AS DOUBLE) AS view_rev
+        |FROM pb""".stripMargin +
+        orderAll("batch", "pairs_added", "rev_added", "view_rows",
+          "view_rev")))
+
   def queries: Seq[GQuery] =
-    Seq(q06, q07, q08, q08b, q09, q10, q11, q11b, q12, q13, q44)
+    Seq(q06, q07, q08, q08b, q09, q10, q11, q11b, q12, q13, q44, xi3)
 }
