@@ -110,5 +110,99 @@ object Scans {
         |FROM orders GROUP BY o_orderstatus""".stripMargin +
         orderAll("o_orderstatus", "n_rows", "checksum")))
 
-  def queries: Seq[GQuery] = Seq(q01, q02, q18, xv1)
+  /** xv2: declarative data-quality audit (the Deequ/expectations
+    * shape) — one report row per constraint: primary-key uniqueness,
+    * referential integrity, and value-range rules, each as
+    * (check, n_bad, n_rows). The lake-ingest gate that runs after
+    * every load (P12) and before every publish: n_bad is the actionable
+    * number, and a check is free to fail — on this fixture
+    * lineitem_line_unique REALLY fails (the synthetic data duplicates
+    * (l_orderkey, l_linenumber)), which is exactly what an auditor
+    * must surface, not hide.
+    *
+    * Scale shape: all same-table rules for a table fuse into ONE
+    * conditional-aggregate pass over its scan (no per-rule rescans);
+    * referential checks are anti-joins that shuffle only the key
+    * column; the report assembly (explode over a 1-row aggregate,
+    * tiny unions, 1×1 cross joins) is constant-sized. Adding a rule
+    * adds a column to the fused pass, not a pass.
+    */
+  val xv2 = GQuery(
+    "xv2_quality_checks",
+    (s, d) => {
+      val c = Ctx(s, d)
+      val o = c.orders
+      val l = c.lineitem
+      val oAgg = o.agg(
+        count(lit(1)).as("n"),
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("pk_dup"),
+        sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("bad_price"))
+      val lAgg = l.agg(
+        count(lit(1)).as("n"),
+        (count(lit(1)) -
+          countDistinct(col("l_orderkey"), col("l_linenumber"))).as("line_dup"),
+        sum(when(col("l_quantity").between(1, 50), 0L).otherwise(1L))
+          .as("bad_qty"),
+        sum(when(col("l_discount").between(0.0, 0.1), 0L).otherwise(1L))
+          .as("bad_disc"))
+      val oChecks = oAgg.select(explode(array(
+        struct(lit("orders_pk_unique").as("chk"),
+          col("pk_dup").as("n_bad"), col("n").as("n_rows")),
+        struct(lit("orders_price_positive").as("chk"),
+          col("bad_price").as("n_bad"), col("n").as("n_rows")))).as("r"))
+        .select("r.*")
+      val lChecks = lAgg.select(explode(array(
+        struct(lit("lineitem_line_unique").as("chk"),
+          col("line_dup").as("n_bad"), col("n").as("n_rows")),
+        struct(lit("lineitem_qty_range").as("chk"),
+          col("bad_qty").as("n_bad"), col("n").as("n_rows")),
+        struct(lit("lineitem_discount_range").as("chk"),
+          col("bad_disc").as("n_bad"), col("n").as("n_rows")))).as("r"))
+        .select("r.*")
+      val oOrphan = o.join(c.customer,
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n_bad"))
+        .select(lit("orders_fk_customer").as("chk"), col("n_bad"))
+        .crossJoin(oAgg.select(col("n").as("n_rows")))
+      val lOrphan = l.join(o.select("o_orderkey"),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n_bad"))
+        .select(lit("lineitem_fk_orders").as("chk"), col("n_bad"))
+        .crossJoin(lAgg.select(col("n").as("n_rows")))
+      canon(oChecks.unionByName(lChecks).unionByName(oOrphan)
+        .unionByName(lOrphan))
+    },
+    Some(
+      """SELECT 'orders_pk_unique' AS chk,
+        |  CAST((SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders) AS BIGINT) AS n_bad,
+        |  (SELECT COUNT(*) FROM orders) AS n_rows
+        |UNION ALL
+        |SELECT 'orders_price_positive',
+        |  (SELECT COUNT(*) FROM orders WHERE NOT (o_totalprice > 0)),
+        |  (SELECT COUNT(*) FROM orders)
+        |UNION ALL
+        |SELECT 'lineitem_line_unique',
+        |  CAST((SELECT COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) FROM lineitem) AS BIGINT),
+        |  (SELECT COUNT(*) FROM lineitem)
+        |UNION ALL
+        |SELECT 'lineitem_qty_range',
+        |  (SELECT COUNT(*) FROM lineitem WHERE NOT (l_quantity BETWEEN 1 AND 50)),
+        |  (SELECT COUNT(*) FROM lineitem)
+        |UNION ALL
+        |SELECT 'lineitem_discount_range',
+        |  (SELECT COUNT(*) FROM lineitem WHERE NOT (l_discount BETWEEN 0.0 AND 0.1)),
+        |  (SELECT COUNT(*) FROM lineitem)
+        |UNION ALL
+        |SELECT 'orders_fk_customer',
+        |  (SELECT COUNT(*) FROM orders WHERE NOT EXISTS
+        |    (SELECT 1 FROM customer WHERE c_custkey = o_custkey)),
+        |  (SELECT COUNT(*) FROM orders)
+        |UNION ALL
+        |SELECT 'lineitem_fk_orders',
+        |  (SELECT COUNT(*) FROM lineitem WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)),
+        |  (SELECT COUNT(*) FROM lineitem)""".stripMargin +
+        orderAll("chk", "n_bad", "n_rows")))
+
+  def queries: Seq[GQuery] = Seq(q01, q02, q18, xv1, xv2)
 }
