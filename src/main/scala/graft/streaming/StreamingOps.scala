@@ -279,4 +279,66 @@ object StreamingOps {
         org.apache.spark.sql.streaming.TimeMode.None(),
         org.apache.spark.sql.streaming.OutputMode.Update())
   }
+
+  final case class EvIn(user_id: Long, event_id: Long, tsMicros: Long,
+      event_type: String)
+  final case class Step(user_id: Long, src: String, dst: String)
+
+  /** Streaming twin of batch xe3 (Markov transition steps): per-user
+    * event CHAINING across micro-batch boundaries — the one shape no
+    * window can express, because a user's last event of batch N must
+    * pair with their first event of batch N+17. State is one
+    * (ts, event_id, event_type) triple per user (constant per key, in
+    * the RocksDB store); each incoming event emits its (src → dst)
+    * step and becomes the new tail.
+    *
+    * Ordering contract: rows WITHIN a micro-batch reach the processor
+    * unordered, so they are sorted by (ts, event_id) per key per batch
+    * (bounded by one user's arrivals in one batch, not history);
+    * ACROSS batches events are chained in batch-arrival order — with
+    * a time-ordered source this converges exactly to the batch query
+    * (spec'd); an out-of-order straggler chains from the stored tail,
+    * which is arrival-order semantics, the honest behavior of any
+    * at-least-once chain without a reordering buffer. Downstream, the
+    * step stream feeds the same (src, dst) count/normalize aggregate
+    * as the batch form.
+    */
+  class TransitionChain
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, EvIn, Step] {
+    @transient private var tail:
+        org.apache.spark.sql.streaming.ValueState[(Long, Long, String)] = _
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      tail = getHandle.getValueState[(Long, Long, String)]("tail",
+        org.apache.spark.sql.Encoders.product[(Long, Long, String)],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[EvIn],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[Step] = {
+      val sorted = rows.toIndexedSeq.sortBy(e => (e.tsMicros, e.event_id))
+      var prev = if (tail.exists()) Some(tail.get()) else None
+      val out = IndexedSeq.newBuilder[Step]
+      sorted.foreach { e =>
+        prev.foreach { case (_, _, src) => out += Step(key, src, e.event_type) }
+        prev = Some((e.tsMicros, e.event_id, e.event_type))
+      }
+      prev.foreach(tail.update)
+      out.result().iterator
+    }
+  }
+
+  /** events -> per-user transition steps stream (append semantics:
+    * each step is emitted exactly once).
+    */
+  def transitionSteps(events: org.apache.spark.sql.Dataset[EvIn])
+      : org.apache.spark.sql.Dataset[Step] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new TransitionChain,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+  }
 }
