@@ -11,9 +11,10 @@ import org.scalatest.funsuite.AnyFunSuite
   *    rows; every intended cross shape in the repo rides a broadcast
   *    nested-loop join or an equi-key instead.
   *  - data-sized global windows: a Window with an empty PARTITION BY
-  *    funnels the whole input through one task. The single whitelisted
-  *    case runs over a ~600-row histogram (sketch-sized by
-  *    construction, constant in corpus size).
+  *    funnels the whole input through one task. The whitelisted
+  *    cases run over a ~600-row histogram and a months-sized
+  *    per-batch table (sketch/batch-count-sized by construction,
+  *    constant in corpus size).
   *
   * Building each query's DataFrame executes only driver-bounded prep
   * (vocab probes, k-means on K rows); no query result is materialized.
@@ -23,7 +24,8 @@ class RegistryPlanSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
 
   /** Global windows that are provably sketch-sized, not data-sized. */
-  private val globalWindowOk = Set("xi2_incremental_quantiles")
+  private val globalWindowOk =
+    Set("xi2_incremental_quantiles", "xi3_incremental_join")
 
   test("no declared query plans a CartesianProduct or a data-sized global window") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
