@@ -368,5 +368,40 @@ object Aggregates {
     },
     None)
 
-  def queries: Seq[GQuery] = Seq(q03, q03b, q03c, q04, q04x, q04y, xi1, xi2, q05, q05b, q05c)
+  /** Salted two-phase exact COUNT(DISTINCT) — the skew remedy for the
+    * one aggregation shape AQE cannot rebalance. A hot group's distinct
+    * set normally lands on ONE reducer (the shuffle key is the group),
+    * so a single key with 10^9 distinct values stalls the stage no
+    * matter how many executors exist. Salting by hash(value) % 64
+    * splits each group's DISTINCT SET across 64 sub-aggregations —
+    * correct because the same value always lands in the same salt
+    * bucket, so per-bucket distinct counts sum to the true distinct
+    * count (a partition of the set, not a sample). Phase 2 aggregates
+    * groups × 64 rows: constant in data size.
+    *
+    * The output is salt-invariant, so the oracle is the plain
+    * COUNT(DISTINCT) — this query certifies the REWRITE is lossless,
+    * which is the point: it's the pattern a planner would apply
+    * automatically when stats flag a skewed distinct.
+    */
+  val q49 = GQuery(
+    "q49_salted_distinct",
+    (s, d) => {
+      val c = Ctx(s, d)
+      val salted = c.events
+        .select(col("event_type"), col("user_id"),
+          pmod(xxhash64(col("user_id")), lit(64)).as("salt"))
+        .groupBy("event_type", "salt")
+        .agg(count_distinct(col("user_id")).as("bucket_distinct"))
+      canon(salted
+        .groupBy("event_type")
+        .agg(sum(col("bucket_distinct")).as("n_users")))
+    },
+    Some(
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type""".stripMargin +
+        orderAll("event_type", "n_users")))
+
+  def queries: Seq[GQuery] =
+    Seq(q03, q03b, q03c, q04, q04x, q04y, xi1, xi2, q05, q05b, q05c, q49)
 }

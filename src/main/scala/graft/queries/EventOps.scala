@@ -310,5 +310,67 @@ object EventOps {
         |FROM t""".stripMargin +
         orderAll("src", "dst", "n_steps", "p")))
 
-  def queries: Seq[GQuery] = Seq(q29, q30, q31, q32, q41, xe1, xe2, xe3)
+  /** Last-touch attribution: each purchase is credited to the user's
+    * most recent PRECEDING non-purchase event — the marketing-analytics
+    * primitive xe1's funnel doesn't give (a funnel counts stage
+    * survivors; attribution assigns each conversion's credit). One
+    * window over the user's ordered event stream computes the carry-
+    * forward last non-purchase type/time (last(..., ignoreNulls) over
+    * rows UNBOUNDED PRECEDING..1 PRECEDING), so purchases and their
+    * attributed sources never join — the whole query is ONE shuffle on
+    * user_id plus a channel-sized aggregate. Revenue sums ride the
+    * exact-decimal discipline; the time-to-convert average is one
+    * double divide over an exact integer µs sum.
+    */
+  val xe4 = GQuery(
+    "xe4_attribution",
+    (s, d) => {
+      val c = Ctx(s, d)
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val nonPurchase = col("event_type") =!= "purchase"
+      val attr = c.events
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts"), col("value"))
+        .withColumn("channel",
+          last(when(nonPurchase, col("event_type")), ignoreNulls = true).over(w))
+        .withColumn("src_ts",
+          last(when(nonPurchase, col("ts")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase" && col("channel").isNotNull)
+      canon(attr
+        .groupBy("channel")
+        .agg(
+          count(lit(1)).as("n_purchases"),
+          moneySum(col("value")).as("revenue"),
+          // Per-row gap floored to whole seconds BEFORE the sum: the
+          // summed µs gaps can exceed 2^53 and the oracle side's
+          // HUGEINT→float64 hop would lose digits; second-sums stay
+          // exact in both engines' doubles.
+          round(sum(expr("(unix_micros(ts) - unix_micros(src_ts)) div 1000000"))
+              .cast("double") / count(lit(1)), 3)
+            .as("avg_latency_s")))
+    },
+    Some(
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value
+        |  FROM events),
+        |a AS (
+        |  SELECT event_type, value,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS channel,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN epoch_us(ts) END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS src_us,
+        |    epoch_us(ts) AS ts_us
+        |  FROM e)
+        |SELECT channel, COUNT(*) AS n_purchases,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  ROUND(SUM((ts_us - src_us) // 1000000) / CAST(COUNT(*) AS DOUBLE), 3) AS avg_latency_s
+        |FROM a WHERE event_type = 'purchase' AND channel IS NOT NULL
+        |GROUP BY channel""".stripMargin +
+        orderAll("channel", "n_purchases", "revenue", "avg_latency_s")))
+
+  def queries: Seq[GQuery] = Seq(q29, q30, q31, q32, q41, xe1, xe2, xe3, xe4)
 }
