@@ -378,6 +378,48 @@ object Joins {
         orderAll("batch", "pairs_added", "rev_added", "view_rows",
           "view_rev")))
 
+  /** Salted skew join — q49's sibling for the JOIN side: a hot join
+    * key concentrates its fact rows on one reducer of a shuffled join.
+    * Remedy: salt the FACT key with a deterministic sub-key
+    * (hash % 16) and replicate each dim row to all 16 salts
+    * (explode(sequence)), so the join key becomes (key, salt) and the
+    * hot key's rows spread over 16 tasks. The replication factor costs
+    * dim×16 rows — the trade is per-hot-key parallelism for a
+    * dim-sized multiplier, which is why production plans salt ONLY
+    * keys flagged hot by stats (AQE's skew-split does this
+    * automatically for plain sort-merge joins; the manual form covers
+    * what AQE can't see, e.g. a partial aggregate fused before the
+    * join). Oracle is the UNSALTED join + aggregate: the rewrite must
+    * be exactly lossless.
+    */
+  val q50 = GQuery(
+    "q50_salted_join",
+    (s, d) => {
+      val c = Ctx(s, d)
+      val fact = c.lineitem
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_linenumber"))
+        .withColumn("salt",
+          pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(16)))
+      val dim = c.orders
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .withColumn("salt", explode(sequence(lit(0L), lit(15L))))
+      canon(fact
+        .join(dim,
+          fact("l_orderkey") === dim("o_orderkey") &&
+            fact("salt") === dim("salt"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          moneySum(col("l_extendedprice")).as("revenue")))
+    },
+    Some(
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderpriority""".stripMargin +
+        orderAll("o_orderpriority", "n_items", "revenue")))
+
   def queries: Seq[GQuery] =
-    Seq(q06, q07, q08, q08b, q09, q10, q11, q11b, q12, q13, q44, xi3)
+    Seq(q06, q07, q08, q08b, q09, q10, q11, q11b, q12, q13, q44, xi3, q50)
 }

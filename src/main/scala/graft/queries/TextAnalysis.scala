@@ -409,5 +409,63 @@ object TextAnalysis {
         orderAll("lang", "n_tokens", "n_vocab", "n_hapax", "hapax_frac",
           "top_share")))
 
-  def queries: Seq[GQuery] = Seq(xt1, xt2, xt3, xt4, xt5, xt6, xt7, xt8, xt9)
+  /** Per-document character entropy — the distribution-free gibberish
+    * gate: natural prose sits near ~3 nats of char entropy, repeated
+    * filler (aaaa…, boilerplate padding) collapses toward 0, and
+    * random bytes push toward ln(charset). Complements xt1's ratio
+    * heuristics and xt6's model-based perplexity with a signal that
+    * needs NO trained model and no vocabulary.
+    *
+    * Scale shape: pure scan-stage HOFs — each row builds its own char
+    * histogram (transform over array_distinct, O(distinct·len) with
+    * distinct bounded by the charset) and folds it to entropy in the
+    * same projection; the query's ONLY exchange is the canonical
+    * output sort. Nothing is corpus-sized anywhere.
+    *
+    * Determinism: xt6's fixed-point discipline — per-char-count
+    * ln quantized to BIGINT (round(ln(c)·1e6)) BEFORE the fold, so
+    * the histogram sum is exact integer math in both engines;
+    * H = ln(n) − S/(n·1e6) is then two identical IEEE ops.
+    */
+  val xt10 = GQuery(
+    "xt10_char_entropy",
+    (s, d) => {
+      val c = Ctx(s, d)
+      canonBy(c.documents
+        .filter(length(col("text")) > 0)
+        .withColumn("cs", split(col("text"), ""))
+        .withColumn("n", size(col("cs")).cast("long"))
+        .withColumn("s6", expr(
+          """aggregate(
+            |  transform(array_distinct(cs),
+            |    ch -> size(filter(cs, x -> x = ch))),
+            |  CAST(0 AS BIGINT),
+            |  (acc, c) -> acc + c * CAST(round(ln(c) * 1e6) AS BIGINT))"""
+            .stripMargin))
+        .select(col("doc_id"), col("lang"), col("n").as("n_chars"),
+          size(expr("array_distinct(cs)")).as("n_distinct"),
+          round(log(col("n").cast("double")) -
+            col("s6").cast("double") / (col("n").cast("double") * lit(1e6)), 4)
+            .as("entropy_nats")),
+        "doc_id")
+    },
+    Some(
+      """WITH h AS (
+        |  SELECT doc_id, lang, string_split(text, '') AS cs,
+        |    CAST(len(string_split(text, '')) AS BIGINT) AS n
+        |  FROM documents WHERE len(text) > 0),
+        |f AS (
+        |  SELECT doc_id, lang, n,
+        |    len(list_distinct(cs)) AS n_distinct,
+        |    CAST(list_sum(list_transform(
+        |      list_transform(list_distinct(cs), ch -> len(list_filter(cs, x -> x = ch))),
+        |      c -> c * CAST(round(ln(c) * 1e6) AS BIGINT))) AS BIGINT) AS s6
+        |  FROM h)
+        |SELECT doc_id, lang, n AS n_chars, CAST(n_distinct AS INT) AS n_distinct,
+        |  ROUND(ln(CAST(n AS DOUBLE)) - CAST(s6 AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6), 4) AS entropy_nats
+        |FROM f""".stripMargin +
+        orderAll("doc_id")))
+
+  def queries: Seq[GQuery] =
+    Seq(xt1, xt2, xt3, xt4, xt5, xt6, xt7, xt8, xt9, xt10)
 }
