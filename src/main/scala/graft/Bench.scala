@@ -86,6 +86,24 @@ object Bench {
         .agg(sum(col("d")).as("sd"), median(col("d")).as("md"),
           max(col("dt")).as("mx"))
         .write.format("noop").mode("overwrite").save()
+      // The text-analysis family (xt*/xd*/xp*/qx*) all route through
+      // the Tokenize kernel + array HOF codegen paths; their first use
+      // costs ~1.5-2 s of class loading + JIT that a cold single-pass
+      // run charges to whichever tokenizing query runs first (every
+      // cold risk in r6's sweep was in this family). Warm those
+      // engine paths on 50 tiny synthetic rows — no benchmark table.
+      val wdocs = spark.range(50).select(col("id"),
+        concat(lit("the quick brown fox jumps over the lazy dog row "),
+          col("id")).as("text"))
+      wdocs
+        .select(col("id"), explode(graft.queries.Llm.tokens(spark, col("text"))).as("t"))
+        .groupBy("t").count()
+        .write.format("noop").mode("overwrite").save()
+      wdocs
+        .select(expr("aggregate(transform(split(text, ' '), x -> xxhash64(x)), " +
+          "0L, (a, h) -> xxhash64(a, h))").as("h"))
+        .groupBy("h").count()
+        .write.format("noop").mode("overwrite").save()
     }
 
     // Page-cache priming: stream every input file once. The shared
@@ -151,8 +169,11 @@ object Bench {
     if (selected.size == Registry.all.size) try {
       val full =
         f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$fullQs,"sf":"$sfDir"}"""
+      // cold sweeps get their own file — a warm+cold pipeline would
+      // otherwise have the second run clobber the first's full map
+      val dest = if (cold) "bench/driver_cold.json" else "bench/driver_last.json"
       java.nio.file.Files.write(
-        java.nio.file.Paths.get("bench/driver_last.json"),
+        java.nio.file.Paths.get(dest),
         (full + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () } // reporting must not fail the bench
     spark.stop()

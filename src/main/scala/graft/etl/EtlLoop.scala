@@ -62,7 +62,8 @@ final class EtlLoop(spark: SparkSession, cfg: EtlJob.Config, intervalSec: Int = 
     */
   def maintain(maxFiles: Int = 16): Seq[Compact.PartitionStat] =
     Seq(s"${cfg.sinkDir}/marketplace", s"${cfg.sinkDir}/dshop").flatMap { p =>
-      if (new java.io.File(p).isDirectory)
+      val (fs, dir) = LakeFs.resolve(p)
+      if (fs.exists(dir) && fs.getFileStatus(dir).isDirectory)
         Compact.compact(spark, p, "block_bucket", maxFiles = maxFiles)
       else Nil
     }

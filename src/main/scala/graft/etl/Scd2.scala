@@ -78,6 +78,39 @@ object Scd2 {
     stats
   }
 
+  /** Exactly-once streaming form of applyChanges — for a dimension
+    * maintained from a change STREAM (foreachBatch). Value-level no-op
+    * suppression alone makes replays of the LATEST batch idempotent,
+    * but cannot protect against the at-least-once double-apply hazard:
+    * if batch N set a→b, batch N+1 set b→a, and batch N then REPLAYS,
+    * its delta is non-empty again and would re-append stale history.
+    * The (streamId, batchId) marker rides the manifest commit
+    * (Snapshot.commitAppendOnce — one atomic rename commits data AND
+    * marker), so a replayed batch is skipped outright. An empty delta
+    * still publishes a marker-only version: the skip must engage even
+    * when the batch happened to be all no-ops.
+    */
+  def applyChangesOnce(spark: SparkSession, path: String, changes: DataFrame,
+      keys: Seq[String], asOf: Timestamp, streamId: String,
+      batchId: Long): Option[ApplyStats] = {
+    val attrs = changes.columns.filterNot(keys.contains).toSeq
+    val cur = current(spark, path, keys)
+      .select(keys.map(col) :+
+        struct(attrs.map(col): _*).as("_cur_attrs") :+
+        lit(true).as("_matched"): _*)
+    val delta = changes
+      .join(cur, keys, "left")
+      .filter(col("_matched").isNull ||
+        !(struct(attrs.map(col): _*) <=> col("_cur_attrs")))
+      .select(changes.columns.map(col).toIndexedSeq: _*)
+      .persist()
+    val appended = delta.count()
+    val committed = Snapshot.commitAppendOnce(
+      delta.withColumn(From, lit(asOf)), path, streamId, batchId)
+    delta.unpersist()
+    committed.map(v => ApplyStats(appended, changes.count() - appended, Some(v)))
+  }
+
   /** Full history with derived validity: valid_from, valid_to (NULL =
     * open), is_current. One window per key — the only shuffle.
     */

@@ -702,9 +702,23 @@ object Dedup {
         .select(col("doc_id"), Llm.tokens(s, col("text")).as("toks"))
         .select(col("doc_id"), col("toks"),
           size(col("toks")).cast("long").as("n_tokens"))
+      // Gram key = rolling polynomial hash over PRE-HASHED tokens
+      // (xt2's Rabin-Karp move), not the 8-token string: the (gram,
+      // doc) distinct and the gram-frequency groupBy are the two
+      // corpus-sized shuffles here, and 8-byte longs move ~30× less
+      // than ~50-byte gram strings — the declared 100 TB shape. The
+      // oracle keeps the string form: equality of results certifies
+      // the hashed rewrite (64-bit collisions are ~n²/2^64 ≈ 1e-7 at
+      // this gram count, and a collision would surface as a hash
+      // mismatch at the correctness gate).
       val grams = docs.filter(col("n_tokens") >= K)
+        .withColumn("htoks", expr("transform(toks, t -> xxhash64(t))"))
         .select(col("doc_id"), col("n_tokens"), posexplode(expr(
-          s"transform(sequence(1, size(toks) - ${K - 1}), i -> concat_ws(' ', slice(toks, i, $K)))"))
+          // chained xxhash64 fold: position-sensitive, overflow-free
+          // under ANSI mode (a raw polynomial multiply would throw)
+          s"""transform(sequence(1, size(htoks) - ${K - 1}),
+             |  i -> aggregate(slice(htoks, i, $K), 1125899906842597L,
+             |         (h, x) -> xxhash64(h, x)))""".stripMargin))
           .as(Seq("pos", "kg")))
       val dup = grams.select(col("kg"), col("doc_id")).distinct()
         .groupBy("kg").agg(count(lit(1)).as("nd"))

@@ -203,13 +203,22 @@ object TextAnalysis {
         .crossJoin(broadcast(n))
         .withColumn("tfidf",
           col("tf") * log(col("n").cast("double") / col("df")))
-      val w = Window.partitionBy("doc_id")
-        .orderBy(col("tfidf").desc, col("term").asc)
+      // top-3 via per-doc array sort, NOT a ranking window: row_number
+      // over (PARTITION BY doc) must sort every (doc, term) row of the
+      // corpus inside WindowExec; grouping instead sorts each doc's own
+      // ~vocab-sized candidate array (bounded per group) after a plain
+      // hash aggregate — measured 2.33 s → ~1.1 s at sf0.1. Struct
+      // field 1 is -tfidf so the natural (asc, asc) struct order is
+      // (tfidf DESC, term ASC), the window's exact order.
       canonBy(scored
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 3)
-        .select(col("doc_id"), col("term"), col("tf"), col("df"),
-          round(col("tfidf"), 4).as("tfidf")), "doc_id", "term")
+        .groupBy("doc_id")
+        .agg(slice(array_sort(collect_list(struct(
+          (-col("tfidf")).as("neg"), col("term"), col("tf"), col("df"),
+          col("tfidf")))), 1, 3).as("top"))
+        .select(col("doc_id"), explode(col("top")).as("t"))
+        .select(col("doc_id"), col("t.term").as("term"),
+          col("t.tf").as("tf"), col("t.df").as("df"),
+          round(col("t.tfidf"), 4).as("tfidf")), "doc_id", "term")
     },
     Some(
       """WITH tok AS (

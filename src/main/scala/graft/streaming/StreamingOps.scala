@@ -341,4 +341,72 @@ object StreamingOps {
         org.apache.spark.sql.streaming.TimeMode.None(),
         org.apache.spark.sql.streaming.OutputMode.Update())
   }
+
+  /** Attribution input: value in integer CENTS (runningTotals'
+    * exactness convention — float revenue would drift per merge order).
+    */
+  final case class AttrIn(user_id: Long, event_id: Long, tsMicros: Long,
+      event_type: String, valueCents: Long)
+
+  /** One attributed purchase: channel = the user's most recent
+    * preceding non-purchase event type; latency floored to seconds
+    * (xe4's exactness move).
+    */
+  final case class Attr(user_id: Long, event_id: Long, channel: String,
+      valueCents: Long, latencySec: Long)
+
+  /** Streaming twin of batch xe4 (last-touch attribution): the
+    * carry-forward "last non-purchase event" lives as one
+    * (ts, event_id, type) ValueState per user instead of a window, so
+    * a purchase in batch N+17 attributes to a touchpoint from batch N
+    * — the cross-boundary credit a per-batch window can never give.
+    * Purchases read the state and never write it (consecutive
+    * purchases attribute to the same touchpoint — exactly the batch
+    * window's ignoreNulls carry-forward semantics); non-purchases
+    * replace it. Same ordering contract as TransitionChain: in-batch
+    * rows sort by (ts, event_id) per key; across batches,
+    * arrival order — converges to batch xe4 on a time-ordered source
+    * (spec'd). Each attributed purchase is emitted exactly once;
+    * the downstream per-channel aggregate is the batch query's.
+    */
+  class AttributionChain
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, AttrIn, Attr] {
+    @transient private var touch:
+        org.apache.spark.sql.streaming.ValueState[(Long, Long, String)] = _
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      touch = getHandle.getValueState[(Long, Long, String)]("touch",
+        org.apache.spark.sql.Encoders.product[(Long, Long, String)],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[AttrIn],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[Attr] = {
+      val sorted = rows.toIndexedSeq.sortBy(e => (e.tsMicros, e.event_id))
+      var last = if (touch.exists()) Some(touch.get()) else None
+      val out = IndexedSeq.newBuilder[Attr]
+      sorted.foreach { e =>
+        if (e.event_type == "purchase")
+          last.foreach { case (srcTs, _, srcType) =>
+            out += Attr(key, e.event_id, srcType, e.valueCents,
+              (e.tsMicros - srcTs) / 1000000L)
+          }
+        else last = Some((e.tsMicros, e.event_id, e.event_type))
+      }
+      last.foreach(touch.update)
+      out.result().iterator
+    }
+  }
+
+  /** events -> attributed purchases stream (exactly-once per purchase). */
+  def attributedPurchases(events: org.apache.spark.sql.Dataset[AttrIn])
+      : org.apache.spark.sql.Dataset[Attr] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new AttributionChain,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+  }
 }

@@ -103,6 +103,31 @@ class Scd2Spec extends AnyFunSuite {
     assert(replay.appended == 0)
   }
 
+  test("exactly-once stream apply: a replayed batch cannot re-append stale history") {
+    val path = freshDim()
+    def batch(seg: String) =
+      Seq((1L, seg, "DE")).toDF("cust_id", "segment", "country")
+    // batch 1: bronze -> silver; batch 2: silver -> bronze again
+    assert(Scd2.applyChangesOnce(spark, path, batch("silver"), keys,
+      ts("2024-02-01 00:00:00"), "dimstream", 1L).exists(_.appended == 1))
+    assert(Scd2.applyChangesOnce(spark, path, batch("bronze"), keys,
+      ts("2024-03-01 00:00:00"), "dimstream", 2L).exists(_.appended == 1))
+    // REPLAY of batch 1: its value-delta is non-empty again (current is
+    // bronze, batch says silver) — value suppression alone would
+    // re-append; the marker skips it
+    assert(Scd2.applyChangesOnce(spark, path, batch("silver"), keys,
+      ts("2024-02-01 00:00:00"), "dimstream", 1L).isEmpty)
+    val cur = Scd2.current(spark, path, keys)
+      .filter($"cust_id" === 1L).select("segment").as[String].collect().toSeq
+    assert(cur == Seq("bronze"))
+    assert(Scd2.view(spark, path, keys).filter($"cust_id" === 1L).count() == 3)
+    // an all-no-op batch still records its marker (marker-only version)
+    assert(Scd2.applyChangesOnce(spark, path, batch("bronze"), keys,
+      ts("2024-04-01 00:00:00"), "dimstream", 3L).exists(_.appended == 0))
+    assert(Scd2.applyChangesOnce(spark, path, batch("bronze"), keys,
+      ts("2024-04-01 00:00:00"), "dimstream", 3L).isEmpty)
+  }
+
   test("system-time travel: the dimension as of an earlier lake version") {
     val path = freshDim()
     val v1 = Snapshot.currentVersion(path).get

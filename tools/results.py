@@ -17,6 +17,11 @@ etl_path = sys.argv[5] if len(sys.argv) > 5 else "bench/etl_last.json"
 
 
 def load_line(path):
+    # the JSON line may be surrounded by sbt/spark log lines; take the
+    # line containing "metric" and parse from its first brace
+    for line in open(path):
+        if '"metric"' in line:
+            return json.loads(line[line.index("{"):])
     raw = open(path).read()
     return json.loads(raw[raw.index("{"):])
 
