@@ -386,5 +386,58 @@ object Curation {
         |FROM documents""".stripMargin +
         orderAll("doc_id")))
 
-  def queries: Seq[GQuery] = Seq(xc1, xc2, xc3, xc4, xc5, xc6, xc7, xc8)
+  /** xc9: length-distribution balancing — deterministic per-bucket
+    * downsampling of over-represented length buckets to the smallest
+    * bucket's size (the feature-flattening complement of xc7's
+    * LANGUAGE temperature: same goal — stop a dominant slice of the
+    * corpus from dominating training — different axis). Acceptance is
+    * exact integer math on the xc1 draw: accept iff
+    * draw % n_bucket < n_min, so E[kept per bucket] = n_min with zero
+    * RNG state, reproducible across engines/retries/partitionings.
+    * Report: per bucket, before/after counts + the realized rate.
+    *
+    * Scale shape: the bucket census is one tiny aggregate (buckets,
+    * not rows); it broadcasts back into the scan-stage filter — the
+    * corpus is never shuffled. At 100 TB this is a metadata-sized
+    * broadcast and a per-row modulo.
+    */
+  val xc9 = GQuery(
+    "xc9_balanced_sample",
+    (s, d) => {
+      val c = Ctx(s, d)
+      val base = c.documents
+        .select(col("doc_id"), col("n_chars"), drawOf(col("doc_id")).as("draw"))
+        .withColumn("bucket", expr("n_chars DIV 200"))
+      val counts = base.groupBy("bucket").agg(count(lit(1)).as("n_before"))
+      val minN = counts.agg(min(col("n_before")).as("n_min"))
+      val kept = base
+        .join(broadcast(counts), "bucket")
+        .crossJoin(broadcast(minN))
+        .filter(col("draw") % col("n_before") < col("n_min"))
+        .groupBy("bucket").agg(count(lit(1)).as("n_after"))
+      canon(counts.join(kept, Seq("bucket"), "left")
+        .crossJoin(broadcast(minN))
+        .select(col("bucket"), col("n_before"),
+          coalesce(col("n_after"), lit(0L)).as("n_after"), col("n_min"),
+          round(coalesce(col("n_after"), lit(0L)).cast("double") /
+            col("n_before"), 4).as("kept_frac")))
+    },
+    Some(
+      """WITH b AS (
+        |  SELECT doc_id, n_chars // 200 AS bucket,
+        |    (doc_id * 2654435761) % 4294967296 AS draw
+        |  FROM documents),
+        |c AS (SELECT bucket, COUNT(*) AS n_before FROM b GROUP BY 1),
+        |m AS (SELECT MIN(n_before) AS n_min FROM c),
+        |k AS (
+        |  SELECT bucket, COUNT(*) AS n_after
+        |  FROM b JOIN c USING (bucket) CROSS JOIN m
+        |  WHERE draw % n_before < n_min GROUP BY bucket)
+        |SELECT c.bucket, c.n_before, COALESCE(k.n_after, 0) AS n_after,
+        |  m.n_min AS n_min,
+        |  ROUND(COALESCE(k.n_after, 0) / CAST(c.n_before AS DOUBLE), 4) AS kept_frac
+        |FROM c LEFT JOIN k USING (bucket) CROSS JOIN m""".stripMargin +
+        orderAll("bucket", "n_before", "n_after", "n_min", "kept_frac")))
+
+  def queries: Seq[GQuery] = Seq(xc1, xc2, xc3, xc4, xc5, xc6, xc7, xc8, xc9)
 }

@@ -128,6 +128,49 @@ class Scd2Spec extends AnyFunSuite {
       ts("2024-04-01 00:00:00"), "dimstream", 3L).isEmpty)
   }
 
+  test("property: random change sequences match an in-memory reference model") {
+    val rnd = new scala.util.Random(42)
+    val path = java.nio.file.Files.createTempDirectory("scd2p").toString + "/dim"
+    val segs = Array("bronze", "silver", "gold", null)
+    val t0 = ts("2024-01-01 00:00:00")
+    Scd2.init(Seq((1L, "bronze", "AA"), (2L, "silver", "BB"))
+      .toDF("cust_id", "segment", "country"), path, t0)
+    // reference: key -> (segment, country), plus the state at each asOf
+    val ref = scala.collection.mutable.Map(
+      1L -> ("bronze", "AA"), 2L -> ("silver", "BB"))
+    val statesAt = scala.collection.mutable.ArrayBuffer(
+      (t0, ref.toMap))
+    var expectRows = 2L
+    (1 to 8).foreach { i =>
+      val asOf = ts(f"2024-${i + 1}%02d-01 00:00:00")
+      val keys2 = rnd.shuffle((1L to 6L).toList).take(1 + rnd.nextInt(4))
+      val batch = keys2.map(k =>
+        (k, segs(rnd.nextInt(segs.length)), s"C${rnd.nextInt(3)}"))
+      val stats = Scd2.applyChanges(spark, path,
+        batch.toDF("cust_id", "segment", "country"), keys, asOf)
+      val changed = batch.count { case (k, sg, ct) =>
+        !ref.get(k).contains((sg, ct)) }
+      assert(stats.appended == changed && stats.noops == batch.size - changed)
+      batch.foreach { case (k, sg, ct) =>
+        if (!ref.get(k).contains((sg, ct))) ref(k) = (sg, ct) }
+      expectRows += changed
+      statesAt += ((asOf, ref.toMap))
+      // current() == reference after every batch
+      val cur = Scd2.current(spark, path, keys)
+        .collect().map(r => r.getLong(0) ->
+          (r.getString(1), r.getString(2))).toMap
+      assert(cur == ref.toMap, s"batch $i current mismatch")
+    }
+    assert(Scd2.view(spark, path, keys).count() == expectRows)
+    // point-in-time reads reproduce every intermediate state
+    statesAt.foreach { case (t, expect) =>
+      val got = Scd2.asOf(spark, path, keys, t)
+        .collect().map(r => r.getLong(0) ->
+          (r.getString(1), r.getString(2))).toMap
+      assert(got == expect, s"asOf $t mismatch")
+    }
+  }
+
   test("system-time travel: the dimension as of an earlier lake version") {
     val path = freshDim()
     val v1 = Snapshot.currentVersion(path).get
