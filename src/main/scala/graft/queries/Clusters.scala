@@ -43,6 +43,10 @@ object Clusters {
     * (doc_id, rep_id) at fixpoint: rep_id = min seed reachable.
     */
   private[queries] def components(init: DataFrame, edges: DataFrame): DataFrame = {
+    // NOTE (measured, not kept): pre-partitioning dir by src to let
+    // the per-round join elide its exchange read 8.0 s vs 4.6 s —
+    // AQE's coalesced exchanges beat the pinned layout here, so the
+    // plain persist stands.
     val dir = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
@@ -74,6 +78,8 @@ object Clusters {
     }
     dir.unpersist()
     assert(converged, s"label propagation did not converge in $MaxRounds rounds")
+    if (sys.env.contains("GRAFT_DEBUG_ROUNDS"))
+      System.err.println(s"[components] converged in $round rounds")
     lbl
   }
 
