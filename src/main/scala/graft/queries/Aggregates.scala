@@ -368,6 +368,56 @@ object Aggregates {
     },
     None)
 
+  /** Retraction-aware incremental aggregation — the delta algebra xi1's
+    * append-only maintenance lacks: a change log carrying DELETES
+    * (op = −1) as well as inserts (op = +1) maintains COUNT/SUM by
+    * summing SIGNED per-batch partials, so a cancellation retracts its
+    * contribution without ever recomputing the base — the standard IVM
+    * move for the one aggregate class (commutative group: count, sum,
+    * avg=sum/count) where deletes are algebraically invertible. min/max
+    * are deliberately absent: they are NOT delete-invertible (a deleted
+    * minimum forces a rescan) — the honest boundary of the technique.
+    *
+    * The fixture models it deterministically: every order arrives as a
+    * +1 in batch o_orderkey % 5; orders with o_orderkey % 7 = 0 are
+    * later cancelled (a −1 in the next batch). The oracle recomputes
+    * the surviving set DIRECTLY — certifying signed-partial maintenance
+    * ≡ full recompute. Scale shape: stage 1 is one partial-aggregated
+    * pass over the change log (batch × status rows out); stage 2 merges
+    * batch partials — at 100 TB only the current batch's partial is
+    * ever recomputed, history partials are a persisted table (xi1's
+    * discipline, now closed under deletes).
+    */
+  val xi4 = GQuery(
+    "xi4_retraction_agg",
+    (s, d) => {
+      val c = Ctx(s, d)
+      val o = c.orders.select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+      val inserts = o
+        .withColumn("batch", pmod(col("o_orderkey"), lit(5)))
+        .withColumn("op", lit(1L))
+      val deletes = o.filter(pmod(col("o_orderkey"), lit(7)) === 0)
+        .withColumn("batch", pmod(col("o_orderkey"), lit(5)) + 1)
+        .withColumn("op", lit(-1L))
+      val partials = inserts.unionByName(deletes)
+        .groupBy("batch", "o_orderstatus")
+        .agg(sum(col("op")).as("dn"),
+          sum(col("op") * dec(col("o_totalprice"))).as("ds"))
+      canon(partials.groupBy("o_orderstatus")
+        .agg(sum(col("dn")).as("n_live"),
+          sum(col("ds")).cast("double").as("rev_live"),
+          (sum(col("ds")).cast("double") / sum(col("dn"))).as("avg_live")))
+    },
+    Some(
+      """SELECT o_orderstatus,
+        |  COUNT(*) AS n_live,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS rev_live,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_live
+        |FROM orders WHERE o_orderkey % 7 <> 0
+        |GROUP BY o_orderstatus""".stripMargin +
+        orderAll("o_orderstatus", "n_live", "rev_live", "avg_live")))
+
   /** Salted two-phase exact COUNT(DISTINCT) — the skew remedy for the
     * one aggregation shape AQE cannot rebalance. A hot group's distinct
     * set normally lands on ONE reducer (the shuffle key is the group),
@@ -403,5 +453,5 @@ object Aggregates {
         orderAll("event_type", "n_users")))
 
   def queries: Seq[GQuery] =
-    Seq(q03, q03b, q03c, q04, q04x, q04y, xi1, xi2, q05, q05b, q05c, q49)
+    Seq(q03, q03b, q03c, q04, q04x, q04y, xi1, xi2, xi4, q05, q05b, q05c, q49)
 }

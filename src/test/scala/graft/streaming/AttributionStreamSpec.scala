@@ -73,4 +73,56 @@ class AttributionStreamSpec extends AnyFunSuite {
     // consecutive purchases share the batch-1 touchpoint
     assert(got.exists(a => a._2 == 104L && a._3 == "click"))
   }
+
+  test("touchpoint state survives a query restart from the checkpoint") {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s.implicits._
+    val ckpt = java.nio.file.Files.createTempDirectory("attr-restart").toString
+
+    // query #1: user 7's click commits in batch 0, an unrelated event
+    // in batch 1, then the query STOPS
+    val click = StreamingOps.AttrIn(7L, 701L, 1000000L, "click", 0L)
+    val other = StreamingOps.AttrIn(8L, 801L, 2000000L, "view", 0L)
+    // the memory sink refuses checkpoint recovery; foreachBatch into a
+    // driver-side buffer supports it (batches run sequentially on the
+    // stream thread, so a plain buffer is safe)
+    val rows = scala.collection.mutable.ArrayBuffer.empty[StreamingOps.Attr]
+    val in1 = MemoryStream[StreamingOps.AttrIn](s)
+    val q1 = StreamingOps.attributedPurchases(in1.toDS()).writeStream
+      .outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[StreamingOps.Attr],
+          _: Long) => { rows ++= df.collect(); () } }
+      .option("checkpointLocation", ckpt).start()
+    in1.addData(click)
+    q1.processAllAvailable()
+    in1.addData(other)
+    q1.processAllAvailable()
+    q1.stop()
+
+    // query #2: fresh source pre-filled to the committed offset (those
+    // batches are NOT re-executed — at most the last one replays, and
+    // it carries only user 8), SAME checkpoint. User 7's purchase must
+    // attribute to the click that exists ONLY in the restored RocksDB
+    // state, never in this run's input.
+    rows.clear()
+    val in2 = MemoryStream[StreamingOps.AttrIn](s)
+    in2.addData(click)
+    in2.addData(other)
+    val q2 = StreamingOps.attributedPurchases(in2.toDS()).writeStream
+      .outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[StreamingOps.Attr],
+          _: Long) => { rows ++= df.collect(); () } }
+      .option("checkpointLocation", ckpt).start()
+    q2.processAllAvailable()
+    in2.addData(StreamingOps.AttrIn(7L, 702L, 4000000L, "purchase", 900L))
+    q2.processAllAvailable()
+    q2.stop()
+
+    val got = rows.map(a =>
+      (a.user_id, a.event_id, a.channel, a.valueCents, a.latencySec)).toSet
+    assert(got == Set((7L, 702L, "click", 900L, 3L)),
+      s"state did not survive the restart: $got")
+  }
 }
