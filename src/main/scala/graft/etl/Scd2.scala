@@ -31,6 +31,12 @@ import org.apache.spark.sql.functions._
   * No-op suppression is part of the contract: re-applying a batch
   * whose values already match current state appends ZERO rows, so
   * retried extracts don't grow history with phantom versions.
+  *
+  * Contract: `asOf` must strictly increase across batches that touch
+  * the same key — two versions of one key sharing a valid_from have
+  * no defined order (current() and the view's lead window would both
+  * tie-break arbitrarily). Any monotone batch clock satisfies this;
+  * applyChangesOnce's batchId ordering implies it for streams.
   */
 object Scd2 {
 

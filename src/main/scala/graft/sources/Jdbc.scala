@@ -35,6 +35,8 @@ object Jdbc {
     val row = spark.read.jdbc(url,
       s"(SELECT MIN($col) AS lo, MAX($col) AS hi FROM $table) b", props)
       .head()
+    require(!row.isNullAt(0) && !row.isNullAt(1),
+      s"cannot range-partition $table on $col: table is empty or the column is all-NULL")
     (row.getAs[Number](0).longValue(), row.getAs[Number](1).longValue())
   }
 
