@@ -50,7 +50,7 @@ object TableCheck {
     * bare '|' join would hash both identically and silently certify a
     * value shifted across a column boundary.
     */
-  private def rowHash(df: DataFrame, cols: Seq[String]): Column = {
+  private[operators] def rowHash(df: DataFrame, cols: Seq[String]): Column = {
     graft.functions.Md5Hash60.register(df.sparkSession)
     val rendered = cols.map { c =>
       val s = col(c).cast("string")
@@ -68,7 +68,7 @@ object TableCheck {
     * The interior stays exact (no per-row mod) so partial aggregates
     * map-side-combine in decimal; one fold at the end.
     */
-  private def foldedSum(h: Column): Column =
+  private[operators] def foldedSum(h: Column): Column =
     (sum(h) % lit(FoldMod)).cast("long")
 
   /** One (n_rows, checksum) row for the whole table. */

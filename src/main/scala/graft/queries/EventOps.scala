@@ -372,5 +372,68 @@ object EventOps {
         |GROUP BY channel""".stripMargin +
         orderAll("channel", "n_purchases", "revenue", "avg_latency_s")))
 
-  def queries: Seq[GQuery] = Seq(q29, q30, q31, q32, q41, xe1, xe2, xe3, xe4)
+  /** xe5: per-user session metrics — q32 emits the sessions
+    * themselves; this rolls them up to the product-analytics user
+    * profile: session count, bounce (single-event) sessions, total
+    * events, busiest session, and mean session duration. The
+    * gap-based sessionization (30-min inactivity, q32's same rule) is
+    * built from TWO windows over ONE user_id shuffle (lag flag, then
+    * running sum → session id) — both windows share the partitioning,
+    * so the session assignment adds no exchange. Durations are exact
+    * µs integers end to end (unix_micros); the ONLY float op is the
+    * final per-user mean (one IEEE divide — identical cross-engine).
+    */
+  val xe5 = GQuery(
+    "xe5_session_stats",
+    (s, d) => {
+      val c = Ctx(s, d)
+      val byU = Window.partitionBy("user_id")
+        .orderBy(col("us"), col("event_id"))
+      val e = c.events
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("new_s",
+          when(lag(col("us"), 1).over(byU).isNull ||
+            col("us") - lag(col("us"), 1).over(byU) >= 1800000000L, 1)
+            .otherwise(0))
+        .withColumn("sid",
+          sum(col("new_s")).over(
+            byU.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val sess = e.groupBy("user_id", "sid")
+        .agg(count(lit(1)).as("n_ev"),
+          (max(col("us")) - min(col("us"))).as("dur_us"))
+      canonBy(sess.groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(when(col("n_ev") === 1, 1).otherwise(0)).cast("long")
+            .as("n_bounce"),
+          sum(col("n_ev")).cast("long").as("n_events"),
+          max(col("n_ev")).cast("long").as("max_session_events"),
+          round(sum(col("dur_us")).cast("double") /
+            (lit(1000000.0) * count(lit(1))), 4).as("avg_session_secs")),
+        "user_id")
+    },
+    Some(
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |m AS (
+        |  SELECT user_id, event_id, us,
+        |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (
+        |  SELECT user_id, us,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m),
+        |sess AS (
+        |  SELECT user_id, sid, COUNT(*) AS n_ev, MAX(us) - MIN(us) AS dur_us
+        |  FROM s GROUP BY user_id, sid)
+        |SELECT user_id, COUNT(*) AS n_sessions,
+        |  CAST(SUM(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce,
+        |  CAST(SUM(n_ev) AS BIGINT) AS n_events,
+        |  CAST(MAX(n_ev) AS BIGINT) AS max_session_events,
+        |  ROUND(CAST(SUM(dur_us) AS DOUBLE) / (1000000.0 * COUNT(*)), 4) AS avg_session_secs
+        |FROM sess GROUP BY user_id""".stripMargin +
+        orderAll("user_id")))
+
+  def queries: Seq[GQuery] =
+    Seq(q29, q30, q31, q32, q41, xe1, xe2, xe3, xe4, xe5)
 }

@@ -204,5 +204,83 @@ object Scans {
         |  (SELECT COUNT(*) FROM lineitem)""".stripMargin +
         orderAll("chk", "n_bad", "n_rows")))
 
-  def queries: Seq[GQuery] = Seq(q01, q02, q18, xv1, xv2)
+  /** xv3: keyed version diff (TableDiff) — what changed between a
+    * table and its successor: per-status row counts plus a TableCheck
+    * fold over each status's key set, so two independent runs certify
+    * they saw the SAME added/removed/changed keys without exchanging
+    * them. The "after" version is a deterministic in-query mutation of
+    * orders (deletes %97, updates %89, inserts %101 with shifted
+    * keys), so the query is self-contained and the oracle reproduces
+    * the exact same construction.
+    *
+    * Scale shape: each side reduces to (key, 60-bit row hash) IN ITS
+    * SCAN STAGE — the one full-outer join shuffles two narrow
+    * (long, long) streams, never the table bodies; the report is four
+    * rows. Hashed values ride the Det rendering discipline (DECIMAL /
+    * DATE casts) so the md5 rendering is engine-portable.
+    */
+  val xv3 = GQuery(
+    "xv3_version_diff",
+    (s, d) => {
+      val c = Ctx(s, d)
+      val v1 = c.orders.select(
+        col("o_orderkey").as("k"), col("o_custkey"), col("o_orderstatus"),
+        col("o_orderpriority"),
+        col("o_totalprice").cast("decimal(18,4)").as("price"),
+        col("o_orderdate").cast("date").as("odate"))
+      val v2 = v1.filter(col("k") % 97 =!= 3)
+        .withColumn("price",
+          when(col("k") % 89 === 5, col("price") + lit(1))
+            .otherwise(col("price")))
+        .unionByName(
+          v1.filter(col("k") % 101 === 7)
+            .withColumn("k", col("k") + lit(10000000L)))
+      canon(graft.operators.TableDiff.summary(v1, v2, Seq("k")))
+    },
+    Some(
+      """WITH v1 AS (
+        |  SELECT o_orderkey AS k, o_custkey, o_orderstatus, o_orderpriority,
+        |    CAST(o_totalprice AS DECIMAL(18,4)) AS price,
+        |    CAST(o_orderdate AS DATE) AS odate
+        |  FROM orders),
+        |v2 AS (
+        |  SELECT k, o_custkey, o_orderstatus, o_orderpriority,
+        |    CASE WHEN k % 89 = 5 THEN price + 1 ELSE price END AS price, odate
+        |  FROM v1 WHERE k % 97 <> 3
+        |  UNION ALL
+        |  SELECT k + 10000000, o_custkey, o_orderstatus, o_orderpriority, price, odate
+        |  FROM v1 WHERE k % 101 = 7),
+        |h1 AS (
+        |  SELECT k, CAST(('0x' || substring(md5(concat_ws('|',
+        |      length(CAST(k AS VARCHAR)) || ':' || CAST(k AS VARCHAR),
+        |      length(CAST(o_custkey AS VARCHAR)) || ':' || CAST(o_custkey AS VARCHAR),
+        |      length(o_orderstatus) || ':' || o_orderstatus,
+        |      length(o_orderpriority) || ':' || o_orderpriority,
+        |      length(CAST(price AS VARCHAR)) || ':' || CAST(price AS VARCHAR),
+        |      length(CAST(odate AS VARCHAR)) || ':' || CAST(odate AS VARCHAR))), 1, 15)) AS BIGINT) AS h
+        |  FROM v1),
+        |h2 AS (
+        |  SELECT k, CAST(('0x' || substring(md5(concat_ws('|',
+        |      length(CAST(k AS VARCHAR)) || ':' || CAST(k AS VARCHAR),
+        |      length(CAST(o_custkey AS VARCHAR)) || ':' || CAST(o_custkey AS VARCHAR),
+        |      length(o_orderstatus) || ':' || o_orderstatus,
+        |      length(o_orderpriority) || ':' || o_orderpriority,
+        |      length(CAST(price AS VARCHAR)) || ':' || CAST(price AS VARCHAR),
+        |      length(CAST(odate AS VARCHAR)) || ':' || CAST(odate AS VARCHAR))), 1, 15)) AS BIGINT) AS h
+        |  FROM v2),
+        |d AS (
+        |  SELECT COALESCE(h1.k, h2.k) AS k,
+        |    CASE WHEN h2.k IS NULL THEN 'removed'
+        |         WHEN h1.k IS NULL THEN 'added'
+        |         WHEN h1.h <> h2.h THEN 'changed'
+        |         ELSE 'unchanged' END AS status
+        |  FROM h1 FULL OUTER JOIN h2 ON h1.k = h2.k)
+        |SELECT status, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(CAST(('0x' || substring(md5(
+        |      length(CAST(k AS VARCHAR)) || ':' || CAST(k AS VARCHAR)), 1, 15)) AS BIGINT)
+        |    AS DECIMAL(38,0))) % 1152921504606846976 AS BIGINT) AS key_checksum
+        |FROM d GROUP BY status""".stripMargin +
+        orderAll("status", "n_rows", "key_checksum")))
+
+  def queries: Seq[GQuery] = Seq(q01, q02, q18, xv1, xv2, xv3)
 }

@@ -475,6 +475,87 @@ object TextAnalysis {
         |FROM f""".stripMargin +
         orderAll("doc_id")))
 
+  /** xt11: corpus-trained BIGRAM language model — xt6's unigram gate
+    * upgraded one Markov order: P(w2|w1) with add-one smoothing over
+    * the corpus vocabulary, per-doc average negative log-likelihood
+    * and perplexity over the doc's bigram stream. A bigram LM scores
+    * word ORDER, so shuffled/templated text that fools a unigram gate
+    * (same word histogram, scrambled sequence) surfaces here — the
+    * next rung on the CCNet quality ladder.
+    *
+    * Scale shape: bigrams are built by a scan-stage HOF
+    * (transform over sequence — no self-join of the token stream);
+    * everything downstream aggregates over the (doc, bigram) and
+    * vocabulary²-bounded model tables, never the token stream twice.
+    * The model broadcasts into the scoring join (size-gated).
+    * Determinism: xt6's fixed-point discipline — ln(P) quantized to
+    * BIGINT ×1e6 per distinct bigram BEFORE the per-doc fold, so doc
+    * scores are exact integer sums on both engines.
+    */
+  val xt11 = GQuery(
+    "xt11_bigram_lm",
+    (s, d) => {
+      val c = Ctx(s, d)
+      val tk = c.documents
+        .select(col("doc_id"), col("lang"),
+          Llm.tokens(s, col("text")).as("toks"))
+      val tok = tk.select(explode(col("toks")).as("term"))
+      val uni = tok.groupBy("term").agg(count(lit(1)).as("c1"))
+      val voc = uni.agg(count(lit(1)).as("v"))
+      val big = tk.filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), col("lang"), explode(expr(
+          "transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1]))"))
+          .as("bigram"))
+        .groupBy("doc_id", "lang", "bigram").agg(count(lit(1)).as("tf"))
+        .persist()
+      val model = big.groupBy("bigram").agg(sum(col("tf")).as("c12"))
+        .withColumn("term", split(col("bigram"), " ").getItem(0))
+        .join(Scale.maybeBroadcast(uni), "term")
+        .crossJoin(broadcast(voc))
+        .select(col("bigram"),
+          round(log((col("c12").cast("double") + lit(1.0)) /
+            (col("c1").cast("double") + col("v").cast("double"))) *
+            lit(1000000.0)).cast("long").as("lnp6"))
+      val doc = big.join(Scale.maybeBroadcast(model), "bigram")
+        .groupBy("doc_id", "lang")
+        .agg(sum(col("tf")).cast("long").as("n_bigrams"),
+          sum(col("tf") * col("lnp6")).cast("long").as("lp6"))
+      val nll = (-col("lp6")).cast("double") /
+        (col("n_bigrams").cast("double") * lit(1000000.0))
+      canonBy(doc.select(col("doc_id"), col("lang"), col("n_bigrams"),
+        round(nll, 4).as("avg_nll"),
+        round(exp(nll), 4).as("ppl")), "doc_id")
+    },
+    Some(
+      """WITH tk AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |tok AS (SELECT doc_id, t.term FROM tk, UNNEST(toks) AS t(term)),
+        |uni AS (SELECT term, COUNT(*) AS c1 FROM tok GROUP BY term),
+        |voc AS (SELECT COUNT(*) AS v FROM uni),
+        |big AS (
+        |  SELECT doc_id, lang, t.bigram, COUNT(*) AS tf FROM tk,
+        |    UNNEST(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]))
+        |      AS t(bigram)
+        |  WHERE len(toks) >= 2
+        |  GROUP BY 1, 2, 3),
+        |model AS (
+        |  SELECT b.bigram,
+        |    CAST(ROUND(ln((CAST(SUM(b.tf) AS DOUBLE) + 1.0)
+        |        / (CAST(u.c1 AS DOUBLE) + CAST(v.v AS DOUBLE))) * 1000000.0) AS BIGINT) AS lnp6
+        |  FROM big b JOIN uni u ON string_split(b.bigram, ' ')[1] = u.term CROSS JOIN voc v
+        |  GROUP BY b.bigram, u.c1, v.v),
+        |doc AS (
+        |  SELECT doc_id, lang, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+        |    CAST(SUM(tf * lnp6) AS BIGINT) AS lp6
+        |  FROM big JOIN model USING (bigram) GROUP BY 1, 2)
+        |SELECT doc_id, lang, n_bigrams,
+        |  ROUND(CAST(-lp6 AS DOUBLE) / (CAST(n_bigrams AS DOUBLE) * 1000000.0), 4) AS avg_nll,
+        |  ROUND(exp(CAST(-lp6 AS DOUBLE) / (CAST(n_bigrams AS DOUBLE) * 1000000.0)), 4) AS ppl
+        |FROM doc""".stripMargin +
+        orderAll("doc_id")))
+
   def queries: Seq[GQuery] =
-    Seq(xt1, xt2, xt3, xt4, xt5, xt6, xt7, xt8, xt9, xt10)
+    Seq(xt1, xt2, xt3, xt4, xt5, xt6, xt7, xt8, xt9, xt10, xt11)
 }

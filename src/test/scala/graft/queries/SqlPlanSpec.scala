@@ -42,6 +42,49 @@ class SqlPlanSpec extends AnyFunSuite {
     assert(df.collect().nonEmpty)
   }
 
+  test("q53: EXISTS plans as a semi join with the flag filter pushed to lineitem") {
+    val df = Sql.q53.fn(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"),
+      s"correlated EXISTS did not decorrelate to a semi join:\n$plan")
+    assert(plan.contains("EqualTo(l_returnflag,R)"),
+      s"returnflag filter not pushed to the lineitem scan:\n$plan")
+    assert(df.collect().nonEmpty)
+  }
+
+  test("q54/q55: nation/region/part dimensions broadcast; no cartesian") {
+    for (q <- Seq(Sql.q54, Sql.q55)) {
+      val df = q.fn(spark, sf)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"${q.name}: dimensions did not broadcast:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"${q.name}: planned a cartesian product:\n$plan")
+      assert(df.collect().nonEmpty)
+    }
+  }
+
+  test("q56: correlated scalar AVG decorrelates to a per-partkey aggregate join") {
+    val df = Sql.q56.fn(spark, sf)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    // decorrelation: no scalar-subquery expression survives in the
+    // optimized plan; the threshold is an Aggregate joined on partkey
+    assert(!optimized.contains("scalar-subquery"),
+      s"correlated scalar subquery not decorrelated:\n$optimized")
+    assert(df.collect().nonEmpty)
+  }
+
+  test("q57: NOT EXISTS plans as an anti join with the date filter pushed down") {
+    val df = Sql.q57.fn(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"),
+      s"NOT EXISTS did not plan as an anti join:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderdate)") ||
+      plan.contains("GreaterThanOrEqual(o_orderdate"),
+      s"order-date filter not pushed to the orders scan:\n$plan")
+    assert(df.collect().nonEmpty)
+  }
+
   test("q43: quarter filter pushed to the orders scan; nation broadcasts") {
     val df = Sql.q43.fn(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
