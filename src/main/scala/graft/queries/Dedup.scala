@@ -767,5 +767,77 @@ object Dedup {
         orderAll("doc_id", "n_tokens", "n_dup_grams", "covered_tokens",
           "dup_frac")))
 
-  def queries: Seq[GQuery] = Seq(xd1, xd2, xd3, xd4, xd6, xd9, xd10, xd11)
+  /** xd12: eval-set contamination ATTRIBUTION — the pair-level
+    * companion to xc3's decontamination flag. xc3 answers "which
+    * training docs touch the benchmark at all" (any shared 3-shingle,
+    * per-doc count); a removal/quarantine policy then needs WHICH
+    * benchmark doc each hit matches and HOW MUCH of the training doc
+    * is contaminated — this query's output: every (training doc,
+    * benchmark doc) pair sharing >= 3 distinct 5-word shingles, with
+    * the contaminated fraction of the TRAINING doc (GPT-3 app. C and
+    * PaLM §8 both report and threshold exactly this pairwise overlap
+    * statistic; 5 words is the fixture analog of their 8–13-gram
+    * windows — docs here average ~50 tokens). The benchmark is the
+    * deterministic doc_id%20=0 slice standing in for an external eval
+    * table.
+    *
+    * Scale shape: both sides reduce to distinct shingle HASHES
+    * (fused ShingleHash kernel — one scan-stage pass, longs not
+    * strings) before anything joins. The benchmark side is tiny by
+    * nature (eval suites are ~1e3–1e6 docs vs a 100 TB corpus), so it
+    * size-gate-broadcasts into the corpus scan: the corpus is read
+    * ONCE, never shuffled — hits leave the scan stage as narrow
+    * (doc, bench, sz) rows and only those aggregate. With a >threshold
+    * benchmark the same plan degrades to a shuffled join on the
+    * shingle hash, still narrow. Counts are exact integers; one
+    * rounded divide at the end (oracle-matched).
+    */
+  val xd12 = GQuery(
+    "xd12_decontaminate",
+    (s, d) => {
+      val c = Ctx(s, d)
+      graft.functions.TextOps.register(s)
+      val base = c.documents
+        .select(col("doc_id"), Llm.tokens(s, col("text")).as("toks"))
+        .filter(size(col("toks")) >= 5)
+        .select(col("doc_id"),
+          call_function("shingle_hash", col("toks"), lit(5)).as("sids"))
+      val bench = base.filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id").as("bench_id"), explode(col("sids")).as("sid"))
+      val corpus = base.filter(col("doc_id") % 20 =!= 0)
+        .select(col("doc_id"), size(col("sids")).as("sz"),
+          explode(col("sids")).as("sid"))
+      val hits = corpus.join(Scale.maybeBroadcast(bench), Seq("sid"))
+        .groupBy(col("doc_id"), col("bench_id"), col("sz"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 3)
+      canon(hits.select(col("doc_id"), col("bench_id"),
+        col("n_shared"),
+        round(col("n_shared").cast("double") / col("sz"), 4)
+          .as("contaminated_frac")))
+    },
+    Some(
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, t.shingle FROM (
+        |    SELECT doc_id,
+        |      list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS toks
+        |    FROM documents) d,
+        |    UNNEST(list_transform(range(1, len(toks) - 3),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+        |           toks[i+3] || ' ' || toks[i+4])) AS t(shingle)
+        |  WHERE len(toks) >= 5),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh WHERE doc_id % 20 <> 0 GROUP BY 1),
+        |hits AS (
+        |  SELECT c.doc_id, b.doc_id AS bench_id, COUNT(*) AS n_shared
+        |  FROM sh c JOIN sh b ON c.shingle = b.shingle
+        |  WHERE c.doc_id % 20 <> 0 AND b.doc_id % 20 = 0
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, h.bench_id, h.n_shared,
+        |  ROUND(CAST(h.n_shared AS DOUBLE) / sz.sz, 4) AS contaminated_frac
+        |FROM hits h JOIN sz USING (doc_id)
+        |WHERE h.n_shared >= 3""".stripMargin +
+        orderAll("doc_id", "bench_id", "n_shared", "contaminated_frac")))
+
+  def queries: Seq[GQuery] =
+    Seq(xd1, xd2, xd3, xd4, xd6, xd9, xd10, xd11, xd12)
 }

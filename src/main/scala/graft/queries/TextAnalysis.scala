@@ -556,6 +556,75 @@ object TextAnalysis {
         |FROM doc""".stripMargin +
         orderAll("doc_id")))
 
+  /** xt13: PII scrub CERTIFICATION — the per-document, byte-exact
+    * companion to xc4's aggregate redaction audit. xc4 accounts for
+    * replacements in bulk (per-event-type counts/lengths); a release
+    * gate additionally needs proof that each individual document's
+    * scrubbed bytes are exactly what the policy prescribes — this
+    * query's output: per-doc match counts, redacted length, and an
+    * md5 of the redacted text, so a single differing byte anywhere in
+    * the corpus fails the hash compare. The fixture text is PII-free
+    * by construction, so the query first plants realistic PII
+    * deterministically (an email for doc_id%7=0, a +1-555 phone for
+    * doc_id%11=0 — both derived from doc_id alone, so the oracle
+    * reproduces the exact corpus and ground truth is knowable), then
+    * detects and redacts with engine-portable regexes (character
+    * classes + bounded repeats only — identical semantics under Java
+    * regex and RE2).
+    *
+    * Scale shape: pure scan-stage string work — plant, count, replace,
+    * and md5 all ride one codegen'd projection; nothing shuffles but
+    * the canonical output sort. At 100 TB this is the ideal op: zero
+    * exchanges, trivially partition-parallel.
+    */
+  val xt13 = GQuery(
+    "xt13_pii_redact",
+    (s, d) => {
+      val c = Ctx(s, d)
+      val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val phoneRe = "\\+1-555-[0-9]{4}"
+      val planted = c.documents.withColumn("text2", concat(
+        col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com now"))).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" call +1-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+            lit(" today"))).otherwise(lit(""))))
+      val red = planted.withColumn("redacted",
+        regexp_replace(regexp_replace(col("text2"), lit(emailRe), lit("<EMAIL>")),
+          lit(phoneRe), lit("<PHONE>")))
+      canonBy(red.select(col("doc_id"),
+        regexp_count(col("text2"), lit(emailRe)).cast("long").as("n_emails"),
+        regexp_count(col("text2"), lit(phoneRe)).cast("long").as("n_phones"),
+        length(col("redacted")).cast("long").as("redacted_len"),
+        md5(col("redacted")).as("redacted_md5")), "doc_id")
+    },
+    Some(
+      """WITH planted AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 7 = 0
+        |         THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+        |         ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 0
+        |         THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today'
+        |         ELSE '' END AS text2
+        |  FROM documents),
+        |red AS (
+        |  SELECT doc_id, text2,
+        |    regexp_replace(regexp_replace(text2,
+        |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |      '\+1-555-[0-9]{4}', '<PHONE>', 'g') AS redacted
+        |  FROM planted)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text2, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text2, '\+1-555-[0-9]{4}')) AS BIGINT) AS n_phones,
+        |  CAST(length(redacted) AS BIGINT) AS redacted_len,
+        |  md5(redacted) AS redacted_md5
+        |FROM red""".stripMargin +
+        orderAll("doc_id")))
+
   def queries: Seq[GQuery] =
-    Seq(xt1, xt2, xt3, xt4, xt5, xt6, xt7, xt8, xt9, xt10, xt11)
+    Seq(xt1, xt2, xt3, xt4, xt5, xt6, xt7, xt8, xt9, xt10, xt11, xt13)
 }

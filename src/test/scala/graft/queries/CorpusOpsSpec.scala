@@ -93,4 +93,63 @@ class CorpusOpsSpec extends AnyFunSuite {
     val expectedSteps = ev.length - ev.distinct.length
     assert(out.map(_._3).sum == expectedSteps.toLong)
   }
+
+  test("xd12 decontamination matches a scala shingle-overlap replay") {
+    val got = Dedup.xd12.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+
+    val docs = Ctx(spark, sf).documents.select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> tokens(r.getString(1)))
+      .filter(_._2.size >= 5)
+    val shingles = docs.map { case (id, toks) =>
+      id -> toks.sliding(5).filter(_.size == 5).map(_.mkString(" ")).toSet
+    }.toMap
+    val bench = shingles.filter(_._1 % 20 == 0)
+    val corpus = shingles.filter(_._1 % 20 != 0)
+    val expected = (for {
+      (cid, cs) <- corpus; (bid, bs) <- bench
+      inter = (cs & bs).size if inter >= 3
+    } yield (cid, bid) -> ((inter.toLong,
+      math.round(inter.toDouble / cs.size * 1e4) / 1e4))).toMap
+
+    assert(got == expected, s"got $got, expected $expected")
+    // sides are disjoint: no benchmark doc is ever reported as training
+    assert(got.keys.forall { case (cid, bid) =>
+      cid % 20 != 0 && bid % 20 == 0 })
+  }
+
+  test("xt13 plants PII exactly where declared and the redaction removes it all") {
+    val got = TextAnalysis.xt13.fn(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+
+    val docs = Ctx(spark, sf).documents.select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(got.keySet == docs.map(_._1).toSet)
+
+    val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}".r
+    val phoneRe = "\\+1-555-[0-9]{4}".r
+    docs.foreach { case (id, text) =>
+      val planted = text +
+        (if (id % 7 == 0) s" contact user$id@example.com now" else "") +
+        (if (id % 11 == 0) s" call +1-555-${"%04d".format(id % 10000)} today"
+         else "")
+      val (nEmail, nPhone, redLen, redMd5) = got(id)
+      assert(nEmail == (if (id % 7 == 0) 1L else 0L), s"doc $id email count")
+      assert(nPhone == (if (id % 11 == 0) 1L else 0L), s"doc $id phone count")
+      val redacted = phoneRe.replaceAllIn(
+        emailRe.replaceAllIn(planted, "<EMAIL>"), "<PHONE>")
+      assert(redLen == redacted.length.toLong, s"doc $id redacted length")
+      assert(emailRe.findFirstIn(redacted).isEmpty &&
+        phoneRe.findFirstIn(redacted).isEmpty,
+        s"doc $id still contains PII after redaction")
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(redacted.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(redMd5 == md5, s"doc $id redacted md5")
+    }
+    // fixture plants both PII kinds
+    assert(got.values.exists(_._1 == 1L) && got.values.exists(_._2 == 1L))
+  }
 }

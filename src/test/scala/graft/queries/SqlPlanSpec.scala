@@ -94,4 +94,43 @@ class SqlPlanSpec extends AnyFunSuite {
       s"nation join did not broadcast:\n$plan")
     assert(df.collect().nonEmpty)
   }
+
+  test("q58: scalar MAX evaluates once as a filter subquery; date filter pushed down") {
+    val df = Sql.q58.fn(spark, sf)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    // the uncorrelated MAX stays a one-shot scalar subquery inside the
+    // filter (evaluated once, broadcast into every partition) — it must
+    // NOT have been rewritten into a join against the revenue view
+    assert(optimized.contains("scalar-subquery"),
+      s"expected a one-shot scalar subquery in the filter:\n$optimized")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate,1996-01-01"),
+      s"shipdate quarter filter not pushed to the lineitem scans:\n$plan")
+    assert(df.collect().nonEmpty)
+  }
+
+  test("q59: EXISTS + NOT EXISTS plan as chained semi and anti self-joins") {
+    // sf0.01: the sole-returner-in-multi-supplier-order predicate has
+    // no satisfying rows in the 60-order sf0.001 fixture
+    val df = Sql.q59.fn(spark, "/root/testdata/sf0.01")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"),
+      s"correlated EXISTS did not plan as a semi join:\n$plan")
+    assert(plan.contains("LeftAnti"),
+      s"correlated NOT EXISTS did not plan as an anti join:\n$plan")
+    assert(plan.contains("EqualTo(l_returnflag,R)"),
+      s"returnflag filter not pushed to a lineitem scan:\n$plan")
+    assert(df.collect().nonEmpty)
+  }
+
+  test("q60: correlated MIN decorrelates; region filter pushed to the region scan") {
+    val df = Sql.q60.fn(spark, sf)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("scalar-subquery"),
+      s"correlated scalar MIN not decorrelated:\n$optimized")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("EqualTo(r_name,ASIA)"),
+      s"region filter not pushed to the region scan:\n$plan")
+    assert(df.collect().nonEmpty)
+  }
 }
