@@ -30,17 +30,24 @@ final case class Ctx(spark: SparkSession, dir: String) {
   def orders: DataFrame = table("orders")
   def lineitem: DataFrame = table("lineitem")
 
-  /** events.ts is TIMESTAMP(NANOS) in parquet, which Spark 4 refuses to
-    * read as a timestamp (PARQUET_TYPE_ILLEGAL). Read it as a raw int64
-    * (legacy nanosAsLong conf) and rebuild a µs-truncated TimestampType
-    * with exact integer division — ns-since-epoch (~1.7e18) overflows
-    * double precision, so a `/ 1000` double divide would corrupt it.
-    * DuckDB oracles must apply the same truncation: CAST(ts AS TIMESTAMP).
+  /** events.ts has shipped as TIMESTAMP(NANOS) in some fixture
+    * generations (which Spark 4 reads only as raw int64 via the legacy
+    * nanosAsLong conf) and TIMESTAMP(MICROS) in others. Branch on the
+    * inferred type: int64 → rebuild a µs-truncated timestamp with
+    * exact integer division (ns-since-epoch ~1.7e18 overflows double
+    * precision, so a `/ 1000` double divide would corrupt it); native
+    * timestamp → one cast to session-TZ TimestampType so downstream
+    * window/lag logic sees the same type either way. DuckDB oracles
+    * apply the matching normalization: CAST(ts AS TIMESTAMP).
     */
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table("events").withColumn(
-      "ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+    val raw = table("events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn(
+        "ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   /** documents/embeddings feed heavy per-row projections (tokenize
     * HOFs, shingles, vec_dot). The sf fixtures are single-row-group

@@ -133,4 +133,48 @@ class SqlPlanSpec extends AnyFunSuite {
       s"region filter not pushed to the region scan:\n$plan")
     assert(df.collect().nonEmpty)
   }
+
+  test("q62: all predicate legs reach the lineitem scan as PushedFilters") {
+    val df = Sql.q62.fn(spark, sf)
+    // plan.toString truncates long PushedFilters lists, and the AQE
+    // wrapper hides the scan from executedPlan.collectLeaves — read the
+    // untruncated metadata off the pre-adaptive physical plan
+    val pushed = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metadata.getOrElse("PushedFilters", "")
+    }.mkString("; ")
+    for (f <- Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.05)", "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24.0)"))
+      assert(pushed.contains(f), s"predicate $f not pushed to the scan: $pushed")
+    assert(df.collect().nonEmpty)
+  }
+
+  test("q66: priority filter stays in the JOIN clause — outer join survives") {
+    val df = Sql.q66.fn(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // the WHERE-clause mistake would let Catalyst convert the outer
+    // join to inner (the filter rejects NULLs); the JOIN-clause form
+    // must keep it outer. (The c_count=0 bucket itself only appears at
+    // sf where some customer has zero surviving orders — certified by
+    // the sf0.01 oracle match, not asserted here.)
+    assert(plan.contains("LeftOuter") || plan.contains("RightOuter"),
+      s"filtered outer join degraded to inner:\n$plan")
+    assert(df.collect().nonEmpty)
+  }
+
+  test("q69: nested IN + correlated aggregate decorrelate to a semi-join chain") {
+    val df = Sql.q69.fn(spark, sf)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("scalar-subquery"),
+      s"correlated scalar aggregate not decorrelated:\n$optimized")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"),
+      s"IN subquery did not plan as a semi join:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"planned a cartesian product:\n$plan")
+    // result rows only materialize at sf0.01+ (the 1997-volume
+    // threshold filters everything at sf0.001) — the oracle match
+    // covers values; here the shape is the contract
+  }
 }
