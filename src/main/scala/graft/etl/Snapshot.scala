@@ -481,6 +481,79 @@ object Snapshot {
       schemaOf(fs, root, to).map("#schema=" + _).toSeq)
   }
 
+  /** Outcome of a `deleteWhere`: the published version (unchanged when
+    * the delete was a provable no-op), file-level surgery counts, and
+    * the exact audit row counts a compliance log wants.
+    */
+  final case class DeleteResult(version: Long, rewrittenFiles: Int,
+      carriedFiles: Int, scannedRows: Long, deletedRows: Long)
+
+  /** Copy-on-write DELETE WHERE: publish a new version with every row
+    * matching `predicate` physically absent — the targeted-erasure
+    * (GDPR / right-to-be-forgotten / contamination-quarantine) shape a
+    * training-data lake must support without rewriting the world.
+    *
+    * File-level surgery driven by the SAME manifest stats envelope
+    * `readWhere` prunes with (FileStats.mayMatch):
+    *  - files whose [min,max]/null envelope PROVES no row can match
+    *    are carried into the new version untouched — a manifest-line
+    *    copy: no read, no write, no shuffle, and their '#stats='
+    *    lines carry forward without a footer re-read;
+    *  - only possibly-matching files are scanned, filtered to the
+    *    survivors, and rewritten. On a Z-ordered table a selective
+    *    delete (one user's rows) touches a handful of files out of
+    *    thousands, decided driver-side before any data I/O.
+    * Both row counts ride the ONE rewrite pass as `observe` metrics
+    * (no extra scan). SQL DELETE semantics: a NULL predicate row
+    * SURVIVES (only predicate=TRUE deletes).
+    *
+    * A no-op delete (every file pruned) publishes nothing and returns
+    * the current version. Deleted rows remain reachable via TIME
+    * TRAVEL until `vacuum` drops the old versions — for a legal
+    * purge, follow with `vacuum(path, keepVersions = 1)`; that pair
+    * of calls is the complete erasure procedure, and SnapshotSpec's
+    * delete suite proves the bytes are gone from every surviving
+    * file afterward.
+    */
+  def deleteWhere(spark: SparkSession, path: String,
+      predicate: org.apache.spark.sql.Column): DeleteResult = {
+    import org.apache.spark.sql.functions.{coalesce, count, lit, not, sum, when}
+    val (fs, root) = resolve(path)
+    val v = versionsIn(fs, root).lastOption.getOrElse(
+      throw new IllegalStateException(s"no snapshot versions at $path"))
+    val entries = fileEntries(fs, root, v)
+    val stats = statsOf(fs, root, v)
+    val pred =
+      org.apache.spark.sql.graftbridge.ColumnExpr.expression(predicate)
+    // conservative partition: a file without usable stats MAY match
+    val (touched, carried) = entries.partition(e =>
+      stats.get(e).forall(FileStats.mayMatch(pred, _)))
+    if (touched.isEmpty)
+      return DeleteResult(v, 0, carried.size, 0L, 0L)
+    val schema = schemaOf(fs, root, v)
+      .map(org.apache.spark.sql.types.StructType.fromDDL)
+    val paths = touched.map(resolveEntry(fs, root, _).toString)
+    val base = schema match {
+      case Some(s) => spark.read.schema(s).parquet(paths: _*)
+      case None => spark.read.parquet(paths: _*)
+    }
+    val obs = org.apache.spark.sql.Observation()
+    val matches = coalesce(predicate, lit(false))
+    val survivors = base
+      .observe(obs, count(lit(1)).as("scanned"),
+        sum(when(matches, 1L).otherwise(0L)).as("deleted"))
+      .filter(not(matches))
+    val newFiles = writeData(survivors, fs, root,
+      versionsIn(fs, root).lastOption.getOrElse(0L) + 1)
+    val newV = commitNext(fs, root, carried ++ newFiles,
+      Seq(schema.map("#schema=" + _.toDDL)
+        .getOrElse(schemaMeta(survivors))))
+    val row = obs.get
+    DeleteResult(newV, touched.size, carried.size,
+      row("scanned").asInstanceOf[Long],
+      Option(row("deleted")).map(_.asInstanceOf[Long]).getOrElse(0L))
+  }
+
   /** One history row per version: (version, file count, txn marker if
     * the version was a stream commit) — the audit view of the linear
     * history, read from manifest metadata only (no data I/O). Carried
