@@ -554,6 +554,71 @@ object Snapshot {
       Option(row("deleted")).map(_.asInstanceOf[Long]).getOrElse(0L))
   }
 
+  /** Copy-on-write UPDATE ... SET: publish a new version where rows
+    * matching `predicate` have the `set` columns replaced by their
+    * expressions (evaluated per row; non-matching and NULL-predicate
+    * rows pass through untouched) — deleteWhere's sibling completing
+    * the lake's DML triad (MERGE lives in etl.Upsert). The same
+    * manifest-stats surgery applies: files whose envelope proves no
+    * row can match are carried by reference; only possibly-matching
+    * files rewrite. Updated-row count rides the rewrite pass as an
+    * observe metric. `set` may not touch columns the table doesn't
+    * have (loud analysis error) and types must be cast-compatible —
+    * the rewritten columns keep the table schema's type.
+    */
+  def updateWhere(spark: SparkSession, path: String,
+      predicate: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column]): DeleteResult = {
+    import org.apache.spark.sql.functions.{coalesce, count, lit, sum, when}
+    require(set.nonEmpty, "updateWhere needs at least one SET column")
+    val (fs, root) = resolve(path)
+    val v = versionsIn(fs, root).lastOption.getOrElse(
+      throw new IllegalStateException(s"no snapshot versions at $path"))
+    val entries = fileEntries(fs, root, v)
+    val stats = statsOf(fs, root, v)
+    val pred =
+      org.apache.spark.sql.graftbridge.ColumnExpr.expression(predicate)
+    val (touched, carried) = entries.partition(e =>
+      stats.get(e).forall(FileStats.mayMatch(pred, _)))
+    if (touched.isEmpty)
+      return DeleteResult(v, 0, carried.size, 0L, 0L)
+    val schema = schemaOf(fs, root, v)
+      .map(org.apache.spark.sql.types.StructType.fromDDL)
+    val paths = touched.map(resolveEntry(fs, root, _).toString)
+    val base = schema match {
+      case Some(s) => spark.read.schema(s).parquet(paths: _*)
+      case None => spark.read.parquet(paths: _*)
+    }
+    set.keys.foreach { c =>
+      require(base.columns.contains(c),
+        s"SET column '$c' does not exist in the table schema")
+    }
+    val matches = coalesce(predicate, lit(false))
+    val obs = org.apache.spark.sql.Observation()
+    val observed = base.observe(obs, count(lit(1)).as("scanned"),
+      sum(when(matches, 1L).otherwise(0L)).as("updated"))
+    // ONE select evaluates every SET expression against the OLD row —
+    // SQL UPDATE semantics; a withColumn fold would let a later SET
+    // read an earlier SET's new value. Each kept cast to the table's
+    // column type so the schema never drifts.
+    val updated = observed.select(base.columns.map { c =>
+      set.get(c) match {
+        case Some(e) =>
+          when(matches, e.cast(base.schema(c).dataType))
+            .otherwise(observed(c)).as(c)
+        case None => observed(c)
+      }
+    }.toIndexedSeq: _*)
+    val newFiles = writeData(updated, fs, root,
+      versionsIn(fs, root).lastOption.getOrElse(0L) + 1)
+    val newV = commitNext(fs, root, carried ++ newFiles,
+      Seq(schema.map("#schema=" + _.toDDL).getOrElse(schemaMeta(updated))))
+    val row = obs.get
+    DeleteResult(newV, touched.size, carried.size,
+      row("scanned").asInstanceOf[Long],
+      Option(row("updated")).map(_.asInstanceOf[Long]).getOrElse(0L))
+  }
+
   /** One history row per version: (version, file count, txn marker if
     * the version was a stream commit) — the audit view of the linear
     * history, read from manifest metadata only (no data I/O). Carried

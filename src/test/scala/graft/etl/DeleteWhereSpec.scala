@@ -100,6 +100,41 @@ class DeleteWhereSpec extends AnyFunSuite {
     }
   }
 
+  test("update rewrites only matching rows, evaluated against the OLD row") {
+    val path = freshTable()
+    // swap semantics: id := id + score, score := id — if SET expressions
+    // saw each other's new values, score would become the NEW id
+    val r = Snapshot.updateWhere(spark, path, col("id") <= 100L,
+      Map("id" -> (col("id") + col("score")), "score" -> col("id").cast("double")))
+    assert(r.deletedRows == 100L && r.rewrittenFiles == 1 && r.carriedFiles == 2)
+    val row5 = Snapshot.read(spark, path).filter(col("score") === 5.0).collect()
+    assert(row5.length == 1)
+    // old row: id=5, score=50.0 → new id=55, new score=5.0 (OLD id)
+    assert(row5(0).getAs[Long]("id") == 55L)
+    // non-matching rows untouched
+    assert(Snapshot.read(spark, path)
+      .filter(col("id") === 200L && col("score") === 2000.0).count() == 1)
+  }
+
+  test("update keeps the table schema's column types (SET casts)") {
+    val path = freshTable()
+    // integer literal into a double column: schema must stay double
+    Snapshot.updateWhere(spark, path, col("id") === 1L,
+      Map("score" -> lit(7)))
+    val df = Snapshot.read(spark, path)
+    assert(df.schema("score").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    assert(df.filter(col("id") === 1L).select("score").as[Double].head() == 7.0)
+  }
+
+  test("update on a nonexistent column fails loudly") {
+    val path = freshTable()
+    intercept[IllegalArgumentException] {
+      Snapshot.updateWhere(spark, path, col("id") === 1L,
+        Map("nope" -> lit(1)))
+    }
+  }
+
   test("delete equals filter on an unclustered single-file table (no stats edge)") {
     val path = Files.createTempDirectory("delw-one").toString + "/t"
     Snapshot.commitOverwrite(
