@@ -439,5 +439,46 @@ object Curation {
         |FROM c LEFT JOIN k USING (bucket) CROSS JOIN m""".stripMargin +
         orderAll("bucket", "n_before", "n_after", "n_min", "kept_frac")))
 
-  def queries: Seq[GQuery] = Seq(xc1, xc2, xc3, xc4, xc5, xc6, xc7, xc8, xc9)
+  /** xc10: deterministic stratified train/valid/test split — THE
+    * fan-out every training corpus passes through once, and the one
+    * place a nondeterministic split silently poisons evaluation
+    * (today's valid doc in tomorrow's train set). Assignment is pure
+    * per-row integer math on xc1's Knuth-hash draw (80/10/10 on
+    * draw%100): no rand(), no state — a retry, a re-partition, or a
+    * different engine assigns every document identically, which is
+    * what the oracle match certifies. The report is the per-(lang,
+    * split) census carrying a TableCheck membership checksum, so the
+    * certificate pins EXACT membership cross-engine, not just counts.
+    * Scale shape: the assignment is scan-stage projection; the census
+    * is one (lang,split)-keyed aggregate — group space = langs × 3.
+    */
+  val xc10 = GQuery(
+    "xc10_split",
+    (s, d) => {
+      val c = Ctx(s, d)
+      val assigned = c.documents
+        .select(col("doc_id"), col("lang"),
+          (drawOf(col("doc_id")) % 100).as("slot"))
+        .withColumn("split",
+          when(col("slot") < 80, "train")
+            .when(col("slot") < 90, "valid").otherwise("test"))
+      canon(graft.operators.TableCheck.checksumBy(
+        assigned, Seq("lang", "split"), Seq("doc_id")))
+    },
+    Some(
+      """WITH a AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 80 THEN 'train'
+        |         WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90 THEN 'valid'
+        |         ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT lang, split, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(CAST(('0x' || substring(md5(
+        |        coalesce(length(CAST(doc_id AS VARCHAR)) || ':' || CAST(doc_id AS VARCHAR), 'N')), 1, 15)) AS BIGINT)
+        |      AS DECIMAL(38,0))) % 1152921504606846976 AS BIGINT) AS checksum
+        |FROM a GROUP BY lang, split""".stripMargin +
+        orderAll("lang", "split", "n_rows", "checksum")))
+
+  def queries: Seq[GQuery] =
+    Seq(xc1, xc2, xc3, xc4, xc5, xc6, xc7, xc8, xc9, xc10)
 }

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Det._
 
@@ -282,5 +283,54 @@ object Scans {
         |FROM d GROUP BY status""".stripMargin +
         orderAll("status", "n_rows", "key_checksum")))
 
-  def queries: Seq[GQuery] = Seq(q01, q02, q18, xv1, xv2, xv3)
+  /** xv4: join-key skew diagnostics — the report you run BEFORE
+    * choosing between a plain join, AQE skew split, and q50's manual
+    * salting: top-20 heaviest keys with absolute count, share of all
+    * rows, and the cumulative share of the top-k prefix (how much of
+    * the table the hot keys own). One partial-aggregated groupBy on
+    * the key (the same shuffle the join itself would pay, so the
+    * diagnosis costs what one build pass costs), then windows over
+    * the TOP-20 ROWS ONLY — the heavy tail never reaches a window.
+    * Shares are exact-integer ratios double-divided once per row
+    * (engine-identical); top-k ties break by key for a deterministic
+    * LIMIT.
+    */
+  val xv4 = GQuery(
+    "xv4_key_skew",
+    (s, d) => {
+      val c = Ctx(s, d)
+      // total as a broadcast 1-row aggregate, not a driver count() —
+      // one query, no separate action (xc9's pattern)
+      val totalDf = c.lineitem.agg(count(lit(1)).as("total"))
+      val top = c.lineitem.groupBy(col("l_suppkey").as("key"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("key").asc)
+        .limit(20)
+      val w = Window.orderBy(col("cnt").desc, col("key").asc)
+      canon(top.crossJoin(broadcast(totalDf))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .withColumn("share",
+          round(col("cnt").cast("double") / col("total"), 6))
+        .withColumn("cum_share",
+          round(sum(col("cnt")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double") / col("total"), 6))
+        .drop("total"))
+    },
+    Some(
+      """WITH t AS (SELECT COUNT(*) AS total FROM lineitem),
+        |k AS (
+        |  SELECT l_suppkey AS key, COUNT(*) AS cnt
+        |  FROM lineitem GROUP BY l_suppkey
+        |  ORDER BY cnt DESC, key ASC LIMIT 20)
+        |SELECT key, cnt,
+        |  ROW_NUMBER() OVER (ORDER BY cnt DESC, key ASC) AS rk,
+        |  ROUND(cnt / CAST(total AS DOUBLE), 6) AS share,
+        |  ROUND(SUM(cnt) OVER (ORDER BY cnt DESC, key ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    / CAST(total AS DOUBLE), 6) AS cum_share
+        |FROM k CROSS JOIN t""".stripMargin +
+        orderAll("key", "cnt", "rk", "share", "cum_share")))
+
+  def queries: Seq[GQuery] = Seq(q01, q02, q18, xv1, xv2, xv3, xv4)
 }
