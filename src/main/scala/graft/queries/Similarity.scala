@@ -375,5 +375,47 @@ object Similarity {
     },
     None)
 
-  def queries: Seq[GQuery] = Seq(xs1, xs2, xs3, xs4, xd7)
+  /** xs5: incremental IVF index maintenance — the DAILY operation on a
+    * standing ANN index: a new embedding batch folds in by ASSIGN-ONLY
+    * placement against the FROZEN centroids (rankAgainst, rn==1). No
+    * retrain, no touching existing assignments — at 100 TB this
+    * appends to the cell-partitioned layout while queries keep
+    * serving (Snapshot.commitAppend is the transactional carrier).
+    * Output is the per-cell census: base/new/total counts plus each
+    * side's mean squared centroid distance — the DRIFT signal
+    * (new-batch avg_d2 creeping above the base's says the frozen
+    * centroids no longer fit the distribution and an xs2 re-train
+    * should republish the index; the honest limit of assign-only).
+    * IncrementalIvf invariants spec'd: conservation (every vector in
+    * exactly one cell) and assignment equivalence (a new vector lands
+    * exactly where a same-centroid full rebuild would put it). ⊘
+    * rows-only (k-means centroids are not SQL-oracle-expressible).
+    */
+  val xs5 = GQuery(
+    "xs5_ann_incremental",
+    (s, d) => {
+      val c = Ctx(s, d)
+      VectorOps.register(s)
+      val all = c.embeddings
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", sqrt(expr("vec_dot(v, v)")))
+      val base = all.filter(col("vec_id") % 10 =!= 0).persist()
+      val batch = all.filter(col("vec_id") % 10 === 0)
+      val cents = trainCentroids(base)
+      // true squared distance = v·v + (cnrm2 - 2 v·c) = nrm² + dist
+      def cells(e: org.apache.spark.sql.DataFrame) =
+        rankAgainst(e, cents).filter(col("rn") === 1)
+          .select(col("cid"), col("vec_id"),
+            (col("nrm") * col("nrm") + col("dist")).as("d2"))
+      val a = cells(base).groupBy("cid")
+        .agg(count(lit(1)).as("n_base"), round(avg("d2"), 4).as("avg_d2_base"))
+      val b = cells(batch).groupBy("cid")
+        .agg(count(lit(1)).as("n_new"), round(avg("d2"), 4).as("avg_d2_new"))
+      canon(a.join(b, Seq("cid"), "full_outer")
+        .na.fill(0L, Seq("n_base", "n_new"))
+        .withColumn("n_total", col("n_base") + col("n_new")))
+    },
+    None)
+
+  def queries: Seq[GQuery] = Seq(xs1, xs2, xs3, xs4, xs5, xd7)
 }

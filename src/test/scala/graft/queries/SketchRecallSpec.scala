@@ -171,6 +171,35 @@ class SketchRecallSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"bipartite recall $recall below 0.6")
   }
 
+  test("xs5 incremental IVF: conservation + assignment equivalence vs same-centroid rebuild") {
+    import org.apache.spark.sql.functions._
+    // conservation: every embedding lands in exactly one cell
+    val census = Similarity.xs5.fn(spark, sf)
+    val total = census.agg(sum("n_total")).collect()(0).getLong(0)
+    graft.functions.VectorOps.register(spark)
+    val c = Ctx(spark, sf)
+    val nVecs = c.embeddings.count()
+    assert(total == nVecs, s"census covers $total of $nVecs vectors")
+
+    // assignment equivalence: the incremental (assign-only) placement
+    // of the batch equals what a full ranking of base∪batch against
+    // the SAME frozen centroids assigns — fold-in loses nothing
+    val all = c.embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(expr("vec_dot(v, v)")))
+    val base = all.filter(col("vec_id") % 10 =!= 0).persist()
+    val batch = all.filter(col("vec_id") % 10 === 0)
+    val cents = Similarity.trainCentroids(base)
+    def assign(e: org.apache.spark.sql.DataFrame) =
+      Similarity.rankAgainst(e, cents).filter(col("rn") === 1)
+        .select("vec_id", "cid").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val incremental = assign(batch)
+    val rebuilt = assign(all).filter { case (id, _) => id % 10 == 0 }
+    assert(incremental == rebuilt,
+      "incremental fold-in diverged from same-centroid rebuild")
+  }
+
   test("xi2 histogram quantiles bracket the exact order statistics") {
     val res = Aggregates.xi2.fn(spark, sf).collect()
       .map(r => (r.getDouble(0), r.getDouble(2), r.getDouble(3))) // q, lo, hi
