@@ -434,6 +434,84 @@ object EventOps {
         |FROM sess GROUP BY user_id""".stripMargin +
         orderAll("user_id")))
 
+  /** xe6: Markov stationary rank over the event transition graph —
+    * "which states does user behavior concentrate in" — xe3's matrix
+    * pushed through 3 power-iteration steps (rank·P, PageRank's inner
+    * loop without teleport). The cross-engine trick: everything runs
+    * in FIXED-POINT BIGINT — probabilities as n·10⁶ DIV total, each
+    * iteration as Σ(rank·p) DIV 10⁶ — because a float matrix-vector
+    * product sums in engine/partition order and would differ in ulps.
+    * Integer ops are associative, so Spark's partial aggregation and
+    * DuckDB's sequential scan produce IDENTICAL quantized ranks
+    * (≤1e-6 per-entry quantization error per step, documented, and
+    * the oracle hash certifies the agreement). States without
+    * out-edges get a self-loop so no mass silently drains. Scale
+    * shape: one user_id shuffle builds the matrix (xe3); iterations
+    * run on the states×states matrix — constant-bounded, corpus-size-
+    * independent (the xd5/xi2 pattern: heavy once, iterate tiny).
+    */
+  val xe6 = GQuery(
+    "xe6_markov_rank",
+    (s, d) => {
+      val c = Ctx(s, d)
+      val Scale = 1000000L
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val steps = c.events
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .withColumn("src", lag(col("event_type"), 1).over(w))
+        .filter(col("src").isNotNull)
+        .groupBy(col("src"), col("event_type").as("dst"))
+        .agg(count(lit(1)).as("n"))
+        .persist()
+      val states = steps.select(col("src").as("state"))
+        .union(steps.select(col("dst"))).distinct().persist()
+      val wSrc = Window.partitionBy("src")
+      val p = steps
+        .withColumn("p_fix",
+          expr(s"n * $Scale DIV sum(n) over (partition by src)"))
+        .select("src", "dst", "p_fix")
+      // absorbing states (no out-edges) self-loop with p=1
+      val selfLoops = states
+        .join(steps.select(col("src")).distinct(),
+          col("state") === col("src"), "left_anti")
+        .select(col("state").as("src"), col("state").as("dst"),
+          lit(Scale).as("p_fix"))
+      val matrix = p.unionByName(selfLoops).persist()
+      val nStates = states.count() // constant-bounded: |event types|
+      var rank = states.select(col("state"),
+        lit(Scale / nStates).as("r"))
+      for (_ <- 1 to 3)
+        rank = rank.join(matrix, rank("state") === matrix("src"))
+          .groupBy(col("dst").as("state_next"))
+          .agg(expr(s"sum(r * p_fix) DIV $Scale").as("r"))
+          .withColumnRenamed("state_next", "state")
+      canon(rank.select(col("state"), col("r").as("fix_rank")))
+    },
+    Some(
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+        |  FROM events),
+        |s AS (SELECT event_type AS dst,
+        |        LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+        |      FROM e),
+        |t AS (SELECT src, dst, COUNT(*) AS n FROM s
+        |      WHERE src IS NOT NULL GROUP BY src, dst),
+        |st AS (SELECT src AS state FROM t UNION SELECT dst FROM t),
+        |p AS (SELECT src, dst, n * 1000000 // SUM(n) OVER (PARTITION BY src) AS p_fix
+        |      FROM t
+        |      UNION ALL
+        |      SELECT state, state, 1000000 FROM st
+        |      WHERE state NOT IN (SELECT DISTINCT src FROM t)),
+        |r0 AS (SELECT state, 1000000 // (SELECT COUNT(*) FROM st) AS r FROM st),
+        |r1 AS (SELECT dst AS state, SUM(r * p_fix) // 1000000 AS r
+        |       FROM r0 JOIN p ON r0.state = p.src GROUP BY dst),
+        |r2 AS (SELECT dst AS state, SUM(r * p_fix) // 1000000 AS r
+        |       FROM r1 JOIN p ON r1.state = p.src GROUP BY dst),
+        |r3 AS (SELECT dst AS state, SUM(r * p_fix) // 1000000 AS r
+        |       FROM r2 JOIN p ON r2.state = p.src GROUP BY dst)
+        |SELECT state, CAST(r AS BIGINT) AS fix_rank FROM r3""".stripMargin +
+        orderAll("state", "fix_rank")))
+
   def queries: Seq[GQuery] =
-    Seq(q29, q30, q31, q32, q41, xe1, xe2, xe3, xe4, xe5)
+    Seq(q29, q30, q31, q32, q41, xe1, xe2, xe3, xe4, xe5, xe6)
 }
