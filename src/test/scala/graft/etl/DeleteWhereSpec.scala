@@ -143,4 +143,45 @@ class DeleteWhereSpec extends AnyFunSuite {
     assert(r.deletedRows == (1L to 1000L).count(_ % 13 == 4))
     assert(Snapshot.read(spark, path).count() == 1000L - r.deletedRows)
   }
+
+  // Property sweep: for a family of predicates spanning the pruning
+  // shapes (range, equality, IN, string prefix, arithmetic fallback),
+  // DML results must equal their DataFrame-algebra definitions and
+  // counts must conserve — the cheap-to-state invariants that catch a
+  // stats-envelope or null-handling regression anywhere in the family.
+  test("property: delete(p) ≡ filter(NOT p) and update(p) conserves rows, across predicate shapes") {
+    val preds = Seq(
+      col("id") > 150L && col("id") <= 250L,
+      col("user") === "u5",
+      col("id").isin(3L, 77L, 201L, 9999L),
+      col("user").startsWith("u1"),
+      col("id") % 7 === 0, // arithmetic: unprunable, full rewrite path
+      lit(false), // matches nothing
+      col("score") >= 2990.0)
+    for (p <- preds) {
+      val path = freshTable()
+      val before = Snapshot.read(spark, path)
+      val total = before.count()
+      val expectDeleted = before.filter(coalesce(p, lit(false))).count()
+      val expected = before.filter(!coalesce(p, lit(false)))
+        .collect().map(_.toString).sorted.toSeq
+      val r = Snapshot.deleteWhere(spark, path, p)
+      assert(r.deletedRows == expectDeleted, s"delete count for $p")
+      val after = Snapshot.read(spark, path)
+      assert(after.collect().map(_.toString).sorted.toSeq == expected,
+        s"delete result for $p")
+      assert(after.count() == total - expectDeleted, s"conservation for $p")
+
+      // update on a fresh copy: row count never changes, only matching
+      // rows change, and exactly deletedRows-many rows differ
+      val path2 = freshTable()
+      val r2 = Snapshot.updateWhere(spark, path2, p,
+        Map("score" -> (col("score") + 1.0)))
+      assert(r2.deletedRows == expectDeleted, s"update count for $p")
+      val after2 = Snapshot.read(spark, path2)
+      assert(after2.count() == total, s"update conservation for $p")
+      assert(after2.filter(col("score") === col("id") * 10.0 + 1.0).count()
+        == expectDeleted, s"updated-row content for $p")
+    }
+  }
 }
