@@ -126,6 +126,37 @@ object Windows {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY day_no RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)""".stripMargin +
         orderAll("o_orderkey")))
 
+  /** q16c: TIME-interval trailing frame — per event, activity in the
+    * user's PRECEDING HOUR (count + exact value sum): the per-row
+    * sliding aggregate q30/q31's fixed grids can't express (every row
+    * anchors its own window). Spark's rangeBetween only takes
+    * numerics, so the frame rides epoch MICROS (exact integers —
+    * q41's µs discipline), with the oracle's RANGE over epoch_us
+    * identical; partitioned by user_id, never global.
+    */
+  val q16c = GQuery(
+    "q16c_interval_range",
+    (s, d) => {
+      val c = Ctx(s, d)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+        .rangeBetween(-3600000000L, 0L)
+      canonBy(
+        c.events
+          .withColumn("us", unix_micros(col("ts")))
+          .withColumn("n_1h", count(lit(1)).over(w))
+          .withColumn("val_1h", sum(dec(col("value"))).over(w).cast("double"))
+          .select(col("user_id"), col("event_id"), col("us"),
+            col("n_1h"), col("val_1h")), "event_id")
+    },
+    Some(
+      """SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |  COUNT(*) OVER w AS n_1h,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS val_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin +
+        orderAll("event_id")))
+
   // Distribution: NTILE / PERCENT_RANK / CUME_DIST, partitioned by
   // priority so no single task owns the whole table at scale.
   val q17 = GQuery(
@@ -179,5 +210,5 @@ object Windows {
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin +
         orderAll("o_orderkey")))
 
-  def queries: Seq[GQuery] = Seq(q14, q15, q16, q16b, q17, q17b)
+  def queries: Seq[GQuery] = Seq(q14, q15, q16, q16b, q16c, q17, q17b)
 }
