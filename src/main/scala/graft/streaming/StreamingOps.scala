@@ -409,4 +409,69 @@ object StreamingOps {
         org.apache.spark.sql.streaming.TimeMode.None(),
         org.apache.spark.sql.streaming.OutputMode.Update())
   }
+
+  /** Trailing-window input/output (value in integer cents — the
+    * runningTotals exactness convention).
+    */
+  final case class TrailIn(user_id: Long, event_id: Long, tsMicros: Long,
+      valueCents: Long)
+  final case class Trail(user_id: Long, event_id: Long, tsMicros: Long,
+      n1h: Long, valCents1h: Long)
+
+  /** Streaming twin of batch q16c (per-event trailing-hour activity):
+    * every event is emitted with the count and exact cents-sum of its
+    * user's events in [ts-1h, ts] — the per-row anchored window no
+    * tumbling/sliding grid expresses, and in streaming form the
+    * rate-counter primitive (fraud velocity checks, per-user rate
+    * limits). State is ONE ListState buffer per user holding only the
+    * trailing hour's (ts, cents) pairs — evicted as each event
+    * arrives, so state is bounded by a user's one-hour event rate,
+    * not history. Frame boundary matches q16c exactly (RANGE ...
+    * 3600000000 PRECEDING is inclusive: evict strictly-older only).
+    * Same ordering contract as TransitionChain: in-batch rows sort by
+    * (ts, event_id) per key; across batches, arrival order — on a
+    * time-ordered source this converges exactly to the batch frame
+    * (spec'd across boundaries); an out-of-order straggler counts the
+    * buffer as of arrival, the honest at-least-once behavior without
+    * a reordering buffer.
+    */
+  class TrailingWindow
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, TrailIn, Trail] {
+    private val HourUs = 3600000000L
+    @transient private var buf:
+        org.apache.spark.sql.streaming.ListState[(Long, Long)] = _
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      buf = getHandle.getListState[(Long, Long)]("trail",
+        org.apache.spark.sql.Encoders.product[(Long, Long)],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[TrailIn],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[Trail] = {
+      val sorted = rows.toIndexedSeq.sortBy(e => (e.tsMicros, e.event_id))
+      var window = buf.get().toIndexedSeq
+      val out = IndexedSeq.newBuilder[Trail]
+      sorted.foreach { e =>
+        window = window.filter { case (ts, _) => ts >= e.tsMicros - HourUs }
+        window = window :+ (e.tsMicros, e.valueCents)
+        out += Trail(key, e.event_id, e.tsMicros,
+          window.length.toLong, window.map(_._2).sum)
+      }
+      buf.put(window.toArray)
+      out.result().iterator
+    }
+  }
+
+  /** events -> per-event trailing-hour counters (exactly-once). */
+  def trailingHour(events: org.apache.spark.sql.Dataset[TrailIn])
+      : org.apache.spark.sql.Dataset[Trail] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new TrailingWindow,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+  }
 }
