@@ -184,7 +184,7 @@ object Aggregates {
     // persist: three consumers (cumulative window, total, final join)
     // would otherwise each re-run the upstream scan; the histogram is
     // ~600 rows, so this pins the sketch, not data
-    val hist = hist0.persist()
+    val hist = own(hist0.persist())
     val cum = hist.withColumn("cum", sum(col("cnt")).over(
       org.apache.spark.sql.expressions.Window.orderBy(col("bin"))))
     val tot = hist.agg(sum(col("cnt")).as("n_total"))
@@ -200,7 +200,7 @@ object Aggregates {
 
   val xi2 = GQuery(
     "xi2_incremental_quantiles",
-    (s, d) => {
+    (s, d) => reap {
       val c = Ctx(s, d)
       val partial = c.orders
         .withColumn("mon", date_trunc("month", col("o_orderdate")).cast("date"))

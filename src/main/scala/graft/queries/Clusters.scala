@@ -100,7 +100,7 @@ object Clusters {
     */
   val xd5 = GQuery(
     "xd5_dedup_clusters",
-    (s, d) => {
+    (s, d) => reap {
       val c = Ctx(s, d)
       val groups = Dedup.setGroups(c.documents)
       val edges = Dedup.groupEdgesGated(groups, 0.8)
@@ -160,15 +160,15 @@ object Clusters {
     */
   val xd8 = GQuery(
     "xd8_semantic_clusters",
-    (s, d) => {
+    (s, d) => reap {
       val c = Ctx(s, d)
       // propagate only over the CONNECTED subgraph (edge endpoints):
       // singletons — the overwhelming majority of a deduped corpus —
       // never enter the iteration and rejoin as their own reps after
       // the fixpoint. At 100 TB the iterated frame is sized by the
       // near-dup population, not the corpus.
-      val pairs = Similarity.ivfPairs(s, d, 0.45)
-        .select("doc_a", "doc_b").persist()
+      val pairs = own(Similarity.ivfPairs(s, d, 0.45)
+        .select("doc_a", "doc_b").persist())
       val endpoints = pairs.select(col("doc_a").as("doc_id"))
         .unionByName(pairs.select(col("doc_b").as("doc_id")))
         .distinct()

@@ -66,7 +66,7 @@ object Dedup {
     * every token three times and was measured 7x slower cold at
     * sf0.1 for identical output. */
   private[queries] def setGroups(docs: DataFrame): DataFrame =
-    docs
+    own(docs
       .select(col("doc_id"),
         sort_array(array_distinct(Llm.tokens(docs.sparkSession, col("text")))).as("toks"))
       .groupBy("toks")
@@ -75,7 +75,7 @@ object Dedup {
       .withColumn("htoks",
         sort_array(expr("array_distinct(transform(toks, t -> xxhash64(t)))")))
       .withColumn("sz", size(col("htoks")))
-      .persist()
+      .persist())
 
   /** Expand qualifying group pairs to ordered doc-id pairs. */
   private def expandPairs(groupPairs: DataFrame, extra: String): DataFrame =
@@ -98,7 +98,7 @@ object Dedup {
 
   val xd1 = GQuery(
     "xd1_minhash_lsh",
-    (s, d) => {
+    (s, d) => reap {
       val c = Ctx(s, d)
       minhashPairs(setGroups(c.documents), 0.8)
     },
@@ -133,11 +133,11 @@ object Dedup {
     // keeping the band self-join + distinct out of the verify stage's
     // plan (on near-dup-dense corpora candidates ≫ groups, so
     // re-deriving them inside the wider verify join dominated runtime).
-    val cand = banded.as("a").join(banded.as("b"), Seq("band_key"))
+    val cand = own(banded.as("a").join(banded.as("b"), Seq("band_key"))
       .select(col("a.gid").as("gid_a"), col("b.gid").as("gid_b"))
       .filter(col("gid_a") < col("gid_b"))
       .distinct()
-      .persist()
+      .persist())
     // exact verify on the real (hashed) token arrays. Size prefilter
     // first: J <= min(sz)/max(sz), so pairs failing min >= t*max can't
     // qualify (epsilon keeps the float form conservative at exact-t
@@ -172,7 +172,7 @@ object Dedup {
     */
   val xd2 = GQuery(
     "xd2_simhash",
-    (s, d) => {
+    (s, d) => reap {
       val c = Ctx(s, d)
       val groups = setGroups(c.documents)
       // The 64-bit SimHash signature is the sketch itself (bit j set iff
@@ -357,13 +357,13 @@ object Dedup {
     else {
       val vocab = probe.sorted.toSeq
       val vdf = broadcast(vocab.zipWithIndex.toDF("token", "idx"))
-      val idx = groups
+      val idx = own(groups
         .select(col("gid"), col("sz"), element_at(col("ids"), 1).as("min_id"),
           explode(col("toks")).as("token"))
         .join(vdf, "token")
         .groupBy("gid", "sz", "min_id")
         .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), idx)")).as("mask"))
-        .persist()
+        .persist())
       idx.count() // force: the index is the long-lived static side
       groups.unpersist()
       Some((idx, vocab))
@@ -381,7 +381,7 @@ object Dedup {
     */
   val xd6 = GQuery(
     "xd6_incremental_dedup",
-    (s, d) => {
+    (s, d) => reap {
       val c = Ctx(s, d)
       val groups = setGroups(c.documents)
       // one tokenize+group pass serves both sides: a distinct set's
@@ -456,13 +456,13 @@ object Dedup {
     // identical longs to the declarative xxhash64-over-concat form —
     // TextOpsSpec) instead of an interpreted transform + array_distinct
     graft.functions.TextOps.register(docs.sparkSession)
-    val base = docs
+    val base = own(docs
       .select(col("doc_id"), Llm.tokens(docs.sparkSession, col("text")).as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"),
         call_function("shingle_hash", col("toks"), lit(3)).as("sids"))
       .select(col("doc_id"), size(col("sids")).as("sz"), col("sids"))
-      .persist()
+      .persist())
     val sh = base.select(col("doc_id"), col("sz"), explode(col("sids")).as("sid"))
     val j = sh.as("a").join(sh.as("b"),
         col("a.sid") === col("b.sid") && col("a.doc_id") < col("b.doc_id"))
@@ -478,7 +478,7 @@ object Dedup {
 
   val xd3 = GQuery(
     "xd3_shingle_jaccard",
-    (s, d) => shinglePairs(Ctx(s, d).documents, 0.7),
+    (s, d) => reap(shinglePairs(Ctx(s, d).documents, 0.7)),
     Some(
       """WITH sh AS (
         |  SELECT DISTINCT doc_id, t.shingle FROM (
@@ -617,12 +617,12 @@ object Dedup {
       t: Double): DataFrame = {
     val gtok = groups.select(col("gid"), col("sz"),
       explode(col("htoks")).as("token"))
-    val und = gtok.as("a").join(gtok.as("b"),
+    val und = own(gtok.as("a").join(gtok.as("b"),
         col("a.token") === col("b.token") && col("a.gid") < col("b.gid"))
       .groupBy(col("a.gid").as("gid_a"), col("a.sz").as("sa"),
         col("b.gid").as("gid_b"), col("b.sz").as("sb"))
       .agg(count(lit(1)).as("inter"))
-      .persist() // both direction projections consume it
+      .persist()) // both direction projections consume it
     val dirs = und.select(col("gid_a").as("gid_in"), col("sa").as("sz_in"),
         col("gid_b").as("gid_of"), col("inter"))
       .unionByName(und.select(col("gid_b").as("gid_in"),
@@ -653,7 +653,7 @@ object Dedup {
 
   val xd10 = GQuery(
     "xd10_containment",
-    (s, d) => {
+    (s, d) => reap {
       val c = Ctx(s, d)
       canon(containmentPairs(setGroups(c.documents), 0.9))
     },

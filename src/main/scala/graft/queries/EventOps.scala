@@ -452,20 +452,19 @@ object EventOps {
     */
   val xe6 = GQuery(
     "xe6_markov_rank",
-    (s, d) => {
+    (s, d) => reap {
       val c = Ctx(s, d)
       val Scale = 1000000L
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      val steps = c.events
+      val steps = own(c.events
         .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
         .withColumn("src", lag(col("event_type"), 1).over(w))
         .filter(col("src").isNotNull)
         .groupBy(col("src"), col("event_type").as("dst"))
         .agg(count(lit(1)).as("n"))
-        .persist()
-      val states = steps.select(col("src").as("state"))
-        .union(steps.select(col("dst"))).distinct().persist()
-      val wSrc = Window.partitionBy("src")
+        .persist())
+      val states = own(steps.select(col("src").as("state"))
+        .union(steps.select(col("dst"))).distinct().persist())
       val p = steps
         .withColumn("p_fix",
           expr(s"n * $Scale DIV sum(n) over (partition by src)"))
@@ -476,7 +475,7 @@ object EventOps {
           col("state") === col("src"), "left_anti")
         .select(col("state").as("src"), col("state").as("dst"),
           lit(Scale).as("p_fix"))
-      val matrix = p.unionByName(selfLoops).persist()
+      val matrix = own(p.unionByName(selfLoops).persist())
       val nStates = states.count() // constant-bounded: |event types|
       var rank = states.select(col("state"),
         lit(Scale / nStates).as("r"))

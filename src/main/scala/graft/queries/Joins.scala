@@ -195,12 +195,12 @@ object Joins {
     */
   val q11b = GQuery(
     "q11b_binned_range_join",
-    (s, d) => {
+    (s, d) => reap {
       val c = Ctx(s, d)
       val W = 300000000L // 5 minutes in µs
-      val e = c.events
+      val e = own(c.events
         .select(col("event_id"), unix_micros(col("ts")).as("m"))
-        .persist() // probe, build, and the zero-count re-attach
+        .persist()) // probe, build, and the zero-count re-attach
       val probe = e.select(col("event_id"), col("m"),
         explode(array(expr(s"m DIV $W"), expr(s"m DIV $W") + 1)).as("bin"))
       val build = e.select(col("event_id").as("eid2"), col("m").as("m2"),

@@ -69,7 +69,7 @@ object Llm {
     */
   val qx2 = GQuery(
     "qx2_jaccard_pairs",
-    (s, d) => {
+    (s, d) => reap {
       val c = Ctx(s, d)
       import s.implicits._
       // vocabulary probe: one bounded action — 65 rows cap no matter
@@ -96,9 +96,9 @@ object Llm {
             s"""aggregate(toks, CAST(0 AS BIGINT),
                |  (m, t) -> m | shiftleft(CAST(1 AS BIGINT), $mapSql[t]))"""
               .stripMargin).as("mask"))
-        val groups = masks.groupBy("mask")
+        val groups = own(masks.groupBy("mask")
           .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-          .persist() // consumed by intra pairs + both cross-join sides
+          .persist()) // consumed by intra pairs + both cross-join sides
         // same-mask doc pairs: J = 1.0 by construction
         val intra = groups
           .select(explode(expr(

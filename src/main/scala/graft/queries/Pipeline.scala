@@ -110,15 +110,19 @@ object Pipeline {
     */
   val xp2 = GQuery(
     "xp2_curation_full",
-    (s, d) => {
+    (s, d) => reap {
       val c = Ctx(s, d)
-      // ONE narrow feature projection, persisted: five report branches
-      // (raw/qc/cc/kc/fc) hang off it, and without the persist Spark
-      // re-ran the scan+tokenize chain once per branch and the
-      // contamination join three times (measured 20.3 s vs ~2 s at
-      // sf0.1). What's cached is features-not-text — a few dozen
-      // bytes per doc, so at 100 TB it's a tiny fraction of the corpus.
-      val feat = c.documents
+      // ONE tokenize pass over the corpus, persisted WITH the token
+      // arrays: five report branches (raw/qc/cc/kc/fc) and BOTH sides
+      // of the decontamination join hang off this frame. Round 6 kept
+      // only the derived counts here and re-read+re-tokenized the raw
+      // documents to shingle (a second full corpus scan+tokenize —
+      // 7.5 s driver-sweep vs 0.6 s warm). Carrying `toks` makes the
+      // cache token-arrays-not-raw-text (comparable bytes to the text
+      // itself), but the default MEMORY_AND_DISK persist spills, and at
+      // 100 TB one cached tokenize pass beats two streamed ones —
+      // tokenization is the pipeline's dominant CPU cost.
+      val feat = own(c.documents
         .withColumn("toks", Llm.tokens(s, col("text")))
         .withColumn("bg", expr(
           "CASE WHEN size(toks) >= 2 THEN transform(sequence(0, size(toks) - 2), " +
@@ -130,8 +134,12 @@ object Pipeline {
           size(col("toks")).as("n_tokens"),
           size(array_distinct(col("toks"))).as("n_distinct"),
           size(col("bg")).as("n_bg"),
-          size(array_distinct(col("bg"))).as("n_bg_distinct"))
-        .persist()
+          size(array_distinct(col("bg"))).as("n_bg_distinct"),
+          col("toks"))
+        .persist())
+      // branches that only need the narrow counts still prune: the
+      // in-memory columnar cache serves per-column batches, so raw/q
+      // never deserialize the token arrays.
       val raw = feat.groupBy("lang").agg(count(lit(1)).as("n_raw"))
       // quality + repetition gates, integer cross-multiplied
       val q = feat
@@ -140,33 +148,33 @@ object Pipeline {
       val qc = q.groupBy("lang").agg(count(lit(1)).as("n_quality"))
       // decontamination: eval slice is doc_id % 41 == 0 (also excluded
       // from the corpus); contaminated = shares any 3-shingle. Keyed
-      // off the RAW documents table, not the gated corpus: a left-anti
-      // against a superset of the corpus ids is set-equivalent, and it
-      // decouples the one text-shingling pass from the gate chain so
-      // the expensive join runs once instead of once per report branch.
+      // off the FULL feat frame, not the gated corpus: a left-anti
+      // against a superset of the corpus ids is set-equivalent, and
+      // shingling from the cached token arrays costs a transform over
+      // cached columns — no second text scan, no second tokenize.
       def sh(df: org.apache.spark.sql.DataFrame) =
-        df.select(col("doc_id"), Llm.tokens(df.sparkSession, col("text")).as("toks"))
-          .filter(size(col("toks")) >= 3)
+        df.filter(size(col("toks")) >= 3)
           .select(col("doc_id"), explode(expr(
             "array_distinct(transform(sequence(0, size(toks) - 3), " +
               "i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2])))")).as("shingle"))
-      val evalSh = sh(c.documents.filter(col("doc_id") % 41 === 0))
+      val evalSh = sh(feat.filter(col("doc_id") % 41 === 0))
         .select("shingle").distinct()
       val corpus = q.filter(col("doc_id") % 41 =!= 0)
-      val contaminated = sh(c.documents.filter(col("doc_id") % 41 =!= 0))
+      val contaminated = sh(feat.filter(col("doc_id") % 41 =!= 0))
         .join(Scale.maybeBroadcast(evalSh), "shingle")
         .select("doc_id").distinct()
       // clean and kept each feed two branches — persist the narrow
       // survivor sets so the anti-join and dedup groupBy run once
-      val clean = corpus.join(contaminated, Seq("doc_id"), "left_anti").persist()
+      val clean = own(corpus.drop("toks")
+        .join(contaminated, Seq("doc_id"), "left_anti").persist())
       val cc = clean.groupBy("lang").agg(count(lit(1)).as("n_clean"))
       // exact dedup: min-doc_id survivor carries its own lang/draw/tokens
-      val kept = clean.groupBy("h").agg(
+      val kept = own(clean.groupBy("h").agg(
         min(col("doc_id")).as("doc_id"),
         min_by(col("lang"), col("doc_id")).as("lang"),
         min_by(col("draw"), col("doc_id")).as("draw"),
         min_by(col("n_tokens"), col("doc_id")).as("n_tokens"))
-        .persist()
+        .persist())
       val kc = kept.groupBy("lang").agg(count(lit(1)).as("n_kept"))
       // per-language cap at 40, smallest draws first
       val fin = kept

@@ -112,13 +112,13 @@ object Similarity {
     */
   val xs2 = GQuery(
     "xs2_ann_ivf",
-    (s, d) => {
+    (s, d) => reap {
       val c = Ctx(s, d)
       VectorOps.register(s)
-      val e = c.embeddings
+      val e = own(c.embeddings
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
         .withColumn("nrm", sqrt(expr("vec_dot(v, v)")))
-        .persist() // consumed by init, every Lloyd pass, and both probe sides
+        .persist()) // consumed by init, every Lloyd pass, and both probe sides
       ivfTopK(e, k = 5)
     },
     None)
@@ -190,7 +190,7 @@ object Similarity {
 
   private[queries] def ivfRanked(e: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
-    rankAgainst(e, trainCentroids(e)).persist()
+    own(rankAgainst(e, trainCentroids(e)).persist())
 
   /** e: (vec_id, v: array<double>, nrm). Returns top-k (vec_id,
     * neighbor_id, score) per vector among its probed cells.
@@ -233,14 +233,14 @@ object Similarity {
     */
   val xs3 = GQuery(
     "xs3_ann_quantized",
-    (s, d) => {
+    (s, d) => reap {
       val c = Ctx(s, d)
       VectorOps.register(s)
       val k = 5
-      val e = c.embeddings
+      val e = own(c.embeddings
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
         .withColumn("nrm", sqrt(expr("vec_dot(v, v)")))
-        .persist() // quantization + rescore both sides
+        .persist()) // quantization + rescore both sides
       val q = e.select(col("vec_id"),
           (expr("array_max(transform(v, x -> abs(x)))") / 127.0).as("scale"),
           col("nrm"), col("v"))
@@ -307,10 +307,10 @@ object Similarity {
       d: String, threshold: Double): org.apache.spark.sql.DataFrame = {
     val c = Ctx(s, d)
     VectorOps.register(s)
-    val e = c.embeddings
+    val e = own(c.embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(expr("vec_dot(v, v)")))
-      .persist() // k-means init, Lloyd passes, ranking, both re-attach sides
+      .persist()) // k-means init, Lloyd passes, ranking, both re-attach sides
     val ranked = ivfRanked(e)
     val sides = ranked.select(col("cid"), col("vec_id"))
     val cand = sides.as("a").join(sides.as("b"), "cid")
@@ -329,7 +329,7 @@ object Similarity {
 
   val xd7 = GQuery(
     "xd7_semantic_dedup",
-    (s, d) => canon(ivfPairs(s, d, 0.45)),
+    (s, d) => reap(canon(ivfPairs(s, d, 0.45))),
     None)
 
   /** Query-vs-corpus ANN retrieval — the production SERVING shape
@@ -348,14 +348,14 @@ object Similarity {
     */
   val xs4 = GQuery(
     "xs4_ann_query",
-    (s, d) => {
+    (s, d) => reap {
       val c = Ctx(s, d)
       VectorOps.register(s)
       val all = c.embeddings
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
         .withColumn("nrm", sqrt(expr("vec_dot(v, v)")))
       // corpus feeds k-means init, Lloyd passes, and the cell side
-      val corpus = all.filter(col("vec_id") % 20 =!= 0).persist()
+      val corpus = own(all.filter(col("vec_id") % 20 =!= 0).persist())
       val queries = all.filter(col("vec_id") % 20 === 0)
       val cents = trainCentroids(corpus)
       val cells = rankAgainst(corpus, cents).filter(col("rn") === 1)
@@ -393,13 +393,13 @@ object Similarity {
     */
   val xs5 = GQuery(
     "xs5_ann_incremental",
-    (s, d) => {
+    (s, d) => reap {
       val c = Ctx(s, d)
       VectorOps.register(s)
       val all = c.embeddings
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
         .withColumn("nrm", sqrt(expr("vec_dot(v, v)")))
-      val base = all.filter(col("vec_id") % 10 =!= 0).persist()
+      val base = own(all.filter(col("vec_id") % 10 =!= 0).persist())
       val batch = all.filter(col("vec_id") % 10 === 0)
       val cents = trainCentroids(base)
       // true squared distance = v·v + (cnrm2 - 2 v·c) = nrm² + dist

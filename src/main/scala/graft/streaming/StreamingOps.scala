@@ -168,8 +168,8 @@ object StreamingOps {
       .start()
 
   def quantileReport(partials: DataFrame): DataFrame =
-    graft.queries.Aggregates.quantilesFromHist(
-      partials.groupBy("bin").agg(sum(col("n")).as("cnt")))
+    graft.queries.Det.reap(graft.queries.Aggregates.quantilesFromHist(
+      partials.groupBy("bin").agg(sum(col("n")).as("cnt"))))
 
   /** One (lang, term) token arrival for the streaming sketch. */
   final case class LangTok(lang: String, term: String)
