@@ -34,13 +34,14 @@ object Clusters {
 
   private val MaxRounds = 20
 
-  /** init: (doc_id, rep_id) seed labels — pass doc_id as its own seed
-    * for plain min-id components, or a precomputed seed to run the
-    * propagation in a compressed node space (xd5 seeds each
-    * distinct-set GROUP with its min member doc so the component
-    * minimum is still a document id). edges: undirected
-    * (doc_a, doc_b) pairs over the same node space. Returns
-    * (doc_id, rep_id) at fixpoint: rep_id = min seed reachable.
+  /** init: (doc_id, rep_id) seed labels. rep_id values MUST be node
+    * ids from the same id space as doc_id (normally each node's own
+    * id) — labels act as pointers for the doubling shortcut, so a
+    * label from a foreign space (xd5's min member doc over gid nodes)
+    * must be translated AFTER the fixpoint, not seeded in. edges:
+    * undirected (doc_a, doc_b) pairs over the same node space.
+    * Returns (doc_id, rep_id) at fixpoint: rep_id = min node id
+    * reachable.
     */
   private[queries] def components(init: DataFrame, edges: DataFrame): DataFrame = {
     // NOTE (measured, not kept): pre-partitioning dir by src to let
@@ -50,36 +51,161 @@ object Clusters {
     val dir = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
-    var lbl = init.select(col("doc_id"), col("rep_id"))
-      .localCheckpoint(true)
-    // Convergence via a monotone checksum: labels can only DECREASE
-    // (min-fold), so Σ rep_id strictly shrinks every round that moved
-    // any label — equal sums mean fixpoint. One tiny scan over the
-    // freshly checkpointed labels instead of a join-and-compare
-    // against the previous round.
-    def checksum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("rep_id").cast("decimal(38,0)"))).head.getDecimal(0)
-    var prev = checksum(lbl)
+    val bcThreshold = init.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    def maybeBc(df: DataFrame, rows: Long): DataFrame =
+      if (bcThreshold > 0 && rows * 32L <= bcThreshold) broadcast(df) else df
+
+    // STAR CONTRACTION — one aggregation pass before any iteration:
+    // m(x) = min(x, x's neighbors). Near-dup graphs are overwhelmingly
+    // quasi-cliques (a template and its variants all pairwise-similar),
+    // and one min-pass collapses a clique onto its min node, so the
+    // ITERATED graph holds only the contracted class graph — orders of
+    // magnitude smaller than the raw edge set (sf0.1: 698k edges ->
+    // ~1k contracted edges). Correctness: m(x) is x or a neighbor, so
+    // contraction classes sit inside components; an original edge
+    // (a, b) survives as (m(a), m(b)) unless both collapsed to the
+    // same class, so contracted connectivity equals original
+    // connectivity; and a component's global min c has m(c) = c, so
+    // it IS a contracted node and the contracted fixpoint minimum is
+    // the original component minimum.
+    val m = dir.groupBy("src")
+      .agg(min(col("dst")).as("mn"))
+      .select(col("src").as("x"), least(col("src"), col("mn")).as("mx"))
+      .localCheckpoint(true) // 3 consumers: both edge remaps + compose
+    val mCnt = m.count()
+    val mB = maybeBc(m, mCnt)
+    val cdir = dir
+      .join(mB.select(col("x").as("src"), col("mx").as("csrc")), "src")
+      .join(mB.select(col("x").as("dst"), col("mx").as("cdst")), "dst")
+      .select(col("csrc").as("src"), col("cdst").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .persist()
+
+    // The contracted class graph is usually TINY (near-dup components
+    // are quasi-cliques, so most of the edge volume collapses in the
+    // contraction). While it fits the session broadcast threshold —
+    // the SAME gate under which we would happily ship these bytes to
+    // every executor as a broadcast side — finish the closure with a
+    // driver union-find: one collect of the class edges replaces the
+    // whole iterate-until-fixpoint job sequence (measured: the loop's
+    // per-round fixed cost, not its data volume, dominated xd5).
+    // Past the gate the distributed loop below runs unchanged, so
+    // a 100 TB near-dup graph whose CONTRACTED form is still huge
+    // degrades to iteration, never to a driver OOM.
+    val cdirCnt = cdir.count()
+    val lbl: DataFrame = if (bcThreshold <= 0 || cdirCnt * 32L > bcThreshold) {
+      distributedFixpoint(cdir, m, mCnt, maybeBc)
+    } else {
+      val es = cdir.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = es.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
+      val rows = nodes.iterator.map(x => (x, find(x))).toSeq
+      val s = init.sparkSession
+      import s.implicits._
+      rows.toDF("doc_id", "rep_id")
+    }
+    cdir.unpersist()
+    dir.unpersist()
+    // compose back to the full node space: x's component is its
+    // contraction class's component. A class rep with no contracted
+    // edges is its own component's minimum (the whole component
+    // collapsed into it), so members fall back to mx; nodes outside
+    // the edge set keep their seed label. Broadcast-gated joins over
+    // init.
+    val classLbl = lbl.select(col("doc_id").as("mx"), col("rep_id").as("crep"))
+    init.select(col("doc_id"), col("rep_id").as("seed"))
+      .join(mB.select(col("x").as("doc_id"), col("mx")), Seq("doc_id"), "left")
+      .join(maybeBc(classLbl, cdirCnt * 2), Seq("mx"), "left")
+      .select(col("doc_id"),
+        coalesce(col("crep"), col("mx"), col("seed")).as("rep_id"))
+  }
+
+  /** Distributed min-label fixpoint over the contracted class graph —
+    * the over-threshold path of `components`. One class-edge join job
+    * plus one class-space doubling hop per round; convergence checksum
+    * rides the round's own materialization as an observed metric.
+    */
+  private def distributedFixpoint(cdir: DataFrame, m: DataFrame,
+      mCnt: Long, maybeBc: (DataFrame, Long) => DataFrame): DataFrame = {
+    def chk(df: DataFrame): (DataFrame, org.apache.spark.sql.Observation) = {
+      val obs = org.apache.spark.sql.Observation()
+      (df.observe(obs,
+        sum(col("rep_id").cast("decimal(38,0)")).as("chk"),
+        count(lit(1)).as("n"))
+        .localCheckpoint(true), obs)
+    }
+    def chkVal(obs: org.apache.spark.sql.Observation): java.math.BigDecimal =
+      obs.get("chk").asInstanceOf[java.math.BigDecimal]
+    // iterate over the contracted class graph only; class reps seed
+    // with their own ids (labels are pointers — see contract above)
+    val (lbl0, obs0) = chk(m.select(col("mx").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("rep_id")))
+    var lbl = lbl0
+    var prev = chkVal(obs0)
+    // The checkpointed label frame is a LogicalRDD with UNKNOWN stats,
+    // so the planner would sort-merge the edge join and re-shuffle the
+    // (edge-sized) cdir table EVERY round. The label table is class-
+    // space-sized — observed row count rides the same checkpoint job —
+    // so while it fits the session broadcast threshold, hint it and
+    // each round becomes one map-side pass over the cached cdir
+    // partitions plus a partial-agged min shuffle. Past the threshold
+    // the hint is withheld and the round degrades to the shuffled
+    // join, not an OOM.
+    var nNodes = obs0.get("n").asInstanceOf[Long]
     var round = 0
-    var converged = false
+    var converged = mCnt == 0 // no edges at all: nothing to iterate
     while (!converged && round < MaxRounds) {
-      val prop = dir.join(lbl, col("src") === col("doc_id"))
+      val prop = cdir.join(maybeBc(lbl, nNodes), col("src") === col("doc_id"))
         .select(col("dst").as("doc_id"), col("rep_id"))
-      val next = lbl.unionByName(prop)
+      // the round's main job: class-edge join + min-fold, materialized
+      // so the doubling hop below reads 2× class-space rows, not 2×
+      // re-executions of this whole subplan
+      val folded = lbl.unionByName(prop)
         .groupBy("doc_id")
         .agg(min(col("rep_id")).as("rep_id"))
         .localCheckpoint(true)
-      val cur = checksum(next)
+      // Pointer doubling: additionally adopt the label OF my label
+      // (labels are node ids), so a length-d chain of classes
+      // collapses in O(log d) rounds instead of d. The hop join runs
+      // on the materialized label table — class-space-sized, a
+      // trivial second job — and preserves the invariant that l(x)
+      // names a node in x's component; the neighbor-min fixpoint
+      // condition is unchanged, so the fixpoint is still the
+      // component minimum (ClustersSpec's union-find equality).
+      // Convergence is checked on the POST-hop labels: a round where
+      // only the hop moved labels must not read as converged, since
+      // unfinished pointer chains can remain.
+      val hop = folded.join(
+        folded.select(col("doc_id").as("rep_id"), col("rep_id").as("rep2")),
+        Seq("rep_id"), "left")
+        .select(col("doc_id"),
+          least(col("rep_id"), coalesce(col("rep2"), col("rep_id"))).as("rep_id"))
+      val (next, obs) = chk(hop)
+      val cur = chkVal(obs)
+      nNodes = obs.get("n").asInstanceOf[Long]
       lbl.unpersist()
+      folded.unpersist()
       lbl = next
       converged = cur.compareTo(prev) == 0
       prev = cur
       round += 1
     }
-    dir.unpersist()
     assert(converged, s"label propagation did not converge in $MaxRounds rounds")
     if (sys.env.contains("GRAFT_DEBUG_ROUNDS"))
-      System.err.println(s"[components] converged in $round rounds")
+      System.err.println(s"[components] converged in $round rounds" +
+        s" (classes=$mCnt)")
     lbl
   }
 
@@ -105,10 +231,20 @@ object Clusters {
       val groups = Dedup.setGroups(c.documents)
       val edges = Dedup.groupEdgesGated(groups, 0.8)
         .select(col("gid_a").as("doc_a"), col("gid_b").as("doc_b"))
-      val init = groups.select(col("gid").as("doc_id"),
-        expr("ids[0]").as("rep_id")) // ids sorted: [0] is the min member
-      val lbl = components(init, edges)
-        .select(col("doc_id").as("gid"), col("rep_id"))
+      // propagate in pure gid space (labels must be node ids for the
+      // doubling shortcut), then translate each component's rep gid to
+      // its min member DOC id — two group-space-sized hops after the
+      // fixpoint instead of doc-space seeds inside it
+      val init = groups.select(col("gid").as("doc_id"), col("gid").as("rep_id"))
+      val lblG = components(init, edges)
+        .select(col("doc_id").as("gid"), col("rep_id").as("rep_gid"))
+      val seed = groups.select(col("gid"),
+        expr("ids[0]").as("seed_doc")) // ids sorted: [0] is the min member
+      val withSeed = lblG.join(Scale.maybeBroadcast(seed), "gid")
+      val repDoc = withSeed.groupBy("rep_gid")
+        .agg(min(col("seed_doc")).as("rep_id"))
+      val lbl = withSeed.join(Scale.maybeBroadcast(repDoc), "rep_gid")
+        .select(col("gid"), col("rep_id"))
       val byDoc = groups.select(col("gid"), explode(col("ids")).as("doc_id"))
         .join(Scale.maybeBroadcast(lbl), "gid")
       val sizes = byDoc.groupBy("rep_id").agg(count(lit(1)).as("cluster_size"))
