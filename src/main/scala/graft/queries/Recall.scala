@@ -1,0 +1,189 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import Det._
+
+/** Driver-visible recall/precision certification for the sketch and
+  * ANN scale paths (xs1-xs4, xd1, xd2, xd7) — the queries the
+  * correctness gate otherwise has to take on the repo's own specs'
+  * word (they are ⊘ no-oracle: LSH buckets and k-means cells are not
+  * SQL-expressible).
+  *
+  * Shape: each xr query computes BOTH the sketch result and its exact
+  * counterpart IN SPARK, reduces them to driver-bounded scalars
+  * (set-intersection counts via semi/anti joins — never a collect of
+  * the pair sets), and emits ONE assertion row whose `meets_floor` /
+  * `no_false_pos` booleans certify the contract. The DuckDB oracle is
+  * the matching CONSTANT row, so the driver's hash compare fails iff
+  * a floor is breached — the recall floor becomes an externally
+  * checked result instead of an in-repo test. Floors are set from
+  * measurements at sf0.001/0.01/0.1 with margin (see each query's
+  * note); they certify "the sketch still works", not a tuning target.
+  *
+  * Bench note: these run the sketch AND the exact baseline, so their
+  * oracle (a constant row) is meaningless as a DuckDB time baseline —
+  * they are SKIP'd in duckbench.py (the xd5 precedent) and appear
+  * unbudgeted in RESULTS.md while staying fully hash-checked at the
+  * correctness gate.
+  */
+object Recall {
+
+  /** |exact ∩ approx| / |exact| over the given key columns, all
+    * distributed (semi-join + counts); 1.0 on an empty exact set.
+    */
+  private def recallOf(approx: DataFrame, exact: DataFrame,
+      cols: Seq[String]): Double = {
+    val e = exact.select(cols.map(col): _*)
+    val a = approx.select(cols.map(col): _*)
+    val n = e.count()
+    if (n == 0) 1.0
+    else e.join(a, cols, "left_semi").count().toDouble / n
+  }
+
+  /** approx ⊆ exact over the given key columns (precision 1.0). */
+  private def subsetOf(approx: DataFrame, exact: DataFrame,
+      cols: Seq[String]): Boolean =
+    approx.select(cols.map(col): _*)
+      .join(exact.select(cols.map(col): _*), cols, "left_anti")
+      .count() == 0L
+
+  private def report(s: SparkSession, sketch: String, metric: String,
+      k: Option[Int], floor: Double, noFalsePos: Option[Boolean],
+      meets: Boolean): DataFrame = {
+    import s.implicits._
+    Seq((sketch, metric, k, floor, noFalsePos, meets))
+      .toDF("sketch", "metric", "k", "floor_val", "no_false_pos",
+        "meets_floor")
+  }
+
+  private def reportSql(sketch: String, metric: String, k: Option[Int],
+      floor: Double, noFalsePos: Option[Boolean]): String = {
+    val kSql = k.map(_.toString).getOrElse("NULL")
+    val nfp = noFalsePos match {
+      case Some(b) => b.toString.toUpperCase
+      case None => "CAST(NULL AS BOOLEAN)"
+    }
+    s"""SELECT '$sketch' AS sketch, '$metric' AS metric,
+       |  CAST($kSql AS INTEGER) AS k, CAST($floor AS DOUBLE) AS floor_val,
+       |  $nfp AS no_false_pos, TRUE AS meets_floor""".stripMargin +
+      orderAll("sketch", "metric", "k", "floor_val", "no_false_pos",
+        "meets_floor")
+  }
+
+  /** Exact top-k recall of an ANN query vs the brute-force qx3. */
+  private def topkRecall(name: String, sketch: GQuery, floor: Double) =
+    GQuery(
+      name,
+      (s, d) => {
+        val exact = Llm.qx3.fn(s, d)
+        val approx = sketch.fn(s, d)
+        val r = recallOf(approx, exact, Seq("vec_id", "neighbor_id"))
+        canon(report(s, sketch.name, "topk_recall_vs_exact", Some(5),
+          floor, None, r >= floor))
+      },
+      Some(reportSql(sketch.name, "topk_recall_vs_exact", Some(5), floor,
+        None)))
+
+  // Hyperplane LSH on this corpus's weak (~60°) neighbor structure:
+  // measured 0.53 (sf0.001) / 0.56 (sf0.01) / 0.61 (sf0.1); floor 0.40.
+  val xr1 = topkRecall("xr1_lsh_recall", Similarity.xs1, 0.40)
+  // IVF NProbe/Cells = 25% scan fraction: measured 0.69/0.67/0.63
+  // at sf0.001/0.01/0.1; floor 0.55.
+  val xr2 = topkRecall("xr2_ivf_recall", Similarity.xs2, 0.55)
+  // int8 quantize-then-rescore: rounding is the only approximation —
+  // measured ~1.0 at all three SFs; floor 0.90.
+  val xr3 = topkRecall("xr3_quant_recall", Similarity.xs3, 0.90)
+
+  /** xs4 bipartite retrieval vs exact query-vs-corpus brute force. */
+  val xr4 = GQuery(
+    "xr4_query_recall",
+    (s, d) => {
+      graft.functions.VectorOps.register(s)
+      val c = Ctx(s, d)
+      val all = c.embeddings
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", sqrt(expr("vec_dot(v, v)")))
+      val corpus = all.filter(col("vec_id") % 20 =!= 0)
+        .select(col("vec_id").as("neighbor_id"), col("v").as("vb"),
+          col("nrm").as("nb"))
+      val queries = all.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id"), col("v").as("va"), col("nrm").as("na"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("score").desc, col("neighbor_id").asc)
+      val exact = queries.crossJoin(corpus)
+        .select(col("vec_id"), col("neighbor_id"),
+          round(expr("vec_dot(va, vb)") / (col("na") * col("nb")), 4).as("score"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      val approx = Similarity.xs4.fn(s, d)
+      // measured ~0.66 at sf0.001 (SketchRecallSpec); floor 0.50
+      val floor = 0.50
+      val r = recallOf(approx, exact, Seq("vec_id", "neighbor_id"))
+      canon(report(s, "xs4_ann_query", "bipartite_recall_vs_exact",
+        Some(5), floor, None, r >= floor))
+    },
+    Some(reportSql("xs4_ann_query", "bipartite_recall_vs_exact",
+      Some(5), 0.50, None)))
+
+  /** MinHash-LSH pair recall vs exact J>=0.8 (qx2), plus the
+    * no-false-positives guarantee (every emitted pair is exact-verified
+    * by construction — this certifies the verify stage stayed honest).
+    */
+  val xr5 = GQuery(
+    "xr5_minhash_recall",
+    (s, d) => {
+      val exact = Llm.qx2.fn(s, d)
+      val approx = Dedup.xd1.fn(s, d)
+      val cols = Seq("doc_a", "doc_b")
+      // measured 0.9999+ at sf0.001/0.01/0.1 (dup-heavy fixture;
+      // banding misses only isolated boundary pairs); floor 0.90
+      val floor = 0.90
+      val r = recallOf(approx, exact, cols)
+      canon(report(s, "xd1_minhash_lsh", "pair_recall_vs_exact", None,
+        floor, Some(subsetOf(approx, exact, cols)), r >= floor))
+    },
+    Some(reportSql("xd1_minhash_lsh", "pair_recall_vs_exact", None, 0.90,
+      Some(true))))
+
+  /** SimHash@hamming<=3 precision vs exact J>=0.8 — simhash is a
+    * TIGHTER filter than J (different metric), so the contract is
+    * precision (its hits are true near-dups), not recall.
+    */
+  val xr6 = GQuery(
+    "xr6_simhash_precision",
+    (s, d) => {
+      val exact = Llm.qx2.fn(s, d)
+      val approx = Dedup.xd2.fn(s, d)
+      val cols = Seq("doc_a", "doc_b")
+      val n = approx.select(cols.map(col): _*).count()
+      val hit = approx.select(cols.map(col): _*)
+        .join(exact.select(cols.map(col): _*), cols, "left_semi").count()
+      val p = if (n == 0) 1.0 else hit.toDouble / n
+      // measured 0.97/0.98/0.98 at sf0.001/0.01/0.1; floor 0.90
+      val floor = 0.90
+      canon(report(s, "xd2_simhash", "pair_precision_vs_exact", None,
+        floor, None, p >= floor))
+    },
+    Some(reportSql("xd2_simhash", "pair_precision_vs_exact", None, 0.90,
+      None)))
+
+  /** IVF-blocked semantic dedup vs exact xd4 pairs: subset + recall. */
+  val xr7 = GQuery(
+    "xr7_semdup_recall",
+    (s, d) => {
+      val exact = Dedup.xd4.fn(s, d)
+      val approx = Similarity.xd7.fn(s, d)
+      val cols = Seq("doc_a", "doc_b")
+      // measured 1.0 at sf0.001/0.01/0.1 (threshold pairs co-probe
+      // reliably); floor 0.90
+      val floor = 0.90
+      val r = recallOf(approx, exact, cols)
+      canon(report(s, "xd7_semantic_dedup", "pair_recall_vs_exact", None,
+        floor, Some(subsetOf(approx, exact, cols)), r >= floor))
+    },
+    Some(reportSql("xd7_semantic_dedup", "pair_recall_vs_exact", None, 0.90,
+      Some(true))))
+
+  def queries: Seq[GQuery] = Seq(xr1, xr2, xr3, xr4, xr5, xr6, xr7)
+}

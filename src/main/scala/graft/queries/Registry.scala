@@ -11,7 +11,7 @@ object Registry {
       EventOps.queries ++ Udx.queries ++ Llm.queries ++
       Dedup.queries ++ Similarity.queries ++ TextAnalysis.queries ++
       Media.queries ++ Pipeline.queries ++ Clusters.queries ++
-      Curation.queries ++ Sql.queries
+      Curation.queries ++ Sql.queries ++ Recall.queries
 
   def byName: Map[String, GQuery] = all.map(q => q.name -> q).toMap
 }
