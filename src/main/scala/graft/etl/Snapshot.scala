@@ -162,11 +162,11 @@ object Snapshot {
     * but the newest manifest cannot lose a marker.
     */
   private def carriedTxnState(fs: FileSystem, root: Path,
-      meta: Seq[String]): Seq[String] = {
+      meta: Seq[String], head: Option[Long]): Seq[String] = {
     val own = meta.collect {
       case l if l.startsWith("#txn=") => splitMarker(l.drop(5))
     }
-    val prev = versionsIn(fs, root).lastOption.toSeq
+    val prev = head.toSeq
       .flatMap(headerOf(fs, root, _))
       .collect {
         case l if l.startsWith("#txn=") => splitMarker(l.drop(5))
@@ -189,8 +189,8 @@ object Snapshot {
     * simply gets no line (readers keep statless files).
     */
   private def statsLines(fs: FileSystem, root: Path,
-      files: Seq[String]): Seq[String] = {
-    val prev: Map[String, String] = versionsIn(fs, root).lastOption.toSeq
+      files: Seq[String], head: Option[Long]): Seq[String] = {
+    val prev: Map[String, String] = head.toSeq
       .flatMap(headerOf(fs, root, _))
       .flatMap { l =>
         if (!l.startsWith("#stats=")) None
@@ -221,29 +221,47 @@ object Snapshot {
       }
     }.toMap
 
-  /** The one version-allocation + publish sequence every commit shape
-    * shares (overwrite/append/append-once/rollback) — header handling
-    * is a decision made once, not per call site.
+  /** The one header-assembly + publish sequence every commit shape
+    * shares, PINNED to the head version it was built from: carried txn
+    * state, carried stats, and the published version number all derive
+    * from the SAME `head` the caller read its base file list from. A
+    * concurrent writer landing head+1 in between therefore makes the
+    * publish fail loudly (manifest exists) instead of silently
+    * dropping the interloper's files from a manifest allocated at
+    * head+2 — the lost-update hole a late re-read of `versionsIn`
+    * would open.
     */
-  private def commitNext(fs: FileSystem, root: Path, files: Seq[String],
-      meta: Seq[String]): Long = {
-    val state = carriedTxnState(fs, root, meta)
-    val stats = statsLines(fs, root, files)
-    publish(fs, root, versionsIn(fs, root).lastOption.getOrElse(0L) + 1,
-      files, meta ++ state ++ stats)
+  private def commitPinned(fs: FileSystem, root: Path, head: Option[Long],
+      files: Seq[String], meta: Seq[String]): Long = {
+    val state = carriedTxnState(fs, root, meta, head)
+    val stats = statsLines(fs, root, files, head)
+    onBeforePublish()
+    publish(fs, root, head.getOrElse(0L) + 1, files, meta ++ state ++ stats)
   }
 
-  private def prevFiles(fs: FileSystem, root: Path): Seq[String] =
-    versionsIn(fs, root).lastOption
-      .map(fileEntries(fs, root, _)).getOrElse(Nil)
+  /** Test seam (fault injection): invoked once immediately before
+    * every manifest publish, AFTER the manifest body was assembled
+    * from its pinned head — specs interleave a concurrent commit into
+    * exactly the window the optimistic-concurrency machinery must
+    * survive. No-op in production; a spec's hook must reset it before
+    * committing to avoid recursing.
+    */
+  private[etl] var onBeforePublish: () => Unit = () => ()
+
+  private def filesAt(fs: FileSystem, root: Path, head: Option[Long]): Seq[String] =
+    head.map(fileEntries(fs, root, _)).getOrElse(Nil)
 
   /** Commit df as a FULL snapshot (overwrite semantics): the new
     * version's manifest lists only df's files. Returns the version.
+    * Concurrent-writer posture: fail-loudly (a concurrent overwrite
+    * has no well-defined merge — Delta's Serializable rule for
+    * replace-the-table commits).
     */
   def commitOverwrite(df: DataFrame, path: String): Long = {
     val (fs, root) = resolve(path)
-    val v = versionsIn(fs, root).lastOption.getOrElse(0L) + 1
-    commitNext(fs, root, writeData(df, fs, root, v), Seq(schemaMeta(df)))
+    val head = versionsIn(fs, root).lastOption
+    commitPinned(fs, root, head,
+      writeData(df, fs, root, head.getOrElse(0L) + 1), Seq(schemaMeta(df)))
   }
 
   /** Test seam for the version-allocation race: commit df AT a
@@ -258,21 +276,61 @@ object Snapshot {
   private[etl] def commitOverwriteAt(df: DataFrame, path: String,
       v: Long): Long = {
     val (fs, root) = resolve(path)
-    val meta = Seq(schemaMeta(df))
     val files = writeData(df, fs, root, v)
-    publish(fs, root, v, files,
-      meta ++ carriedTxnState(fs, root, meta) ++ statsLines(fs, root, files))
+    commitPinned(fs, root, Some(v - 1).filter(_ > 0), files,
+      Seq(schemaMeta(df)))
   }
+
+  /** How many publish races an optimistic append re-tries before
+    * giving up — a liveness bound, not a correctness one (every retry
+    * re-reads the head, so any successful publish is built on it).
+    */
+  private val AppendRetries = 5
 
   /** Commit df as an APPEND: the new manifest lists the previous
     * version's files plus df's — no existing data is read or
     * rewritten. Returns the version.
+    *
+    * Concurrent-writer posture: OPTIMISTIC RETRY. Append commits are
+    * always file-disjoint from a concurrent winner (this writer's new
+    * files live in their own immutable commit directory; the base list
+    * is re-read from the winner's head), so a lost publish race
+    * re-reads the new head and re-publishes on top of it — Delta's
+    * append-never-conflicts rule. The data is written ONCE; only the
+    * manifest assembly repeats. Bounded retries keep a livelocked
+    * writer loud.
     */
   def commitAppend(df: DataFrame, path: String): Long = {
     val (fs, root) = resolve(path)
-    val v = versionsIn(fs, root).lastOption.getOrElse(0L) + 1
-    commitNext(fs, root, prevFiles(fs, root) ++ writeData(df, fs, root, v),
-      Seq(schemaMeta(df)))
+    val data = writeData(df, fs, root,
+      versionsIn(fs, root).lastOption.getOrElse(0L) + 1)
+    retryAppend(fs, root) { head =>
+      Some((filesAt(fs, root, head) ++ data, Seq(schemaMeta(df))))
+    }.get
+  }
+
+  /** Re-read the head and re-publish until a publish wins or retries
+    * run out. `attempt` sees the pinned head and returns the manifest
+    * body to publish on top of it — or None to abort (used by
+    * commitAppendOnce when a replayed marker appears mid-retry).
+    */
+  private def retryAppend(fs: FileSystem, root: Path)(
+      attempt: Option[Long] => Option[(Seq[String], Seq[String])]): Option[Long] = {
+    var last: java.util.ConcurrentModificationException = null
+    var i = 0
+    while (i <= AppendRetries) {
+      val head = versionsIn(fs, root).lastOption
+      attempt(head) match {
+        case None => return None
+        case Some((files, meta)) =>
+          try return Some(commitPinned(fs, root, head, files, meta))
+          catch {
+            case e: java.util.ConcurrentModificationException => last = e
+          }
+      }
+      i += 1
+    }
+    throw last
   }
 
   private def schemaOf(fs: FileSystem, root: Path, v: Long): Option[String] =
@@ -449,7 +507,7 @@ object Snapshot {
     // txn state forward, so the scan stops at the newest manifest in
     // the current format; the walk continues only across legacy
     // manifests that predate carried state.
-    val lastMarked = versionsIn(fs, root).reverseIterator
+    def lastMarked: Option[Long] = versionsIn(fs, root).reverseIterator
       .map { v =>
         val ids = headerOf(fs, root, v).collect {
           case l if l.startsWith(prefix) => l.drop(prefix.length).toLong
@@ -458,11 +516,15 @@ object Snapshot {
         ids.maxOption
       }
       .collectFirst { case Some(id) => id }
-    if (lastMarked.exists(_ >= batchId)) None
-    else {
-      val v = versionsIn(fs, root).lastOption.getOrElse(0L) + 1
-      Some(commitNext(fs, root,
-        prevFiles(fs, root) ++ writeData(df, fs, root, v),
+    // data written at most once (lazily: a replayed batch writes
+    // nothing); the marker is RE-CHECKED inside every retry, so a race
+    // lost to another instance of the SAME stream committing this very
+    // batch resolves as a skip, not a double-append.
+    lazy val data = writeData(df, fs, root,
+      versionsIn(fs, root).lastOption.getOrElse(0L) + 1)
+    retryAppend(fs, root) { head =>
+      if (lastMarked.exists(_ >= batchId)) None
+      else Some((filesAt(fs, root, head) ++ data,
         Seq(s"$prefix$batchId", schemaMeta(df))))
     }
   }
@@ -477,7 +539,8 @@ object Snapshot {
     */
   def rollback(path: String, to: Long): Long = {
     val (fs, root) = resolve(path)
-    commitNext(fs, root, fileEntries(fs, root, to),
+    commitPinned(fs, root, versionsIn(fs, root).lastOption,
+      fileEntries(fs, root, to),
       schemaOf(fs, root, to).map("#schema=" + _).toSeq)
   }
 
@@ -543,9 +606,13 @@ object Snapshot {
       .observe(obs, count(lit(1)).as("scanned"),
         sum(when(matches, 1L).otherwise(0L)).as("deleted"))
       .filter(not(matches))
-    val newFiles = writeData(survivors, fs, root,
-      versionsIn(fs, root).lastOption.getOrElse(0L) + 1)
-    val newV = commitNext(fs, root, carried ++ newFiles,
+    val newFiles = writeData(survivors, fs, root, v + 1)
+    // publish PINNED at v+1: the carried file list was read at v, so a
+    // concurrent commit landing v+1 in between must fail this publish
+    // loudly (lost-update detection) — advertised as a compliance
+    // erasure procedure, it must never silently drop an interloper's
+    // files from the published manifest
+    val newV = commitPinned(fs, root, Some(v), carried ++ newFiles,
       Seq(schema.map("#schema=" + _.toDDL)
         .getOrElse(schemaMeta(survivors))))
     val row = obs.get
@@ -554,6 +621,13 @@ object Snapshot {
       Option(row("deleted")).map(_.asInstanceOf[Long]).getOrElse(0L))
   }
 
+  /** Outcome of an `updateWhere`: the published version (unchanged
+    * when the update was a provable no-op), file-level surgery counts,
+    * and the rows scanned / actually rewritten.
+    */
+  final case class UpdateResult(version: Long, rewrittenFiles: Int,
+      carriedFiles: Int, scannedRows: Long, affectedRows: Long)
+
   /** Copy-on-write UPDATE ... SET: publish a new version where rows
     * matching `predicate` have the `set` columns replaced by their
     * expressions (evaluated per row; non-matching and NULL-predicate
@@ -561,14 +635,16 @@ object Snapshot {
     * the lake's DML triad (MERGE lives in etl.Upsert). The same
     * manifest-stats surgery applies: files whose envelope proves no
     * row can match are carried by reference; only possibly-matching
-    * files rewrite. Updated-row count rides the rewrite pass as an
+    * files rewrite. Affected-row count rides the rewrite pass as an
     * observe metric. `set` may not touch columns the table doesn't
-    * have (loud analysis error) and types must be cast-compatible —
-    * the rewritten columns keep the table schema's type.
+    * have (loud error; names resolve with the session's resolver, so
+    * the usual case-insensitive analysis rules apply) and types must
+    * be cast-compatible — the rewritten columns keep the table
+    * schema's type.
     */
   def updateWhere(spark: SparkSession, path: String,
       predicate: org.apache.spark.sql.Column,
-      set: Map[String, org.apache.spark.sql.Column]): DeleteResult = {
+      set: Map[String, org.apache.spark.sql.Column]): UpdateResult = {
     import org.apache.spark.sql.functions.{coalesce, count, lit, sum, when}
     require(set.nonEmpty, "updateWhere needs at least one SET column")
     val (fs, root) = resolve(path)
@@ -581,7 +657,7 @@ object Snapshot {
     val (touched, carried) = entries.partition(e =>
       stats.get(e).forall(FileStats.mayMatch(pred, _)))
     if (touched.isEmpty)
-      return DeleteResult(v, 0, carried.size, 0L, 0L)
+      return UpdateResult(v, 0, carried.size, 0L, 0L)
     val schema = schemaOf(fs, root, v)
       .map(org.apache.spark.sql.types.StructType.fromDDL)
     val paths = touched.map(resolveEntry(fs, root, _).toString)
@@ -589,10 +665,24 @@ object Snapshot {
       case Some(s) => spark.read.schema(s).parquet(paths: _*)
       case None => spark.read.parquet(paths: _*)
     }
-    set.keys.foreach { c =>
-      require(base.columns.contains(c),
-        s"SET column '$c' does not exist in the table schema")
-    }
+    // SET names resolve against the table schema with the SESSION'S
+    // resolver (case-insensitive under default config, exactly like
+    // column resolution in any Spark plan) — Map("SCORE" -> …) updates
+    // a column named `score`; an ambiguous or missing name stays loud.
+    val resolver = spark.sessionState.analyzer.resolver
+    val byActual: Map[String, org.apache.spark.sql.Column] =
+      set.map { case (name, e) =>
+        val hits = base.columns.filter(resolver(_, name))
+        require(hits.nonEmpty,
+          s"SET column '$name' does not exist in the table schema")
+        require(hits.length == 1,
+          s"SET column '$name' is ambiguous in the table schema: " +
+            hits.mkString(", "))
+        hits.head -> e
+      }
+    require(byActual.size == set.size,
+      "two SET entries resolve to the same table column: " +
+        set.keys.mkString(", "))
     val matches = coalesce(predicate, lit(false))
     val obs = org.apache.spark.sql.Observation()
     val observed = base.observe(obs, count(lit(1)).as("scanned"),
@@ -602,19 +692,19 @@ object Snapshot {
     // read an earlier SET's new value. Each kept cast to the table's
     // column type so the schema never drifts.
     val updated = observed.select(base.columns.map { c =>
-      set.get(c) match {
+      byActual.get(c) match {
         case Some(e) =>
           when(matches, e.cast(base.schema(c).dataType))
             .otherwise(observed(c)).as(c)
         case None => observed(c)
       }
     }.toIndexedSeq: _*)
-    val newFiles = writeData(updated, fs, root,
-      versionsIn(fs, root).lastOption.getOrElse(0L) + 1)
-    val newV = commitNext(fs, root, carried ++ newFiles,
+    val newFiles = writeData(updated, fs, root, v + 1)
+    // pinned at v+1 — same lost-update detection as deleteWhere
+    val newV = commitPinned(fs, root, Some(v), carried ++ newFiles,
       Seq(schema.map("#schema=" + _.toDDL).getOrElse(schemaMeta(updated))))
     val row = obs.get
-    DeleteResult(newV, touched.size, carried.size,
+    UpdateResult(newV, touched.size, carried.size,
       row("scanned").asInstanceOf[Long],
       Option(row("updated")).map(_.asInstanceOf[Long]).getOrElse(0L))
   }

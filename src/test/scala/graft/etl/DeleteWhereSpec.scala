@@ -106,7 +106,7 @@ class DeleteWhereSpec extends AnyFunSuite {
     // saw each other's new values, score would become the NEW id
     val r = Snapshot.updateWhere(spark, path, col("id") <= 100L,
       Map("id" -> (col("id") + col("score")), "score" -> col("id").cast("double")))
-    assert(r.deletedRows == 100L && r.rewrittenFiles == 1 && r.carriedFiles == 2)
+    assert(r.affectedRows == 100L && r.rewrittenFiles == 1 && r.carriedFiles == 2)
     val row5 = Snapshot.read(spark, path).filter(col("score") === 5.0).collect()
     assert(row5.length == 1)
     // old row: id=5, score=50.0 → new id=55, new score=5.0 (OLD id)
@@ -177,7 +177,7 @@ class DeleteWhereSpec extends AnyFunSuite {
       val path2 = freshTable()
       val r2 = Snapshot.updateWhere(spark, path2, p,
         Map("score" -> (col("score") + 1.0)))
-      assert(r2.deletedRows == expectDeleted, s"update count for $p")
+      assert(r2.affectedRows == expectDeleted, s"update count for $p")
       val after2 = Snapshot.read(spark, path2)
       assert(after2.count() == total, s"update conservation for $p")
       assert(after2.filter(col("score") === col("id") * 10.0 + 1.0).count()
