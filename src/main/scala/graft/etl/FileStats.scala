@@ -194,6 +194,20 @@ private[etl] object FileStats {
   private def b64(b: Array[Byte]): String =
     Base64.getEncoder.encodeToString(b)
 
+  /** Does every top-level field of `file`'s parquet schema carry a
+    * field id? The schema-evolution gate: rename/widen are only safe
+    * when all current files can be matched by id (Snapshot writes ids
+    * on every commit; files from before that, or from other writers,
+    * may lack them). Footer-only read; false on any error.
+    */
+  def hasFieldIds(conf: Configuration, file: Path): Boolean =
+    try {
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+      try r.getFooter.getFileMetaData.getSchema.getFields.asScala
+        .forall(_.getId != null)
+      finally r.close()
+    } catch { case scala.util.control.NonFatal(_) => false }
+
   // ------------------------------------------------------------ json codec
 
   def toJson(fs: FileStat): String = {

@@ -98,17 +98,80 @@ object Snapshot {
       fs.makeQualified(new Path(entry))
     else new Path(root, entry)
 
+  // ------------------------------------------------------- field identity
+
+  /** Parse a manifest's '#fields=' line: (name, fid) in schema order.
+    * The line is what makes NON-ADDITIVE evolution (rename, widen)
+    * possible: a column's identity is its fid, not its name, and every
+    * data file written by this layer embeds the fid in its parquet
+    * schema (`parquet.field.id`, the Iceberg convention Spark matches
+    * on natively).
+    */
+  private def parseFields(header: Seq[String]): Seq[(String, Int)] =
+    header.collectFirst { case l if l.startsWith("#fields=") => l.drop(8) }
+      .map(_.split(",").toSeq.filter(_.nonEmpty).map { t =>
+        val i = t.indexOf(':')
+        (t.drop(i + 1), t.take(i).toInt) // fid:name
+      }).getOrElse(Nil)
+
+  private def fieldsOf(fs: FileSystem, root: Path,
+      head: Option[Long]): Seq[(String, Int)] =
+    head.map(v => parseFields(headerOf(fs, root, v))).getOrElse(Nil)
+
+  /** Assign fids for `cols` against the previous mapping: a name that
+    * existed keeps its fid (case-insensitive, like column resolution),
+    * a new name gets max+1. Stable across appends, which is exactly
+    * the identity rename/widen pivot on.
+    */
+  private def assignFields(prev: Seq[(String, Int)],
+      cols: Seq[String]): Seq[(String, Int)] = {
+    val byName = prev.map { case (n, i) => n.toLowerCase -> i }.toMap
+    var next = (0 +: prev.map(_._2)).max
+    cols.map { c =>
+      c -> byName.getOrElse(c.toLowerCase, { next += 1; next })
+    }
+  }
+
+  private def fieldsLine(fields: Seq[(String, Int)]): Option[String] =
+    Option.when(fields.nonEmpty &&
+      fields.forall { case (n, _) => !n.contains(":") && !n.contains(",") &&
+        !n.contains("\n") })(
+      "#fields=" + fields.map { case (n, i) => s"$i:$n" }.mkString(","))
+
+  /** Attach `parquet.field.id` metadata so the written footers carry
+    * the fids (spark.sql.parquet.fieldId.write.enabled is on by
+    * default). A metadata-only select — no row-level work.
+    */
+  private def withFieldIds(df: DataFrame,
+      fids: Seq[(String, Int)]): DataFrame = {
+    val byName = fids.toMap
+    df.select(df.columns.map { c =>
+      byName.get(c) match {
+        case Some(id) => df(c)
+          .as(c, new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(df.schema(c).metadata)
+            .putLong("parquet.field.id", id.toLong).build())
+        case None => df(c)
+      }
+    }.toIndexedSeq: _*)
+  }
+
   /** Write df's files into an immutable commit directory and return
     * their paths RELATIVE to the table root (what the manifest
     * stores). The directory is named by the version being built plus
     * a uuid, so a crashed commit leaves only unreferenced files
-    * (cleaned by vacuum), never a corrupt version.
+    * (cleaned by vacuum), never a corrupt version. Columns are
+    * annotated with their fids (assigned against the CURRENT head) so
+    * every footer carries stable field identity.
     */
   private def writeData(df: DataFrame, fs: FileSystem, root: Path,
       v: Long): Seq[String] = {
     val dirName = f"c$v%06d-${java.util.UUID.randomUUID().toString.take(8)}"
     val dir = new Path(new Path(root, "data"), dirName)
-    df.write.parquet(dir.toString)
+    val fids = assignFields(
+      fieldsOf(fs, root, versionsIn(fs, root).lastOption),
+      df.schema.map(_.name).toSeq)
+    withFieldIds(df, fids).write.parquet(dir.toString)
     listNames(fs, dir).filter(_.endsWith(".parquet"))
       .map(n => s"data/$dirName/$n").sorted
   }
@@ -233,10 +296,28 @@ object Snapshot {
     */
   private def commitPinned(fs: FileSystem, root: Path, head: Option[Long],
       files: Seq[String], meta: Seq[String]): Long = {
+    val headHdr = head.map(headerOf(fs, root, _)).getOrElse(Nil)
+    // '#evolved' (some version renamed/widened a column, so readers
+    // must match files by field id) and '#fields=' (the fid mapping)
+    // flow through every commit like txn state; evolution commits
+    // supply their own lines
+    val evolved =
+      if (meta.exists(_.startsWith("#evolved"))) Nil
+      else headHdr.filter(_.startsWith("#evolved")).take(1)
+    val fields =
+      if (meta.exists(_.startsWith("#fields="))) Nil
+      else meta.collectFirst { case l if l.startsWith("#schema=") => l.drop(8) }
+        .toSeq.flatMap { ddl =>
+          try fieldsLine(assignFields(parseFields(headHdr),
+            org.apache.spark.sql.types.StructType.fromDDL(ddl)
+              .map(_.name).toSeq)).toSeq
+          catch { case scala.util.control.NonFatal(_) => Nil }
+        }
     val state = carriedTxnState(fs, root, meta, head)
     val stats = statsLines(fs, root, files, head)
     onBeforePublish()
-    publish(fs, root, head.getOrElse(0L) + 1, files, meta ++ state ++ stats)
+    publish(fs, root, head.getOrElse(0L) + 1, files,
+      meta ++ evolved ++ fields ++ state ++ stats)
   }
 
   /** Test seam (fault injection): invoked once immediately before
@@ -346,6 +427,35 @@ object Snapshot {
     * returns an empty DataFrame with the right shape. Pushdown,
     * pruning and column projection behave as on any parquet read.
     */
+  /** The version's logical schema for READING: on an evolved table
+    * (some version renamed/widened a column) the fields carry
+    * `parquet.field.id` metadata and the session's field-id parquet
+    * matching is switched on, so files written under pre-rename names
+    * or pre-widen types resolve by FIELD IDENTITY — an old file yields
+    * the renamed column's values under its new name, and INT32 data
+    * widens to LONG on scan. Non-evolved tables read exactly as before
+    * (name matching, no conf touched).
+    */
+  private def readSchema(spark: SparkSession, fs: FileSystem, root: Path,
+      v: Long): Option[org.apache.spark.sql.types.StructType] = {
+    val hdr = headerOf(fs, root, v)
+    val base = hdr.collectFirst { case l if l.startsWith("#schema=") =>
+      org.apache.spark.sql.types.StructType.fromDDL(l.drop(8)) }
+    if (!hdr.exists(_.startsWith("#evolved"))) base
+    else {
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+      val fids = parseFields(hdr).map { case (n, i) => n.toLowerCase -> i }.toMap
+      base.map(sch => org.apache.spark.sql.types.StructType(sch.map(f =>
+        fids.get(f.name.toLowerCase) match {
+          case Some(id) => f.copy(metadata =
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata)
+              .putLong("parquet.field.id", id.toLong).build())
+          case None => f
+        })))
+    }
+  }
+
   def read(spark: SparkSession, path: String,
       version: Option[Long] = None): DataFrame = {
     val (fs, root) = resolve(path)
@@ -353,8 +463,7 @@ object Snapshot {
       throw new IllegalStateException(s"no snapshot versions at $path"))
     val files = fileEntries(fs, root, v)
       .map(resolveEntry(fs, root, _).toString)
-    val schema = schemaOf(fs, root, v)
-      .map(org.apache.spark.sql.types.StructType.fromDDL)
+    val schema = readSchema(spark, fs, root, v)
     (files.nonEmpty, schema) match {
       case (true, Some(s)) => spark.read.schema(s).parquet(files: _*)
       case (true, None) => spark.read.parquet(files: _*)
@@ -393,8 +502,7 @@ object Snapshot {
     val kept = fileEntries(fs, root, v).filter(e =>
       stats.get(e).forall(FileStats.mayMatch(pred, _)))
     val files = kept.map(resolveEntry(fs, root, _).toString)
-    val schema = schemaOf(fs, root, v)
-      .map(org.apache.spark.sql.types.StructType.fromDDL)
+    val schema = readSchema(spark, fs, root, v)
     val base = (files.nonEmpty, schema) match {
       case (true, Some(s)) => spark.read.schema(s).parquet(files: _*)
       case (true, None) => spark.read.parquet(files: _*)
@@ -438,8 +546,7 @@ object Snapshot {
         "consume the full snapshot instead")
     val added = cur.filterNot(base.toSet)
       .map(resolveEntry(fs, root, _).toString)
-    val schema = schemaOf(fs, root, to)
-      .map(org.apache.spark.sql.types.StructType.fromDDL)
+    val schema = readSchema(spark, fs, root, to)
     (added.nonEmpty, schema) match {
       case (true, Some(s)) => spark.read.schema(s).parquet(added: _*)
       case (true, None) => spark.read.parquet(added: _*)
@@ -544,6 +651,143 @@ object Snapshot {
       schemaOf(fs, root, to).map("#schema=" + _).toSeq)
   }
 
+  // ------------------------------------------------------ schema evolution
+
+  /** Carried stats lines from version `v` with one column's envelope
+    * removed per file — rename invalidates the NAME the stats are
+    * keyed by (and a later column reusing the old name must not
+    * inherit them), so the renamed column simply loses skipping until
+    * files are rewritten (optimize). Conservative, never wrong.
+    */
+  private def statsDropColumn(fs: FileSystem, root: Path, v: Long,
+      column: String): Seq[String] =
+    headerOf(fs, root, v).flatMap { l =>
+      if (!l.startsWith("#stats=")) None
+      else {
+        val rest = l.drop(7)
+        val i = rest.indexOf('\t')
+        if (i <= 0) None
+        else FileStats.fromJson(rest.drop(i + 1)).map { st =>
+          s"#stats=${rest.take(i)}\t" +
+            FileStats.toJson(st.copy(cols = st.cols - column.toLowerCase))
+        }
+      }
+    }
+
+  /** Evolution gate: every file of version `v` must carry parquet
+    * field ids in its footer, or a rename/widen would silently read
+    * the affected column as NULL from files that can only be matched
+    * by name. Footer-only reads, O(files) — evolution is rare. A
+    * pre-field-id table becomes evolvable after one `optimize()`
+    * (which rewrites every file with ids).
+    */
+  private def requireFieldIds(fs: FileSystem, root: Path, v: Long,
+      op: String): Unit = {
+    val conf = LakeFs.hadoopConf
+    val missing = fileEntries(fs, root, v)
+      .filterNot(e => FileStats.hasFieldIds(conf, resolveEntry(fs, root, e)))
+    require(missing.isEmpty,
+      s"$op needs every data file to carry parquet field ids; " +
+        s"${missing.size} file(s) predate field-id writes — run " +
+        "optimize() first to rewrite them, then retry")
+  }
+
+  private def evolveCommit(fs: FileSystem, root: Path, v: Long,
+      schema: org.apache.spark.sql.types.StructType,
+      fields: Seq[(String, Int)], stats: Seq[String]): Long = {
+    val meta = Seq("#schema=" + schema.toDDL, "#evolved=1") ++
+      fieldsLine(fields)
+    val state = carriedTxnState(fs, root, meta, Some(v))
+    onBeforePublish()
+    publish(fs, root, v + 1, fileEntries(fs, root, v),
+      meta ++ state ++ stats)
+  }
+
+  /** NON-ADDITIVE evolution: rename a column as a HEADER-ONLY commit —
+    * no data file is touched; the column keeps its field id, the new
+    * version's schema carries the new name, and reads resolve old
+    * files by field identity (readSchema). Old versions keep their own
+    * schema: time travel to a pre-rename version still shows the old
+    * name. Requires every current file to carry field ids (see
+    * requireFieldIds). Returns the published version.
+    */
+  def renameColumn(spark: SparkSession, path: String, from: String,
+      to: String): Long = {
+    val (fs, root) = resolve(path)
+    val v = versionsIn(fs, root).lastOption.getOrElse(
+      throw new IllegalStateException(s"no snapshot versions at $path"))
+    val schema = schemaOf(fs, root, v)
+      .map(org.apache.spark.sql.types.StructType.fromDDL).getOrElse(
+        throw new IllegalStateException(
+          s"version $v at $path carries no schema header"))
+    val resolver = spark.sessionState.analyzer.resolver
+    val hits = schema.fields.filter(f => resolver(f.name, from))
+    require(hits.length == 1,
+      s"rename source '$from' resolves to ${hits.length} columns")
+    require(!schema.fields.exists(f => resolver(f.name, to)),
+      s"rename target '$to' already exists in the table schema")
+    require(to.nonEmpty && !to.contains(":") && !to.contains(",") &&
+      !to.contains("\n") && !to.contains("."),
+      s"rename target '$to' is not a plain column name")
+    requireFieldIds(fs, root, v, "renameColumn")
+    val actual = hits.head.name
+    val fields0 = parseFields(headerOf(fs, root, v)) match {
+      case Nil => assignFields(Nil, schema.map(_.name).toSeq)
+      case f => f
+    }
+    val fields = fields0.map { case (n, i) =>
+      (if (n.equalsIgnoreCase(actual)) to else n, i)
+    }
+    val newSchema = org.apache.spark.sql.types.StructType(
+      schema.map(f => if (f.name == actual) f.copy(name = to) else f))
+    evolveCommit(fs, root, v, newSchema, fields,
+      statsDropColumn(fs, root, v, actual))
+  }
+
+  /** NON-ADDITIVE evolution: widen a column's type as a HEADER-ONLY
+    * commit. Allowed widenings are the lossless parquet-readable ones
+    * (byte/short/int → a wider integral; float → double): Spark's
+    * parquet readers upcast the physical values on scan, so old files
+    * need no rewrite. Stats envelopes stay valid (the VALUES are
+    * unchanged) and carry forward. Time travel to a pre-widen version
+    * shows the narrow type. Returns the published version.
+    */
+  def widenColumn(spark: SparkSession, path: String, name: String,
+      to: org.apache.spark.sql.types.DataType): Long = {
+    import org.apache.spark.sql.types._
+    def widens(a: DataType, b: DataType): Boolean = (a, b) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
+    val (fs, root) = resolve(path)
+    val v = versionsIn(fs, root).lastOption.getOrElse(
+      throw new IllegalStateException(s"no snapshot versions at $path"))
+    val schema = schemaOf(fs, root, v)
+      .map(org.apache.spark.sql.types.StructType.fromDDL).getOrElse(
+        throw new IllegalStateException(
+          s"version $v at $path carries no schema header"))
+    val resolver = spark.sessionState.analyzer.resolver
+    val hits = schema.fields.filter(f => resolver(f.name, name))
+    require(hits.length == 1,
+      s"widen target '$name' resolves to ${hits.length} columns")
+    val f0 = hits.head
+    require(widens(f0.dataType, to),
+      s"cannot widen ${f0.dataType.simpleString} to ${to.simpleString} — " +
+        "allowed: byte/short/int -> wider integral, float -> double")
+    requireFieldIds(fs, root, v, "widenColumn")
+    val fields0 = parseFields(headerOf(fs, root, v)) match {
+      case Nil => assignFields(Nil, schema.map(_.name).toSeq)
+      case f => f
+    }
+    val newSchema = org.apache.spark.sql.types.StructType(
+      schema.map(f => if (f.name == f0.name) f.copy(dataType = to) else f))
+    evolveCommit(fs, root, v, newSchema, fields0,
+      headerOf(fs, root, v).filter(_.startsWith("#stats=")))
+  }
+
   /** Outcome of a `deleteWhere`: the published version (unchanged when
     * the delete was a provable no-op), file-level surgery counts, and
     * the exact audit row counts a compliance log wants.
@@ -593,8 +837,7 @@ object Snapshot {
       stats.get(e).forall(FileStats.mayMatch(pred, _)))
     if (touched.isEmpty)
       return DeleteResult(v, 0, carried.size, 0L, 0L)
-    val schema = schemaOf(fs, root, v)
-      .map(org.apache.spark.sql.types.StructType.fromDDL)
+    val schema = readSchema(spark, fs, root, v)
     val paths = touched.map(resolveEntry(fs, root, _).toString)
     val base = schema match {
       case Some(s) => spark.read.schema(s).parquet(paths: _*)
@@ -658,8 +901,7 @@ object Snapshot {
       stats.get(e).forall(FileStats.mayMatch(pred, _)))
     if (touched.isEmpty)
       return UpdateResult(v, 0, carried.size, 0L, 0L)
-    val schema = schemaOf(fs, root, v)
-      .map(org.apache.spark.sql.types.StructType.fromDDL)
+    val schema = readSchema(spark, fs, root, v)
     val paths = touched.map(resolveEntry(fs, root, _).toString)
     val base = schema match {
       case Some(s) => spark.read.schema(s).parquet(paths: _*)

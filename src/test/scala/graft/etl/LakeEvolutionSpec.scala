@@ -3,6 +3,7 @@ package graft.etl
 import java.nio.file.Files
 
 import graft.SparkTestSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Additive schema evolution on the parquet lake: new columns appear
@@ -36,5 +37,115 @@ class LakeEvolutionSpec extends AnyFunSuite {
     val declared = spark.read.schema("id BIGINT, payload STRING").parquet(path)
     assert(declared.columns.toSeq == Seq("id", "payload"))
     assert(declared.count() == 3)
+  }
+
+  // ---- non-additive evolution through Snapshot manifests (field ids)
+
+  private def snapTable(): String = {
+    val path = Files.createTempDirectory("evolve-snap").toString + "/t"
+    Snapshot.commitOverwrite(
+      Seq((1, "a", 1.5f), (2, "b", 2.5f)).toDF("id", "payload", "score")
+        .coalesce(1), path)
+    path
+  }
+
+  test("renameColumn: header-only commit, old files read by field id") {
+    val path = snapTable()
+    val v1 = Snapshot.currentVersion(path).get
+    val filesBefore = Snapshot.read(spark, path).inputFiles.toSet
+    Snapshot.renameColumn(spark, path, "payload", "body")
+
+    val df = Snapshot.read(spark, path)
+    // no data was rewritten
+    assert(df.inputFiles.toSet == filesBefore)
+    assert(df.columns.toSeq == Seq("id", "body", "score"))
+    // pre-rename files resolve by field identity: values intact
+    assert(df.select("id", "body").as[(Int, String)].collect().toSet
+      == Set((1, "a"), (2, "b")))
+    // time travel: the pre-rename version still shows the old name
+    val old = Snapshot.read(spark, path, Some(v1))
+    assert(old.columns.toSeq == Seq("id", "payload", "score"))
+    assert(old.select("payload").as[String].collect().toSet == Set("a", "b"))
+  }
+
+  test("append after rename unions old and new files under the new name") {
+    val path = snapTable()
+    Snapshot.renameColumn(spark, path, "payload", "body")
+    Snapshot.commitAppend(
+      Seq((3, "c", 3.5f)).toDF("id", "body", "score").coalesce(1), path)
+    val rows = Snapshot.read(spark, path)
+      .select("id", "body").as[(Int, String)].collect().toSet
+    assert(rows == Set((1, "a"), (2, "b"), (3, "c")))
+  }
+
+  test("a later column reusing the renamed-away name is a NEW field") {
+    val path = snapTable()
+    Snapshot.renameColumn(spark, path, "payload", "body")
+    // new pipeline emits a fresh 'payload' column — distinct field id
+    Snapshot.commitAppend(
+      Seq((3, "c", 3.5f, "fresh")).toDF("id", "body", "score", "payload")
+        .coalesce(1), path)
+    val df = Snapshot.read(spark, path)
+    val rows = df.select("id", "body", "payload")
+      .collect().map(r => (r.getInt(0), r.getString(1),
+        Option(r.getString(2)))).toSet
+    // old files: body carries the ORIGINAL payload values, the reused
+    // name reads NULL (their footer has no such field id)
+    assert(rows == Set((1, "a", None), (2, "b", None),
+      (3, "c", Some("fresh"))))
+  }
+
+  test("widenColumn int->long and float->double read old narrow files") {
+    val path = snapTable()
+    Snapshot.widenColumn(spark, path, "id",
+      org.apache.spark.sql.types.LongType)
+    Snapshot.widenColumn(spark, path, "score",
+      org.apache.spark.sql.types.DoubleType)
+    val df = Snapshot.read(spark, path)
+    assert(df.schema("id").dataType == org.apache.spark.sql.types.LongType)
+    assert(df.schema("score").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    assert(df.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    // appends at the widened type coexist with narrow old files
+    Snapshot.commitAppend(
+      Seq((3000000000L, "c", 3.5d)).toDF("id", "payload", "score")
+        .coalesce(1), path)
+    assert(Snapshot.read(spark, path).select("id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L, 3000000000L))
+    // lossy widenings are refused
+    intercept[IllegalArgumentException] {
+      Snapshot.widenColumn(spark, path, "payload",
+        org.apache.spark.sql.types.IntegerType)
+    }
+  }
+
+  test("evolution is refused while any file lacks parquet field ids") {
+    val path = Files.createTempDirectory("evolve-legacy").toString + "/t"
+    val saved = spark.conf.get("spark.sql.parquet.fieldId.write.enabled", "true")
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "false")
+    try Snapshot.commitOverwrite(
+      Seq((1, "a")).toDF("id", "payload").coalesce(1), path)
+    finally spark.conf.set("spark.sql.parquet.fieldId.write.enabled", saved)
+    intercept[IllegalArgumentException] {
+      Snapshot.renameColumn(spark, path, "payload", "body")
+    }
+    // optimize rewrites every file with ids; evolution then proceeds
+    Snapshot.optimize(spark, path, targetFiles = 1)
+    Snapshot.renameColumn(spark, path, "payload", "body")
+    assert(Snapshot.read(spark, path).select("body").as[String]
+      .collect().toSeq == Seq("a"))
+  }
+
+  test("readWhere still prunes and stays exact across a rename") {
+    val path = Files.createTempDirectory("evolve-skip").toString + "/t"
+    Snapshot.commitOverwrite(
+      (1 to 100).map(i => (i, s"u$i")).toDF("id", "payload").coalesce(1), path)
+    Snapshot.commitAppend(
+      (101 to 200).map(i => (i, s"u$i")).toDF("id", "payload").coalesce(1), path)
+    Snapshot.renameColumn(spark, path, "payload", "body")
+    val got = Snapshot.readWhere(spark, path, col("id") <= 100)
+    assert(got.count() == 100)
+    assert(Snapshot.readWhere(spark, path, col("body") === "u150")
+      .select("id").collect().map(_.getInt(0)).toSeq == Seq(150))
   }
 }
