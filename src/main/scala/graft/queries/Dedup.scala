@@ -613,27 +613,131 @@ object Dedup {
     * run it on synthetic corpora (asymmetric direction, empty-set
     * docs) without a parquet fixture.
     */
+  /** df cap separating HOT tokens (stop words, markup — the Σdf²
+    * blow-up drivers of any token-equality join) from cold ones, as a
+    * multiple of the mean token df. Hot tokens leave the co-occurrence
+    * join entirely; exactness is restored by per-direction slack and a
+    * hot-dominated secondary generator (see containmentPairs).
+    */
+  private val HotDfFactor = 8.0
+  private val HotDfFloor = 64L
+
+  /** Candidate (gid_a < gid_b) pairs for containment >= t with the
+    * HOT-TOKEN GUARD: the equality join runs over COLD tokens only,
+    * and sets so hot-dominated that a qualifying partner needn't share
+    * any cold token are covered by a rarity-ordered prefix join.
+    *
+    * Exactness of the union (direction a→b, containment >= t means a
+    * misses at most (1-t)·|a| of its own tokens from b):
+    *  - if a and b share >= 1 COLD token, the cold join emits the
+    *    pair;
+    *  - otherwise every shared token is hot, so ALL of a's cold
+    *    tokens are misses: #cold(a) <= (1-t)·|a| — a is
+    *    HOT-DOMINATED. For those (few) sets, join a's first
+    *    k = floor(|a|(1-t)) + 2 tokens under ascending-df order
+    *    against the full token table: if all k were missing the miss
+    *    budget is already blown, so a qualifying b shares one. The +2
+    *    (tight bound is +1) absorbs double rounding at
+    *    exact-threshold ratios — the 0.8-has-no-binary-form trap qx2
+    *    documents.
+    * Quadratic work therefore survives only INSIDE the hot-dominated
+    * subpopulation — docs that are >=90% stop words, the degenerate
+    * near-dups a curation pipeline drops anyway — while a universal
+    * token on a normal corpus generates zero candidates.
+    */
+  private[queries] def containmentCandidates(groups: DataFrame,
+      t: Double): DataFrame = {
+    val gtok = groups.select(col("gid"), col("sz"),
+      explode(col("htoks")).as("token"))
+    val dfreq = gtok.groupBy("token").agg(count(lit(1)).as("df"))
+    val hotCap = hotCapOf(dfreq)
+    val tagged = gtok.join(Scale.maybeBroadcast(dfreq), "token")
+    val coldPairs = {
+      val gcold = tagged.filter(col("df") <= hotCap)
+        .select(col("gid"), col("token"))
+      gcold.as("a").join(gcold.as("b"),
+          col("a.token") === col("b.token") && col("a.gid") < col("b.gid"))
+        .select(col("a.gid").as("gid_a"), col("b.gid").as("gid_b"))
+        .distinct()
+    }
+    val hotDomPrefix = tagged
+      .groupBy(col("gid"), col("sz"))
+      .agg(expr("transform(array_sort(collect_list(struct(df, token))), " +
+        "p -> p.token)").as("rare"),
+        sum(when(col("df") <= hotCap, 1L).otherwise(0L)).as("n_cold"))
+      .filter(col("n_cold") <=
+        expr(s"CAST(floor(sz * ${1.0 - t}) AS BIGINT) + 2"))
+      .select(col("gid"), explode(expr(
+        s"slice(rare, 1, CAST(floor(sz * ${1.0 - t}) AS INT) + 2)"))
+        .as("token"))
+    val hotDomPairs = hotDomPrefix.as("a").join(gtok.as("b"),
+        col("a.token") === col("b.token") && col("a.gid") =!= col("b.gid"))
+      .select(least(col("a.gid"), col("b.gid")).as("gid_a"),
+        greatest(col("a.gid"), col("b.gid")).as("gid_b"))
+      .distinct()
+    coldPairs.unionByName(hotDomPairs).distinct()
+  }
+
+  /** Driver-bounded hot cap: max(HotDfFloor, HotDfFactor × mean df).
+    * One tiny aggregate over the vocabulary-sized df table.
+    */
+  private def hotCapOf(dfreq: DataFrame): Long =
+    dfreq.agg(avg(col("df"))).head.getDouble(0) match {
+      case a => math.max(HotDfFloor, math.ceil(a * HotDfFactor).toLong)
+    }
+
   private[queries] def containmentPairs(groups: DataFrame,
       t: Double): DataFrame = {
     val gtok = groups.select(col("gid"), col("sz"),
       explode(col("htoks")).as("token"))
-    val und = own(gtok.as("a").join(gtok.as("b"),
-        col("a.token") === col("b.token") && col("a.gid") < col("b.gid"))
-      .groupBy(col("a.gid").as("gid_a"), col("a.sz").as("sa"),
-        col("b.gid").as("gid_b"), col("b.sz").as("sb"))
-      .agg(count(lit(1)).as("inter"))
-      .persist()) // both direction projections consume it
+    val dfreq = gtok.groupBy("token").agg(count(lit(1)).as("df"))
+    val hotCap = hotCapOf(dfreq)
+    val anyHot = dfreq.filter(col("df") > hotCap).limit(1).count() > 0
+    val und: DataFrame =
+      if (!anyHot) {
+        // no hot tokens: the co-occurrence join's row count IS the
+        // exact intersection — count it in one partial-aggregated
+        // pass, no candidate materialization, no array re-walk (the
+        // fast shape for dense small-vocabulary corpora, where the
+        // candidate set is ~all pairs by nature)
+        own(gtok.as("a").join(gtok.as("b"),
+            col("a.token") === col("b.token") && col("a.gid") < col("b.gid"))
+          .groupBy(col("a.gid").as("gid_a"), col("a.sz").as("sa"),
+            col("b.gid").as("gid_b"), col("b.sz").as("sb"))
+          .agg(count(lit(1)).as("inter"))
+          .join(Scale.maybeBroadcast(groups
+            .select(col("gid").as("gid_a"), col("ids").as("ids_a"))), "gid_a")
+          .join(Scale.maybeBroadcast(groups
+            .select(col("gid").as("gid_b"), col("ids").as("ids_b"))), "gid_b")
+          .persist())
+      } else {
+        // hot tokens present: guarded candidate generation, then the
+        // exact intersection via the codegen'd sorted merge-walk on
+        // the hashed arrays — only candidates pay it
+        graft.functions.ArrayOps.register(groups.sparkSession)
+        val g1 = groups.select(col("gid").as("gid_a"), col("ids").as("ids_a"),
+          col("htoks").as("h_a"), col("sz").as("sa"))
+        val g2 = groups.select(col("gid").as("gid_b"), col("ids").as("ids_b"),
+          col("htoks").as("h_b"), col("sz").as("sb"))
+        own(containmentCandidates(groups, t)
+          .join(Scale.maybeBroadcast(g1), "gid_a")
+          .join(Scale.maybeBroadcast(g2), "gid_b")
+          .withColumn("inter",
+            expr("sorted_intersect_count(h_a, h_b)").cast("long"))
+          .filter(col("inter") > 0)
+          .select(col("gid_a"), col("sa"), col("ids_a"),
+            col("gid_b"), col("sb"), col("ids_b"), col("inter"))
+          .persist())
+      }
     val dirs = und.select(col("gid_a").as("gid_in"), col("sa").as("sz_in"),
-        col("gid_b").as("gid_of"), col("inter"))
+        col("gid_b").as("gid_of"), col("ids_a").as("ids_in"),
+        col("ids_b").as("ids_of"), col("inter"))
       .unionByName(und.select(col("gid_b").as("gid_in"),
-        col("sb").as("sz_in"), col("gid_a").as("gid_of"), col("inter")))
+        col("sb").as("sz_in"), col("gid_a").as("gid_of"),
+        col("ids_b").as("ids_in"), col("ids_a").as("ids_of"), col("inter")))
       .withColumn("containment", col("inter").cast("double") / col("sz_in"))
       .filter(col("containment") >= t)
-    val gIn = groups.select(col("gid").as("gid_in"), col("ids").as("ids_in"))
-    val gOf = groups.select(col("gid").as("gid_of"), col("ids").as("ids_of"))
     val cross = dirs
-      .join(Scale.maybeBroadcast(gIn), "gid_in")
-      .join(Scale.maybeBroadcast(gOf), "gid_of")
       .select(explode(expr(
         "flatten(transform(ids_in, a -> transform(ids_of, b -> named_struct('a', a, 'b', b))))"))
         .as("p"), round(col("containment"), 4).as("containment"))

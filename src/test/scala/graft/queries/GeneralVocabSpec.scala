@@ -143,4 +143,38 @@ class GeneralVocabSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(got == Set((2L, 1L, 1.0)))
   }
+
+  test("containment prefix filter: stop-word saturation stays sub-quadratic") {
+    import spark.implicits._
+    // 120 docs, each: 30 unique tokens (disjoint across docs) + the
+    // SAME 10 stop words. Every doc pair shares the stop words, so a
+    // token-equality candidate join would emit all 120*119/2 = 7140
+    // pairs (x100 stop-token rows); true containment is 10/40 = 0.25
+    // — nothing qualifies. Under the rarity-ordered prefix (k =
+    // floor(40*0.1)+2 = 6 rarest tokens, all doc-unique), stop words
+    // never enter a prefix and the candidate set is EMPTY.
+    def al(n: Int): String =
+      s"${('a' + n / 26).toChar}${('a' + n % 26).toChar}"
+    def uniq(d: Int): Seq[String] = (0 until 30).map(i => s"q${al(d)}${al(i)}")
+    val stop = (0 until 10).map(i => s"zz${vocab(i)}")
+    val docs = (0 until 120).map { d =>
+      (d.toLong, (uniq(d) ++ stop).mkString(" "))
+    }.toDF("doc_id", "text")
+    val groups = Dedup.setGroups(docs)
+    assert(Dedup.containmentCandidates(groups, 0.9).count() == 0L)
+    assert(Dedup.containmentPairs(groups, 0.9).count() == 0L)
+    groups.unpersist()
+
+    // and the filter keeps genuine containment: one doc fully inside
+    // a saturated other still surfaces
+    val withDup = (0 until 60).map { d =>
+      (d.toLong, (uniq(d) ++ stop).mkString(" "))
+    } :+ (999L, (uniq(7).take(27) ++ stop).mkString(" "))
+    val g2 = Dedup.setGroups(withDup.toDF("doc_id", "text"))
+    val got = Dedup.containmentPairs(g2, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    g2.unpersist()
+    // doc 999: 37 tokens, 37 shared with doc 7 (27 uniq + 10 stop) = 1.0
+    assert(got.contains((999L, 7L)))
+  }
 }
