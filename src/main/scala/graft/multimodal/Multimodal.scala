@@ -7,19 +7,27 @@ import org.apache.spark.sql.functions._
   * opaque BINARY columns + typed metadata struct, with decode /
   * feature-extract / resize / frame-sample stages.
   *
-  * The Spark-side plumbing — schema, batch-shaped partition processing,
-  * partition sizing — is real and tested. The actual codec call is a
-  * STUB (this container has no image/audio libraries): `decodeStub`
-  * derives deterministic fake features from the bytes. In production
-  * that one function body becomes the JNI/library call (or the stage
-  * moves to `mapInPandas` on PySpark with the same batch contract);
-  * nothing else changes.
+  * The payloads carry REAL container structure: each media row's bytes
+  * begin with a genuine format header — PNG signature + IHDR chunk
+  * (CRC-valid), RIFF/WAVE fmt+data chunks, MP4 ftyp + moov/mvhd boxes
+  * — built deterministically from the row's metadata, followed by the
+  * document's text bytes as the (fake) sample data. `decode` parses
+  * those headers back with a pure-JVM byte walk: the width/height/
+  * duration features come from the ACTUAL payload bytes, exactly the
+  * work a production header-sniff stage does. Only the sample-data
+  * decode (pixels, PCM frames — which would need codec libraries this
+  * container doesn't ship) remains fake: the embedding is a
+  * deterministic byte-statistics fold standing in for the model call.
+  * In production that one fold becomes the JNI/library call (or the
+  * stage moves to `mapInPandas` on PySpark with the same batch
+  * contract); nothing else changes.
   *
   * Scale notes: media rows are orders of magnitude wider than text rows
   * — the media table is partitioned so a partition holds
   * ~targetPartitionBytes of payload (not a fixed row count), and
   * feature extraction is mapPartitions so codec initialization is paid
-  * once per partition, not per row.
+  * once per partition, not per row. Header parsing never touches more
+  * than the first ~140 bytes of a payload.
   */
 object Multimodal {
 
@@ -31,10 +39,79 @@ object Multimodal {
 
   final case class MediaFeatures(
       doc_id: Long, media_type: String, n_bytes: Long, checksum: Long,
-      embedding: Array[Float])
+      embedding: Array[Float], parsed_format: String, parsed_width: Int,
+      parsed_height: Int, parsed_duration_ms: Long)
+
+  // ------------------------------------------------------- byte builders
+
+  private val PngSig =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  private def be32(v: Long): Array[Byte] = Array(
+    ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+    ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  private def le32(v: Long): Array[Byte] = Array(
+    (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+    ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+
+  private def ascii(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+  /** PNG signature + CRC-valid IHDR (8-bit truecolor), then payload
+    * standing in for the compressed IDAT stream. Header = 33 bytes.
+    */
+  private[multimodal] def pngBytes(width: Int, height: Int,
+      payload: Array[Byte]): Array[Byte] = {
+    val body = ascii("IHDR") ++ be32(width.toLong) ++ be32(height.toLong) ++
+      Array[Byte](8, 2, 0, 0, 0)
+    val crc = new java.util.zip.CRC32
+    crc.update(body)
+    PngSig ++ be32(13) ++ body ++ be32(crc.getValue) ++ payload
+  }
+
+  private val WavByteRate = 16000L // 8 kHz mono 16-bit PCM
+
+  /** RIFF/WAVE header (fmt + data chunk declarations) whose declared
+    * data size encodes the duration at 8 kHz mono 16-bit, then payload
+    * standing in for the PCM frames. Header = 44 bytes.
+    */
+  private[multimodal] def wavBytes(durationMs: Long,
+      payload: Array[Byte]): Array[Byte] = {
+    val dataSize = durationMs * WavByteRate / 1000L
+    ascii("RIFF") ++ le32(36L + dataSize) ++ ascii("WAVE") ++
+      ascii("fmt ") ++ le32(16L) ++ le16(1) ++ le16(1) ++ le32(8000L) ++
+      le32(WavByteRate) ++ le16(2) ++ le16(16) ++
+      ascii("data") ++ le32(dataSize) ++ payload
+  }
+
+  /** MP4 ftyp box + moov/mvhd (timescale 1000, so duration == ms),
+    * then payload standing in for the mdat box. Header = 132 bytes.
+    */
+  private[multimodal] def mp4Bytes(durationMs: Long,
+      payload: Array[Byte]): Array[Byte] = {
+    val mvhd = be32(108L) ++ ascii("mvhd") ++
+      be32(0L) ++ // version + flags
+      be32(0L) ++ be32(0L) ++ // ctime, mtime
+      be32(1000L) ++ be32(durationMs) ++ // timescale, duration
+      be32(0x00010000L) ++ // rate 1.0
+      Array.fill[Byte](76)(0) // volume+reserved+matrix+predefined+next_track
+    val moov = be32(8L + mvhd.length) ++ ascii("moov") ++ mvhd
+    val ftyp = be32(16L) ++ ascii("ftyp") ++ ascii("isom") ++ be32(0L)
+    ftyp ++ moov ++ payload
+  }
+
+  /** Per-format header size prepended to the text payload — xm1's
+    * oracle accounts for these constants.
+    */
+  val HeaderBytes: Map[String, Int] =
+    Map("image" -> 33, "audio" -> 44, "video" -> 132)
 
   /** Build a deterministic media table over the documents fixture:
-    * payload = the doc's text bytes, modality cycling by doc_id.
+    * payload = a real format header (built from the metadata) followed
+    * by the doc's text bytes, modality cycling by doc_id.
     */
   def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
@@ -51,14 +128,89 @@ object Multimodal {
           case "audio" => MediaMeta("wav", 0, 0, 1000L + (id % 60) * 1000L)
           case _ => MediaMeta("mp4", 1280, 720, 2000L + (id % 30) * 1000L)
         }
-        MediaRow(id, mt, text.getBytes("UTF-8"), meta)
+        val payload = text.getBytes("UTF-8")
+        val content = mt match {
+          case "image" => pngBytes(meta.width, meta.height, payload)
+          case "audio" => wavBytes(meta.duration_ms, payload)
+          case _ => mp4Bytes(meta.duration_ms, payload)
+        }
+        MediaRow(id, mt, content, meta)
       }
   }
 
-  /** STUB decode: a real implementation calls the codec here. The fake
-    * is deterministic in the payload bytes so tests are stable.
+  // -------------------------------------------------------- header parse
+
+  private def rbe32(b: Array[Byte], off: Int): Long =
+    if (off + 4 > b.length) -1L
+    else ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+      ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+
+  private def rle32(b: Array[Byte], off: Int): Long =
+    if (off + 4 > b.length) -1L
+    else (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+      ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+  private def tag(b: Array[Byte], off: Int): String =
+    if (off + 4 > b.length) ""
+    else new String(b, off, 4, "US-ASCII")
+
+  /** Sniff + parse a payload's container header: (format, width,
+    * height, duration_ms). Unrecognized or truncated bytes parse as
+    * ("unknown", 0, 0, 0) — a decode stage must never throw on a
+    * corrupt payload.
     */
-  private[multimodal] def decodeStub(row: MediaRow): MediaFeatures = {
+  private[multimodal] def parseHeader(b: Array[Byte])
+      : (String, Int, Int, Long) = {
+    if (b.length >= 24 && b.take(8).sameElements(PngSig) &&
+        tag(b, 12) == "IHDR")
+      ("png", rbe32(b, 16).toInt, rbe32(b, 20).toInt, 0L)
+    else if (tag(b, 0) == "RIFF" && tag(b, 8) == "WAVE") {
+      // chunk walk: byte rate from 'fmt ', declared size from 'data'
+      var off = 12
+      var byteRate = -1L
+      var dataSize = -1L
+      while (off + 8 <= b.length && (byteRate < 0 || dataSize < 0)) {
+        val id = tag(b, off)
+        val sz = rle32(b, off + 4)
+        if (id == "fmt " && off + 16 + 4 <= b.length)
+          byteRate = rle32(b, off + 16)
+        if (id == "data") dataSize = sz
+        off += 8 + math.max(0L, sz).toInt // data is last; walk stops there
+      }
+      if (byteRate > 0 && dataSize >= 0)
+        ("wav", 0, 0, dataSize * 1000L / byteRate)
+      else ("unknown", 0, 0, 0L)
+    } else if (tag(b, 4) == "ftyp") {
+      // top-level box walk to moov, then child walk to mvhd
+      var off = 0
+      var out: Option[Long] = None
+      while (out.isEmpty && off + 8 <= b.length) {
+        val sz = rbe32(b, off)
+        if (tag(b, off + 4) == "moov") {
+          var c = off + 8
+          val end = math.min(b.length.toLong, off + math.max(8L, sz)).toInt
+          while (out.isEmpty && c + 8 <= end) {
+            val csz = rbe32(b, c)
+            if (tag(b, c + 4) == "mvhd" && c + 28 <= b.length) {
+              val timescale = rbe32(b, c + 20)
+              val duration = rbe32(b, c + 24)
+              if (timescale > 0) out = Some(duration * 1000L / timescale)
+            }
+            c += math.max(8L, csz).toInt
+          }
+        }
+        if (sz < 8) off = b.length // malformed: stop
+        else off += sz.toInt
+      }
+      out.map(d => ("mp4", 1280, 720, d)).getOrElse(("unknown", 0, 0, 0L))
+    } else ("unknown", 0, 0, 0L)
+  }
+
+  /** Decode one media row: REAL header parse (format, dimensions,
+    * duration from the payload bytes) + deterministic byte-statistics
+    * features standing in for the sample-data model call.
+    */
+  private[multimodal] def decode(row: MediaRow): MediaFeatures = {
     val crc = new java.util.zip.CRC32
     crc.update(row.content)
     val sum = crc.getValue
@@ -69,17 +221,20 @@ object Multimodal {
       slice.foreach { b => acc += (b & 0xff); n += 1 }
       if (n == 0) 0f else (acc.toFloat / n / 255f)
     }
-    MediaFeatures(row.doc_id, row.media_type, row.content.length.toLong, sum, emb)
+    val (fmt, w, h, dur) = parseHeader(row.content)
+    MediaFeatures(row.doc_id, row.media_type, row.content.length.toLong,
+      sum, emb, fmt, w, h, dur)
   }
 
-  /** Feature extraction: batch-shaped mapPartitions — the codec (stub)
-    * is initialized once per partition; rows stream through it.
+  /** Feature extraction: batch-shaped mapPartitions — codec state is
+    * initialized once per partition; rows stream through it.
     */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      // per-partition codec init goes here (stub has none)
-      it.map(decodeStub)
+      // per-partition codec init goes here (the header parser needs
+      // none; a real pixel/PCM decoder would allocate here)
+      it.map(decode)
     }
   }
 

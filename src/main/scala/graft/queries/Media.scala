@@ -11,7 +11,9 @@ import graft.multimodal.Multimodal
 object Media {
 
   // Aggregate stats over the binary column — oracle-matched (payload
-  // bytes == utf8 text bytes, modality == doc_id % 3 by construction).
+  // bytes == real format header + utf8 text bytes, modality ==
+  // doc_id % 3 by construction; header sizes are per-format constants,
+  // Multimodal.HeaderBytes).
   val xm1 = GQuery(
     "xm1_media_stats",
     (s, d) => {
@@ -26,24 +28,54 @@ object Media {
     Some(
       """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
         |  COUNT(*) AS n_media,
-        |  CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
+        |  CAST(SUM(strlen(text) + CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 44 ELSE 132 END) AS BIGINT) AS total_bytes,
         |  MAX(CASE doc_id % 3 WHEN 0 THEN 0
         |      WHEN 1 THEN 1000 + (doc_id % 60) * 1000
         |      ELSE 2000 + (doc_id % 30) * 1000 END) AS max_duration_ms
         |FROM documents GROUP BY 1""".stripMargin +
         orderAll("media_type", "n_media", "total_bytes", "max_duration_ms")))
 
-  // Stub-decoded features (mapPartitions batch shape) — ⊘ rows-only;
-  // invariants are asserted in MultimodalSpec.
+  // Decoded features (mapPartitions batch shape): header fields parsed
+  // from the REAL payload bytes + byte-statistics embedding standing in
+  // for the model call — ⊘ rows-only (checksum/embedding aren't
+  // SQL-expressible); invariants + parse roundtrip in MultimodalSpec,
+  // and the parsed header surface is hash-checked separately (xm5).
   val xm2 = GQuery(
     "xm2_media_features",
     (s, d) => {
       val feats = Multimodal.extractFeatures(Multimodal.mediaTable(s, d)).toDF()
       canon(feats.select(
         col("doc_id"), col("media_type"), col("n_bytes"), col("checksum"),
-        round(element_at(col("embedding"), 1).cast("double"), 4).as("e0")))
+        round(element_at(col("embedding"), 1).cast("double"), 4).as("e0"),
+        col("parsed_format"), col("parsed_width"), col("parsed_height"),
+        col("parsed_duration_ms")))
     },
     None)
+
+  // Header-parse audit — the oracle-matched half of xm2: every parsed
+  // (format, width, height, duration) comes from walking the payload's
+  // ACTUAL container header (PNG IHDR / RIFF chunks / MP4 mvhd), and
+  // the oracle recomputes what the builder encoded from doc_id — a
+  // single wrong byte anywhere in build or parse fails the hash.
+  val xm5 = GQuery(
+    "xm5_header_parse",
+    (s, d) => {
+      val feats = Multimodal.extractFeatures(Multimodal.mediaTable(s, d)).toDF()
+      canon(feats.select(
+        col("doc_id"), col("parsed_format"), col("parsed_width"),
+        col("parsed_height"), col("parsed_duration_ms")))
+    },
+    Some(
+      """SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'mp4' END AS parsed_format,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 64 + (doc_id % 16) * 64 WHEN 1 THEN 0 ELSE 1280 END AS INTEGER) AS parsed_width,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 64 + (doc_id % 9) * 64 WHEN 1 THEN 0 ELSE 720 END AS INTEGER) AS parsed_height,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 0
+        |       WHEN 1 THEN 1000 + (doc_id % 60) * 1000
+        |       ELSE 2000 + (doc_id % 30) * 1000 END AS BIGINT) AS parsed_duration_ms
+        |FROM documents""".stripMargin +
+        orderAll("doc_id", "parsed_format", "parsed_width", "parsed_height",
+          "parsed_duration_ms")))
 
   // Frame sampling generator — oracle-matched (pure metadata explode).
   val xm3 = GQuery(
@@ -84,5 +116,5 @@ object Media {
         |FROM img""".stripMargin +
         orderAll("doc_id", "width", "height")))
 
-  def queries: Seq[GQuery] = Seq(xm1, xm2, xm3, xm4)
+  def queries: Seq[GQuery] = Seq(xm1, xm2, xm3, xm4, xm5)
 }

@@ -57,4 +57,34 @@ class MultimodalSpec extends AnyFunSuite {
       .filter(col("count") =!= col("exp"))
     assert(joined.isEmpty)
   }
+
+  test("header parse roundtrips the builder's metadata from REAL bytes") {
+    val rows = Multimodal.mediaTable(spark, sf).collect()
+    rows.foreach { r =>
+      val (fmt, w, h, dur) = Multimodal.parseHeader(r.content)
+      assert(fmt == r.meta.format, s"doc ${r.doc_id}")
+      if (fmt == "png") {
+        assert(w == r.meta.width && h == r.meta.height, s"doc ${r.doc_id}")
+      }
+      if (fmt == "wav" || fmt == "mp4")
+        assert(dur == r.meta.duration_ms, s"doc ${r.doc_id}")
+    }
+  }
+
+  test("parse handles direct builder output and corruption gracefully") {
+    val p = "payload".getBytes("UTF-8")
+    assert(Multimodal.parseHeader(Multimodal.pngBytes(640, 480, p))
+      == ("png", 640, 480, 0L))
+    assert(Multimodal.parseHeader(Multimodal.wavBytes(12345L, p))
+      == ("wav", 0, 0, 12345L))
+    assert(Multimodal.parseHeader(Multimodal.mp4Bytes(98765L, p))
+      == ("mp4", 1280, 720, 98765L))
+    // corrupt/unknown payloads must parse as unknown, never throw
+    assert(Multimodal.parseHeader(Array.empty[Byte])._1 == "unknown")
+    assert(Multimodal.parseHeader("just text".getBytes)._1 == "unknown")
+    assert(Multimodal.parseHeader(
+      Multimodal.pngBytes(1, 1, p).take(10))._1 == "unknown")
+    val truncatedWav = Multimodal.wavBytes(1000L, p).take(20)
+    assert(Multimodal.parseHeader(truncatedWav)._1 == "unknown")
+  }
 }
