@@ -427,13 +427,17 @@ object StreamingOps {
     * trailing hour's (ts, cents) pairs — evicted as each event
     * arrives, so state is bounded by a user's one-hour event rate,
     * not history. Frame boundary matches q16c exactly (RANGE ...
-    * 3600000000 PRECEDING is inclusive: evict strictly-older only).
-    * Same ordering contract as TransitionChain: in-batch rows sort by
-    * (ts, event_id) per key; across batches, arrival order — on a
-    * time-ordered source this converges exactly to the batch frame
-    * (spec'd across boundaries); an out-of-order straggler counts the
-    * buffer as of arrival, the honest at-least-once behavior without
-    * a reordering buffer.
+    * 3600000000 PRECEDING is inclusive: evict strictly-older only),
+    * and so do TIES: a batch RANGE frame ends at CURRENT ROW's VALUE,
+    * so same-timestamp peers include each other — tied rows are
+    * processed as one group here and each emits the peer-inclusive
+    * count/sum. Same ordering contract as TransitionChain: in-batch
+    * rows sort by (ts, event_id) per key; across batches, arrival
+    * order — on a source where tied events share a micro-batch this
+    * converges exactly to the batch frame (spec'd across boundaries
+    * and on ties); a straggler — late OR a tied peer split across
+    * batches — counts the buffer as of arrival, the honest
+    * at-least-once behavior without a reordering buffer.
     */
   class TrailingWindow
       extends org.apache.spark.sql.streaming.StatefulProcessor[
@@ -454,11 +458,24 @@ object StreamingOps {
       val sorted = rows.toIndexedSeq.sortBy(e => (e.tsMicros, e.event_id))
       var window = buf.get().toIndexedSeq
       val out = IndexedSeq.newBuilder[Trail]
-      sorted.foreach { e =>
-        window = window.filter { case (ts, _) => ts >= e.tsMicros - HourUs }
-        window = window :+ (e.tsMicros, e.valueCents)
-        out += Trail(key, e.event_id, e.tsMicros,
-          window.length.toLong, window.map(_._2).sum)
+      var i = 0
+      while (i < sorted.length) {
+        // tied timestamps form ONE frame group: all peers enter the
+        // window first, then every member emits the same inclusive
+        // count/sum — the batch RANGE-frame tie semantics
+        val ts = sorted(i).tsMicros
+        var j = i
+        while (j < sorted.length && sorted(j).tsMicros == ts) j += 1
+        window = window.filter { case (t, _) => t >= ts - HourUs }
+        (i until j).foreach { k =>
+          window = window :+ (ts, sorted(k).valueCents)
+        }
+        val cnt = window.length.toLong
+        val cents = window.map(_._2).sum
+        (i until j).foreach { k =>
+          out += Trail(key, sorted(k).event_id, ts, cnt, cents)
+        }
+        i = j
       }
       buf.put(window.toArray)
       out.result().iterator

@@ -64,4 +64,42 @@ class TrailingWindowSpec extends AnyFunSuite {
     assert(got(104L) == (3L, 1400L), "only the older-than-1h row evicted")
     assert(got(105L) == (1L, 1600L), "full eviction leaves only self")
   }
+
+  test("tied timestamps are peer-inclusive, like the batch RANGE frame") {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s.implicits._
+
+    // three events share one timestamp (plus an in-hour successor):
+    // a batch RANGE ... CURRENT ROW frame ends at the current row's
+    // VALUE, so every tied row's frame contains all three peers —
+    // regardless of event_id order within the tie
+    val batch = Seq(
+      StreamingOps.TrailIn(7L, 703L, 1000L, 30L), // unsorted on purpose
+      StreamingOps.TrailIn(7L, 701L, 1000L, 10L),
+      StreamingOps.TrailIn(7L, 702L, 1000L, 20L),
+      StreamingOps.TrailIn(7L, 704L, 2000L, 40L))
+
+    val input = MemoryStream[StreamingOps.TrailIn](s)
+    val q = StreamingOps.trailingHour(input.toDS()).writeStream
+      .format("memory").queryName("trail_ties").outputMode("update")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("trail-tie-ckpt").toString)
+      .start()
+    input.addData(batch: _*); q.processAllAvailable()
+    q.stop()
+
+    val got = s.table("trail_ties").collect()
+      .map(r => r.getLong(1) -> (r.getLong(3), r.getLong(4))).toMap
+    val expected = batch.map { e =>
+      val frame = batch.filter(o =>
+        o.tsMicros >= e.tsMicros - H && o.tsMicros <= e.tsMicros)
+      e.event_id -> (frame.length.toLong, frame.map(_.valueCents).sum)
+    }.toMap
+    assert(got == expected)
+    assert(got(701L) == (3L, 60L) && got(702L) == (3L, 60L) &&
+      got(703L) == (3L, 60L), "every tied row counts all its peers")
+    assert(got(704L) == (4L, 100L))
+  }
 }
