@@ -26,5 +26,15 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // 8g measured best: raising to 48g made identical benches 2-4x
+  // slower AND noisy (sys-time storms from heap-growth page zeroing +
+  // large-heap G1 geometry); the sweep-tail block pressure is handled
+  // by Bench/Verify dropping checkpoint blocks between queries
+  // instead. Override with SPARK_DRIVER_MEM.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 150+ codegen-heavy queries in one JVM overflow the default 240m
+  // JIT code cache mid-sweep; once it fills, whole-stage-codegen
+  // classes run interpreted and every later query measures 4-5x slow
+  // (observed on untouched TPC-H entries in the r7 cold sweep).
+  "-XX:ReservedCodeCacheSize=512m",
 )

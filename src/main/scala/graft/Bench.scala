@@ -143,8 +143,15 @@ object Bench {
         }
       } catch { case _: Throwable => -1.0 }
       // queries persist() multi-consumer subplans; drop those cache
-      // entries so accumulated blocks can't skew later measurements
+      // entries so accumulated blocks can't skew later measurements.
+      // reap's localCheckpoint blocks live OUTSIDE the catalog cache
+      // (RDD-level, reclaimed only when the result frame is GC'd) —
+      // drop them explicitly too, or a 150-query sweep accumulates
+      // every query's materialized result in the block store and the
+      // tail of the sweep runs under eviction/GC pressure.
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       q.name -> t
     }
     // The driver keeps only the LAST 2000 chars of stdout and parses the

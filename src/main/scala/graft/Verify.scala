@@ -37,8 +37,12 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // queries persist() multi-consumer subplans; release between
-      // queries so a 65-query run doesn't accumulate cache entries
+      // queries so a 65-query run doesn't accumulate cache entries;
+      // reap's localCheckpoint blocks are RDD-level (not in the
+      // catalog cache) — drop them too
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

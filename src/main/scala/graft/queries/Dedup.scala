@@ -647,10 +647,14 @@ object Dedup {
     */
   private[queries] def containmentCandidates(groups: DataFrame,
       t: Double): DataFrame = {
+    val (dfreq, hotCap, _) = hotStats(groups)
+    containmentCandidates(groups, t, dfreq, hotCap)
+  }
+
+  private def containmentCandidates(groups: DataFrame, t: Double,
+      dfreq: DataFrame, hotCap: Long): DataFrame = {
     val gtok = groups.select(col("gid"), col("sz"),
       explode(col("htoks")).as("token"))
-    val dfreq = gtok.groupBy("token").agg(count(lit(1)).as("df"))
-    val hotCap = hotCapOf(dfreq)
     val tagged = gtok.join(Scale.maybeBroadcast(dfreq), "token")
     val coldPairs = {
       val gcold = tagged.filter(col("df") <= hotCap)
@@ -678,21 +682,29 @@ object Dedup {
     coldPairs.unionByName(hotDomPairs).distinct()
   }
 
-  /** Driver-bounded hot cap: max(HotDfFloor, HotDfFactor × mean df).
-    * One tiny aggregate over the vocabulary-sized df table.
+  /** Token df table (persisted — vocabulary-sized, bounded at any
+    * corpus scale), the driver-bounded hot cap max(HotDfFloor,
+    * HotDfFactor × mean df), and whether any token exceeds it — ONE
+    * aggregate action over the cached df table serves all three, so
+    * the corpus-token explode+count shuffle runs exactly once however
+    * many consumers read df downstream.
     */
-  private def hotCapOf(dfreq: DataFrame): Long =
-    dfreq.agg(avg(col("df"))).head.getDouble(0) match {
-      case a => math.max(HotDfFloor, math.ceil(a * HotDfFactor).toLong)
-    }
+  private def hotStats(groups: DataFrame): (DataFrame, Long, Boolean) = {
+    val dfreq = own(groups
+      .select(explode(col("htoks")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("df"))
+      .persist())
+    val r = dfreq.agg(avg(col("df")).as("a"), max(col("df")).as("m")).head
+    val hotCap =
+      math.max(HotDfFloor, math.ceil(r.getDouble(0) * HotDfFactor).toLong)
+    (dfreq, hotCap, r.getLong(1) > hotCap)
+  }
 
   private[queries] def containmentPairs(groups: DataFrame,
       t: Double): DataFrame = {
     val gtok = groups.select(col("gid"), col("sz"),
       explode(col("htoks")).as("token"))
-    val dfreq = gtok.groupBy("token").agg(count(lit(1)).as("df"))
-    val hotCap = hotCapOf(dfreq)
-    val anyHot = dfreq.filter(col("df") > hotCap).limit(1).count() > 0
+    val (dfreq, hotCap, anyHot) = hotStats(groups)
     val und: DataFrame =
       if (!anyHot) {
         // no hot tokens: the co-occurrence join's row count IS the
@@ -719,7 +731,7 @@ object Dedup {
           col("htoks").as("h_a"), col("sz").as("sa"))
         val g2 = groups.select(col("gid").as("gid_b"), col("ids").as("ids_b"),
           col("htoks").as("h_b"), col("sz").as("sb"))
-        own(containmentCandidates(groups, t)
+        own(containmentCandidates(groups, t, dfreq, hotCap)
           .join(Scale.maybeBroadcast(g1), "gid_a")
           .join(Scale.maybeBroadcast(g2), "gid_b")
           .withColumn("inter",
