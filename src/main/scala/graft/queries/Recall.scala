@@ -30,24 +30,32 @@ import Det._
   */
 object Recall {
 
+  /** Project a result down to its key columns and persist — every
+    * downstream count/semi/anti action re-executes its inputs' FULL
+    * plans otherwise, so an xr query that takes recall AND subset
+    * would run the sketch twice and the exact baseline three times.
+    * own() scopes the cache to the enclosing reap.
+    */
+  private def keySet(df: DataFrame, cols: Seq[String]): DataFrame =
+    own(df.select(cols.map(col): _*).persist())
+
   /** |exact ∩ approx| / |exact| over the given key columns, all
     * distributed (semi-join + counts); 1.0 on an empty exact set.
+    * Callers pass keySet-persisted frames.
     */
   private def recallOf(approx: DataFrame, exact: DataFrame,
       cols: Seq[String]): Double = {
-    val e = exact.select(cols.map(col): _*)
-    val a = approx.select(cols.map(col): _*)
-    val n = e.count()
+    val n = exact.count()
     if (n == 0) 1.0
-    else e.join(a, cols, "left_semi").count().toDouble / n
+    else exact.join(approx, cols, "left_semi").count().toDouble / n
   }
 
-  /** approx ⊆ exact over the given key columns (precision 1.0). */
+  /** approx ⊆ exact over the given key columns (precision 1.0).
+    * Callers pass keySet-persisted frames.
+    */
   private def subsetOf(approx: DataFrame, exact: DataFrame,
       cols: Seq[String]): Boolean =
-    approx.select(cols.map(col): _*)
-      .join(exact.select(cols.map(col): _*), cols, "left_anti")
-      .count() == 0L
+    approx.join(exact, cols, "left_anti").count() == 0L
 
   private def report(s: SparkSession, sketch: String, metric: String,
       k: Option[Int], floor: Double, noFalsePos: Option[Boolean],
@@ -76,10 +84,11 @@ object Recall {
   private def topkRecall(name: String, sketch: GQuery, floor: Double) =
     GQuery(
       name,
-      (s, d) => {
-        val exact = Llm.qx3.fn(s, d)
-        val approx = sketch.fn(s, d)
-        val r = recallOf(approx, exact, Seq("vec_id", "neighbor_id"))
+      (s, d) => reap {
+        val cols = Seq("vec_id", "neighbor_id")
+        val exact = keySet(Llm.qx3.fn(s, d), cols)
+        val approx = keySet(sketch.fn(s, d), cols)
+        val r = recallOf(approx, exact, cols)
         canon(report(s, sketch.name, "topk_recall_vs_exact", Some(5),
           floor, None, r >= floor))
       },
@@ -99,7 +108,7 @@ object Recall {
   /** xs4 bipartite retrieval vs exact query-vs-corpus brute force. */
   val xr4 = GQuery(
     "xr4_query_recall",
-    (s, d) => {
+    (s, d) => reap {
       graft.functions.VectorOps.register(s)
       val c = Ctx(s, d)
       val all = c.embeddings
@@ -116,10 +125,12 @@ object Recall {
         .select(col("vec_id"), col("neighbor_id"),
           round(expr("vec_dot(va, vb)") / (col("na") * col("nb")), 4).as("score"))
         .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
-      val approx = Similarity.xs4.fn(s, d)
+      val kcols = Seq("vec_id", "neighbor_id")
+      val exactK = keySet(exact, kcols)
+      val approx = keySet(Similarity.xs4.fn(s, d), kcols)
       // measured ~0.66 at sf0.001 (SketchRecallSpec); floor 0.50
       val floor = 0.50
-      val r = recallOf(approx, exact, Seq("vec_id", "neighbor_id"))
+      val r = recallOf(approx, exactK, kcols)
       canon(report(s, "xs4_ann_query", "bipartite_recall_vs_exact",
         Some(5), floor, None, r >= floor))
     },
@@ -132,10 +143,10 @@ object Recall {
     */
   val xr5 = GQuery(
     "xr5_minhash_recall",
-    (s, d) => {
-      val exact = Llm.qx2.fn(s, d)
-      val approx = Dedup.xd1.fn(s, d)
+    (s, d) => reap {
       val cols = Seq("doc_a", "doc_b")
+      val exact = keySet(Llm.qx2.fn(s, d), cols)
+      val approx = keySet(Dedup.xd1.fn(s, d), cols)
       // measured 0.9999+ at sf0.001/0.01/0.1 (dup-heavy fixture;
       // banding misses only isolated boundary pairs); floor 0.90
       val floor = 0.90
@@ -152,13 +163,12 @@ object Recall {
     */
   val xr6 = GQuery(
     "xr6_simhash_precision",
-    (s, d) => {
-      val exact = Llm.qx2.fn(s, d)
-      val approx = Dedup.xd2.fn(s, d)
+    (s, d) => reap {
       val cols = Seq("doc_a", "doc_b")
-      val n = approx.select(cols.map(col): _*).count()
-      val hit = approx.select(cols.map(col): _*)
-        .join(exact.select(cols.map(col): _*), cols, "left_semi").count()
+      val exact = keySet(Llm.qx2.fn(s, d), cols)
+      val approx = keySet(Dedup.xd2.fn(s, d), cols)
+      val n = approx.count()
+      val hit = approx.join(exact, cols, "left_semi").count()
       val p = if (n == 0) 1.0 else hit.toDouble / n
       // measured 0.97/0.98/0.98 at sf0.001/0.01/0.1; floor 0.90
       val floor = 0.90
@@ -171,10 +181,10 @@ object Recall {
   /** IVF-blocked semantic dedup vs exact xd4 pairs: subset + recall. */
   val xr7 = GQuery(
     "xr7_semdup_recall",
-    (s, d) => {
-      val exact = Dedup.xd4.fn(s, d)
-      val approx = Similarity.xd7.fn(s, d)
+    (s, d) => reap {
       val cols = Seq("doc_a", "doc_b")
+      val exact = keySet(Dedup.xd4.fn(s, d), cols)
+      val approx = keySet(Similarity.xd7.fn(s, d), cols)
       // measured 1.0 at sf0.001/0.01/0.1 (threshold pairs co-probe
       // reliably); floor 0.90
       val floor = 0.90
