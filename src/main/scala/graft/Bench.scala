@@ -159,12 +159,22 @@ object Bench {
     // 94-query surface) overflow it — rounds 1/3/4 all recorded
     // "parsed": null. Emit short ids (the unique prefix before the first
     // '_', e.g. q11b/xd3/qx2 — the same ids BASELINE.md §2 budgets use),
-    // keep the line < 1400 chars, write the full-name map to
-    // bench/driver_last.json, and print the line AFTER spark.stop() so
-    // no shutdown log can land behind it.
-    val qs = results
-      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.3f" }
+    // write the full-name map to bench/driver_last.json, and print the
+    // line AFTER spark.stop() so no shutdown log can land behind it.
+    // LINE BUDGET: sbt prints "[success] Total time: ..." (~65 chars)
+    // after our println, inside the same 2000-char tail window — the
+    // JSON's HEAD is what gets clipped if line + trailer > 2000. At 155
+    // queries, 3-decimal values measured 1978 chars: over. Emit 2
+    // decimals (10 ms, well inside budget noise), and if the surface
+    // ever grows past ~175 queries drop to 1 decimal adaptively rather
+    // than silently losing the round's bench to truncation.
+    def shortLine(dec: Int): String = results
+      .map { case (k, v) =>
+        "\"" + k.takeWhile(_ != '_') + "\":" +
+          String.format(java.util.Locale.ROOT, s"%.${dec}f",
+            Double.box(v)) }
       .mkString("{", ",", "}")
+    val qs = { val two = shortLine(2); if (two.length <= 1750) two else shortLine(1) }
     val fullQs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
