@@ -386,7 +386,11 @@ object Snapshot {
     val data = writeData(df, fs, root,
       versionsIn(fs, root).lastOption.getOrElse(0L) + 1)
     retryAppend(fs, root) { head =>
-      Some((filesAt(fs, root, head) ++ data, Seq(schemaMeta(df))))
+      // an append leaves existing files untouched, so the head's
+      // deletion vectors stay valid — carry them (re-read per retry:
+      // the interloper may have been a merge-on-read delete)
+      Some((filesAt(fs, root, head) ++ data,
+        Seq(schemaMeta(df)) ++ dvLinesOf(fs, root, head)))
     }.get
   }
 
@@ -456,6 +460,60 @@ object Snapshot {
     }
   }
 
+  // ---------------------------------------------------- deletion vectors
+
+  /** A version's deletion-vector sidecar files ('#dv=' header lines):
+    * parquet files of (__path, __pos) keys naming rows DELETED from
+    * the version's (unchanged) data files — the merge-on-read half of
+    * DELETE WHERE. __path is root-relative (same relocation story as
+    * file entries); __pos is the row's position within its file
+    * (parquet `_metadata.row_index` — stable because published files
+    * are immutable).
+    */
+  private def dvLinesOf(fs: FileSystem, root: Path,
+      v: Option[Long]): Seq[String] =
+    v.toSeq.flatMap(headerOf(fs, root, _)).filter(_.startsWith("#dv="))
+
+  private def dvEntries(hdr: Seq[String]): Seq[String] =
+    hdr.collect { case l if l.startsWith("#dv=") => l.drop(4) }
+
+  /** The root-relative spelling of this row's source file, rebuilt
+    * from the scan's `_metadata.file_path` — commit dir names never
+    * contain '/data/', so the LAST occurrence splits at the table's
+    * own data root however the table URI is spelled or relocated.
+    */
+  private def dvPathExpr = org.apache.spark.sql.functions.expr(
+    "concat('data/', substring_index(_metadata.file_path, '/data/', -1))")
+
+  /** Filter a scan of version files down to its LIVE rows: anti-join
+    * on the version's deletion vectors keyed by (file, row position).
+    * The DV side is a normal parquet scan with real size statistics,
+    * so the planner broadcasts it whenever it is small (the common
+    * case — a DV holds deleted keys, not data); results are exactly
+    * "the version's rows minus its deleted rows". At warehouse scale
+    * the per-row key pair becomes a per-file position BITMAP resolved
+    * in the reader (the Delta/Iceberg DV format); the manifest
+    * contract here — immutable data files + DV sidecar files + carry
+    * rules — is the part that carries over.
+    */
+  private def applyDv(spark: SparkSession, fs: FileSystem, root: Path,
+      hdr: Seq[String], base: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val dvs = dvEntries(hdr)
+    if (dvs.isEmpty) base
+    else {
+      val dv = spark.read
+        .parquet(dvs.map(resolveEntry(fs, root, _).toString): _*)
+        .select(col("__path").as("__graft_dv_path"),
+          col("__pos").as("__graft_dv_pos"))
+      base
+        .withColumn("__graft_dv_path", dvPathExpr)
+        .withColumn("__graft_dv_pos", col("_metadata.row_index"))
+        .join(dv, Seq("__graft_dv_path", "__graft_dv_pos"), "left_anti")
+        .select(base.columns.map(col).toIndexedSeq: _*)
+    }
+  }
+
   def read(spark: SparkSession, path: String,
       version: Option[Long] = None): DataFrame = {
     val (fs, root) = resolve(path)
@@ -464,7 +522,7 @@ object Snapshot {
     val files = fileEntries(fs, root, v)
       .map(resolveEntry(fs, root, _).toString)
     val schema = readSchema(spark, fs, root, v)
-    (files.nonEmpty, schema) match {
+    val base = (files.nonEmpty, schema) match {
       case (true, Some(s)) => spark.read.schema(s).parquet(files: _*)
       case (true, None) => spark.read.parquet(files: _*)
       case (false, Some(s)) => spark.createDataFrame(
@@ -472,6 +530,8 @@ object Snapshot {
       case (false, None) => throw new IllegalStateException(
         s"version $v at $path is empty and carries no schema header")
     }
+    if (files.isEmpty) base
+    else applyDv(spark, fs, root, headerOf(fs, root, v), base)
   }
 
   /** Read with FILE SKIPPING: plan the scan over only the manifest
@@ -511,7 +571,10 @@ object Snapshot {
       case (false, None) => throw new IllegalStateException(
         s"version $v at $path pruned to empty and carries no schema header")
     }
-    base.filter(predicate)
+    val live =
+      if (files.isEmpty) base
+      else applyDv(spark, fs, root, headerOf(fs, root, v), base)
+    live.filter(predicate)
   }
 
   /** Incremental consumption (append-only CDC): the rows ADDED after
@@ -544,10 +607,23 @@ object Snapshot {
       s"versions ($sinceVersion, $to] at $path are not append-only: " +
         s"${removed.size} base file(s) were removed/rewritten — " +
         "consume the full snapshot instead")
+    // merge-on-read deletes change ALREADY-CONSUMED rows without
+    // touching the file list — a new '#dv=' sidecar in the range is a
+    // row-level retraction no added-files delta can express. Refuse,
+    // like a rewrite. (A bootstrap at sinceVersion=0 has consumed
+    // nothing yet, so it simply reads `to` with its DVs applied.)
+    if (sinceVersion > 0) {
+      val dvBase = dvLinesOf(fs, root, Some(sinceVersion)).toSet
+      val dvCur = dvLinesOf(fs, root, Some(to)).toSet
+      if (dvBase != dvCur) throw new IllegalStateException(
+        s"versions ($sinceVersion, $to] at $path are not append-only: " +
+          "a merge-on-read delete (deletion vector) landed in the " +
+          "range — consume the full snapshot instead")
+    }
     val added = cur.filterNot(base.toSet)
       .map(resolveEntry(fs, root, _).toString)
     val schema = readSchema(spark, fs, root, to)
-    (added.nonEmpty, schema) match {
+    val delta = (added.nonEmpty, schema) match {
       case (true, Some(s)) => spark.read.schema(s).parquet(added: _*)
       case (true, None) => spark.read.parquet(added: _*)
       case (false, Some(s)) => spark.createDataFrame(
@@ -555,6 +631,9 @@ object Snapshot {
       case (false, None) => throw new IllegalStateException(
         s"empty delta at $path ($sinceVersion, $to] carries no schema header")
     }
+    if (sinceVersion == 0 && added.nonEmpty)
+      applyDv(spark, fs, root, headerOf(fs, root, to), delta)
+    else delta
   }
 
   /** OPTIMIZE: republish the CURRENT content re-laid-out — compacted
@@ -632,7 +711,8 @@ object Snapshot {
     retryAppend(fs, root) { head =>
       if (lastMarked.exists(_ >= batchId)) None
       else Some((filesAt(fs, root, head) ++ data,
-        Seq(s"$prefix$batchId", schemaMeta(df))))
+        Seq(s"$prefix$batchId", schemaMeta(df)) ++
+          dvLinesOf(fs, root, head)))
     }
   }
 
@@ -646,9 +726,14 @@ object Snapshot {
     */
   def rollback(path: String, to: Long): Long = {
     val (fs, root) = resolve(path)
+    // the restored content is `to`'s files MINUS `to`'s deletion
+    // vectors — carry to's own '#dv=' lines (not the head's): rolling
+    // back across a merge-on-read delete must resurrect the rows,
+    // rolling back to a post-delete version must keep them deleted
     commitPinned(fs, root, versionsIn(fs, root).lastOption,
       fileEntries(fs, root, to),
-      schemaOf(fs, root, to).map("#schema=" + _).toSeq)
+      schemaOf(fs, root, to).map("#schema=" + _).toSeq ++
+        dvLinesOf(fs, root, Some(to)))
   }
 
   // ------------------------------------------------------ schema evolution
@@ -696,7 +781,7 @@ object Snapshot {
       schema: org.apache.spark.sql.types.StructType,
       fields: Seq[(String, Int)], stats: Seq[String]): Long = {
     val meta = Seq("#schema=" + schema.toDDL, "#evolved=1") ++
-      fieldsLine(fields)
+      fieldsLine(fields) ++ dvLinesOf(fs, root, Some(v))
     val state = carriedTxnState(fs, root, meta, Some(v))
     onBeforePublish()
     publish(fs, root, v + 1, fileEntries(fs, root, v),
@@ -839,10 +924,15 @@ object Snapshot {
       return DeleteResult(v, 0, carried.size, 0L, 0L)
     val schema = readSchema(spark, fs, root, v)
     val paths = touched.map(resolveEntry(fs, root, _).toString)
-    val base = schema match {
+    val raw = schema match {
       case Some(s) => spark.read.schema(s).parquet(paths: _*)
       case None => spark.read.parquet(paths: _*)
     }
+    // rewrite only the LIVE rows of the touched files: without the DV
+    // filter, rewriting a file would RESURRECT rows a prior
+    // merge-on-read delete removed (the rewritten file sheds its DV
+    // entries — they key on the old path)
+    val base = applyDv(spark, fs, root, headerOf(fs, root, v), raw)
     val obs = org.apache.spark.sql.Observation()
     val matches = coalesce(predicate, lit(false))
     val survivors = base
@@ -854,14 +944,107 @@ object Snapshot {
     // concurrent commit landing v+1 in between must fail this publish
     // loudly (lost-update detection) — advertised as a compliance
     // erasure procedure, it must never silently drop an interloper's
-    // files from the published manifest
+    // files from the published manifest. Carried files keep v's DVs
+    // (stale entries for the rewritten files match nothing).
     val newV = commitPinned(fs, root, Some(v), carried ++ newFiles,
       Seq(schema.map("#schema=" + _.toDDL)
-        .getOrElse(schemaMeta(survivors))))
+        .getOrElse(schemaMeta(survivors))) ++ dvLinesOf(fs, root, Some(v)))
     val row = obs.get
     DeleteResult(newV, touched.size, carried.size,
       row("scanned").asInstanceOf[Long],
       Option(row("deleted")).map(_.asInstanceOf[Long]).getOrElse(0L))
+  }
+
+  /** MERGE-ON-READ DELETE WHERE: publish a new version where rows
+    * matching `predicate` are deleted WITHOUT rewriting any data file
+    * — the commit writes only a small deletion-vector sidecar (the
+    * matching rows' (file, row-position) keys as parquet) and a new
+    * manifest whose file list is UNCHANGED plus a '#dv=' header per
+    * sidecar file. Reads (read/readWhere/TableCheck/SnapshotTail)
+    * anti-join the sidecar transparently, appends and rollbacks carry
+    * it, `optimize()` / CoW deleteWhere materialize it into rewritten
+    * files, and `vacuum` protects referenced sidecars.
+    *
+    * This is the 100 TB shape of targeted erasure: copy-on-write
+    * `deleteWhere` rewrites every possibly-matching file — right for
+    * the final legal purge (bytes physically gone), wrong as the
+    * everyday path where a daily quarantine would rewrite terabytes
+    * to drop thousands of rows. Merge-on-read defers the rewrite:
+    * delete now at metadata+sidecar cost, materialize later in one
+    * scheduled `optimize()`. The ERASURE guarantee differs — deleted
+    * rows' bytes remain inside the (immutable) data files until an
+    * optimize/CoW-delete + vacuum; for compliance erasure use
+    * `deleteWhere` + `vacuum`, exactly as its scaladoc prescribes.
+    *
+    * Same manifest-stats surgery as CoW: provably-unmatched files are
+    * never even scanned for candidates. Rows already deleted by an
+    * earlier DV are excluded from the scan, so re-running the same
+    * predicate deletes 0 rows and publishes nothing (idempotent).
+    * Concurrent-writer posture: pinned publish, fail-loudly (the
+    * row-position keys were computed against this head's files).
+    * Returns rewrittenFiles = 0 always; deletedRows counts NEW
+    * deletions only.
+    */
+  def deleteWhereMergeOnRead(spark: SparkSession, path: String,
+      predicate: org.apache.spark.sql.Column): DeleteResult = {
+    import org.apache.spark.sql.functions.{coalesce, col, count, lit, sum, when}
+    val (fs, root) = resolve(path)
+    val v = versionsIn(fs, root).lastOption.getOrElse(
+      throw new IllegalStateException(s"no snapshot versions at $path"))
+    val hdr = headerOf(fs, root, v)
+    val entries = fileEntries(fs, root, v)
+    val stats = statsOf(fs, root, v)
+    val pred =
+      org.apache.spark.sql.graftbridge.ColumnExpr.expression(predicate)
+    val touched = entries.filter(e =>
+      stats.get(e).forall(FileStats.mayMatch(pred, _)))
+    if (touched.isEmpty)
+      return DeleteResult(v, 0, entries.size, 0L, 0L)
+    val schema = readSchema(spark, fs, root, v)
+    val paths = touched.map(resolveEntry(fs, root, _).toString)
+    val raw = schema match {
+      case Some(s) => spark.read.schema(s).parquet(paths: _*)
+      case None => spark.read.parquet(paths: _*)
+    }
+    // key columns must be projected BEFORE the existing-DV anti-join:
+    // past it the scan's `_metadata` is no longer reachable (and would
+    // be ambiguous against the sidecar's own source)
+    val keyed = raw
+      .withColumn("__path", dvPathExpr)
+      .withColumn("__pos", col("_metadata.row_index"))
+    val existing = dvEntries(hdr)
+    val live =
+      if (existing.isEmpty) keyed
+      else keyed.join(
+        spark.read
+          .parquet(existing.map(resolveEntry(fs, root, _).toString): _*),
+        Seq("__path", "__pos"), "left_anti")
+    val matches = coalesce(predicate, lit(false))
+    val obs = org.apache.spark.sql.Observation()
+    val keys = live
+      .observe(obs, count(lit(1)).as("scanned"),
+        sum(when(matches, 1L).otherwise(0L)).as("deleted"))
+      .filter(matches)
+      .select(col("__path"), col("__pos"))
+    // sidecar under data/ so vacuum's dead-file scan owns its lifecycle
+    val dirName = f"dv$v%06d-${java.util.UUID.randomUUID().toString.take(8)}"
+    val dir = new Path(new Path(root, "data"), dirName)
+    keys.write.parquet(dir.toString)
+    val row = obs.get
+    val deleted =
+      Option(row("deleted")).map(_.asInstanceOf[Long]).getOrElse(0L)
+    val scanned = row("scanned").asInstanceOf[Long]
+    if (deleted == 0L) { // provable no-op: no new version, no sidecar
+      fs.delete(dir, true)
+      return DeleteResult(v, 0, entries.size, scanned, 0L)
+    }
+    val newDv = listNames(fs, dir).filter(_.endsWith(".parquet"))
+      .map(n => s"#dv=data/$dirName/$n").sorted
+    val newV = commitPinned(fs, root, Some(v), entries,
+      Seq(schemaOf(fs, root, v).map("#schema=" + _)
+        .getOrElse(schemaMeta(raw))) ++
+        dvLinesOf(fs, root, Some(v)) ++ newDv)
+    DeleteResult(newV, 0, entries.size, scanned, deleted)
   }
 
   /** Outcome of an `updateWhere`: the published version (unchanged
@@ -903,10 +1086,12 @@ object Snapshot {
       return UpdateResult(v, 0, carried.size, 0L, 0L)
     val schema = readSchema(spark, fs, root, v)
     val paths = touched.map(resolveEntry(fs, root, _).toString)
-    val base = schema match {
+    val raw = schema match {
       case Some(s) => spark.read.schema(s).parquet(paths: _*)
       case None => spark.read.parquet(paths: _*)
     }
+    // live rows only — same resurrection hazard as deleteWhere
+    val base = applyDv(spark, fs, root, headerOf(fs, root, v), raw)
     // SET names resolve against the table schema with the SESSION'S
     // resolver (case-insensitive under default config, exactly like
     // column resolution in any Spark plan) — Map("SCORE" -> …) updates
@@ -942,9 +1127,11 @@ object Snapshot {
       }
     }.toIndexedSeq: _*)
     val newFiles = writeData(updated, fs, root, v + 1)
-    // pinned at v+1 — same lost-update detection as deleteWhere
+    // pinned at v+1 — same lost-update detection and DV carry as
+    // deleteWhere
     val newV = commitPinned(fs, root, Some(v), carried ++ newFiles,
-      Seq(schema.map("#schema=" + _.toDDL).getOrElse(schemaMeta(updated))))
+      Seq(schema.map("#schema=" + _.toDDL).getOrElse(schemaMeta(updated))) ++
+        dvLinesOf(fs, root, Some(v)))
     val row = obs.get
     UpdateResult(newV, touched.size, carried.size,
       row("scanned").asInstanceOf[Long],
@@ -990,8 +1177,13 @@ object Snapshot {
     val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepVersions))
     // resolve every kept entry to a fully-qualified path string so the
     // comparison is spelling-independent (and legacy absolute entries
-    // still protect their files)
-    val live = keep.flatMap(fileEntries(fs, root, _))
+    // still protect their files). Deletion-vector sidecars referenced
+    // by a kept manifest's '#dv=' header are live too — they ARE the
+    // version's content (dropping one would resurrect deleted rows);
+    // sidecars referenced only by dropped manifests fall out of the
+    // live set and are reclaimed like any dead file.
+    val live = keep.flatMap(v =>
+        fileEntries(fs, root, v) ++ dvEntries(headerOf(fs, root, v)))
       .map(resolveEntry(fs, root, _).toString).toSet
     val dataRoot = new Path(root, "data")
     val commitDirs = LakeFs.listStatus(fs, dataRoot).filter(_.isDirectory)
