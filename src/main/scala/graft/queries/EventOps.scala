@@ -511,6 +511,95 @@ object EventOps {
         |SELECT state, CAST(r AS BIGINT) AS fix_rank FROM r3""".stripMargin +
         orderAll("state", "fix_rank")))
 
+  /** xe7: peak concurrent sessions per hour — the capacity-planning
+    * gauge ("how many users were on at once") — over xe5's session
+    * intervals. The textbook answer is one global running sum over
+    * +1/-1 boundary events ordered by time; a corpus-sized global
+    * window is exactly what RegistryPlanSpec bans. The scale shape
+    * here is the TWO-PHASE PREFIX SUM: boundaries carry their hour
+    * bucket, phase 1 runs the cumulative sum WITHIN each bucket (the
+    * window shares the hour partitioning — corpus-linear, parallel),
+    * phase 2 computes each bucket's carry-in as a running sum over
+    * per-bucket TOTALS — a window over distinct hours, bounded by the
+    * time range (8.8k rows/year at ANY corpus size), whitelisted like
+    * xi2's histogram window. peak(hour) = carry-in + max within-bucket
+    * running sum ≡ the global running max restricted to that hour.
+    * Tie order at equal microseconds is total and fixed ((us, delta
+    * DESC, user_id, sid)): a session starting exactly when another
+    * ends counts as concurrent (inclusive [start,end] occupancy), and
+    * both engines walk ties identically.
+    */
+  val xe7 = GQuery(
+    "xe7_peak_concurrency",
+    (s, d) => {
+      val c = Ctx(s, d)
+      val byU = Window.partitionBy("user_id")
+        .orderBy(col("us"), col("event_id"))
+      val e = c.events
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("new_s",
+          when(lag(col("us"), 1).over(byU).isNull ||
+            col("us") - lag(col("us"), 1).over(byU) >= 1800000000L, 1)
+            .otherwise(0))
+        .withColumn("sid",
+          sum(col("new_s")).over(
+            byU.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val sess = e.groupBy("user_id", "sid")
+        .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"))
+      val bounds = sess
+        .select(col("start_us").as("us"), lit(1).as("delta"),
+          col("user_id"), col("sid"))
+        .unionByName(sess.select(col("end_us").as("us"),
+          lit(-1).as("delta"), col("user_id"), col("sid")))
+        .withColumn("hr", expr("us div 3600000000"))
+      val inBucket = Window.partitionBy("hr")
+        .orderBy(col("us").asc, col("delta").desc, col("user_id").asc,
+          col("sid").asc)
+      val run = bounds.withColumn("run",
+        sum(col("delta")).over(
+          inBucket.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val perBucket = run.groupBy("hr")
+        .agg(max(col("run")).as("max_in"),
+          sum(col("delta")).as("tot"),
+          sum(when(col("delta") === 1, 1L).otherwise(0L)).as("n_started"))
+      val carry = Window.orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      canonBy(perBucket
+        .withColumn("carry", coalesce(sum(col("tot")).over(carry), lit(0L)))
+        .select(col("hr").cast("long").as("hour_bucket"),
+          (col("carry") + col("max_in")).cast("long").as("peak_concurrency"),
+          col("n_started").cast("long").as("n_started")),
+        "hour_bucket")
+    },
+    Some(
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |m AS (
+        |  SELECT user_id, event_id, us,
+        |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (
+        |  SELECT user_id, us,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m),
+        |sess AS (
+        |  SELECT user_id, sid, MIN(us) AS start_us, MAX(us) AS end_us
+        |  FROM s GROUP BY user_id, sid),
+        |b AS (
+        |  SELECT start_us AS us, 1 AS delta, user_id, sid FROM sess
+        |  UNION ALL
+        |  SELECT end_us AS us, -1 AS delta, user_id, sid FROM sess),
+        |r AS (
+        |  SELECT us // 3600000000 AS hr, delta,
+        |    SUM(delta) OVER (ORDER BY us ASC, delta DESC, user_id ASC, sid ASC ROWS UNBOUNDED PRECEDING) AS run
+        |  FROM b)
+        |SELECT CAST(hr AS BIGINT) AS hour_bucket,
+        |  CAST(MAX(run) AS BIGINT) AS peak_concurrency,
+        |  CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_started
+        |FROM r GROUP BY hr""".stripMargin +
+        orderAll("hour_bucket")))
+
   def queries: Seq[GQuery] =
-    Seq(q29, q30, q31, q32, q41, xe1, xe2, xe3, xe4, xe5, xe6)
+    Seq(q29, q30, q31, q32, q41, xe1, xe2, xe3, xe4, xe5, xe6, xe7)
 }
