@@ -116,7 +116,11 @@ object Dedup {
     // set over the persisted groups, already spread across partitions
     // by setGroups' ending shuffle. (A 64-column min-agg over exploded
     // tokens was tried and measured 4x SLOWER end-to-end: the wide
-    // aggregate re-shuffles both band-join inputs.)
+    // aggregate re-shuffles both band-join inputs. A universal-hash
+    // family — h·aᵢ+bᵢ with plan-time constants — was also tried:
+    // ANSI mode turns the intended mod-2⁶⁴ wrap into ARITHMETIC_
+    // OVERFLOW, and a custom wrap expression isn't worth ~0.5 s on
+    // this query; xxhash64 stays.)
     val sigs = groups
       .withColumn("sig", expr(
         s"""transform(sequence(0, ${NumPerms - 1}),
