@@ -95,15 +95,107 @@ object Tokenize {
 }
 
 object TextOps {
-  /** Expose `tokenize(text)` and `shingle_hash(toks, n)` (n must be a
-    * literal); idempotent per session.
+  /** Expose `tokenize(text)`, `term_counts(text)`, and
+    * `shingle_hash(toks, n)` (n must be a literal); idempotent per
+    * session.
     */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "tokenize", exprs => Tokenize(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "term_counts", exprs => TermCounts(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "shingle_hash", exprs => ShingleHash(exprs.head,
         exprs(1).eval().asInstanceOf[Int]), "built-in")
+  }
+}
+
+/** Per-document term frequencies fused into the tokenize pass:
+  * text → MAP<term, count> in one byte scan, first-occurrence key
+  * order. Exactly `tokenize(text)` then count-by-term — spec'd
+  * equivalent in TextOpsSpec — but the counting happens ROW-LOCAL in
+  * the scan stage, so the tf-table queries (xt5/xt6/xt7/xt9) explode
+  * distinct-terms-per-doc rows instead of feeding the whole token
+  * stream through a hash aggregate: the groupBy(doc, term) that was
+  * each query's first shuffle input disappears entirely. At 100 TB
+  * the difference is the token stream (every occurrence) vs the
+  * per-doc vocabulary (its distinct support) entering aggregation —
+  * typically 3-10× fewer rows, and zero exchange for the per-doc
+  * counts themselves since a row's counts never leave the row.
+  */
+case class TermCounts(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"term_counts expects STRING, got ${child.dataType.sql}")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.MapType(StringType,
+      org.apache.spark.sql.types.IntegerType, valueContainsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    TermCounts.counts(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TermCounts.counts($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): TermCounts =
+    copy(child = newChild)
+}
+
+object TermCounts {
+
+  /** Static kernel (called from generated code): Tokenize.split's
+    * byte walk, but tokens land in an insertion-ordered count map
+    * instead of a list. Token bytes are copied once; repeat terms
+    * only bump a counter box.
+    */
+  def counts(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayBasedMapData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    val m = new java.util.LinkedHashMap[UTF8String, Array[Int]](16)
+    var i = 0
+    var start = -1
+    while (i <= n) {
+      val alpha = i < n && {
+        val b = bytes(i)
+        (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z')
+      }
+      if (alpha) {
+        if (start < 0) start = i
+      } else if (start >= 0) {
+        val len = i - start
+        val tb = new Array[Byte](len)
+        var j = 0
+        while (j < len) {
+          val b = bytes(start + j)
+          tb(j) = if (b >= 'A' && b <= 'Z') (b + 32).toByte else b
+          j += 1
+        }
+        val t = UTF8String.fromBytes(tb)
+        val c = m.get(t)
+        if (c == null) m.put(t, Array(1)) else c(0) += 1
+        start = -1
+      }
+      i += 1
+    }
+    val sz = m.size()
+    val keys = new Array[AnyRef](sz)
+    val vals = new Array[Int](sz)
+    val it = m.entrySet().iterator()
+    i = 0
+    while (it.hasNext) {
+      val e = it.next()
+      keys(i) = e.getKey
+      vals(i) = e.getValue()(0)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+      new GenericArrayData(keys), new GenericArrayData(vals))
   }
 }
 

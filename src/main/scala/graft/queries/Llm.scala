@@ -29,6 +29,16 @@ object Llm {
     call_function("tokenize", c)
   }
 
+  /** Per-row term→count map fused into the tokenize pass (see
+    * functions.TermCounts): the tf-table family explodes this instead
+    * of aggregating the token stream, deleting its groupBy(doc, term)
+    * shuffle input.
+    */
+  def termCounts(s: org.apache.spark.sql.SparkSession, c: Column): Column = {
+    graft.functions.TextOps.register(s)
+    call_function("term_counts", c)
+  }
+
   val qx1 = GQuery(
     "qx1_exact_dedup",
     (s, d) => {

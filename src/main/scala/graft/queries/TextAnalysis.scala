@@ -192,11 +192,18 @@ object TextAnalysis {
     */
   val xt5 = GQuery(
     "xt5_tfidf",
-    (s, d) => {
+    (s, d) => reap {
       val c = Ctx(s, d)
-      val tok = c.documents
-        .select(col("doc_id"), explode(Llm.tokens(s, col("text"))).as("term"))
-      val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      // row-local per-doc counts from the term_counts kernel: the
+      // (doc, term) groupBy over the token stream is gone; tf casts
+      // back to the count()'s BIGINT for schema parity with the oracle.
+      // Persisted because both the df aggregate and the scoring probe
+      // consume it — one tokenize pass, not two.
+      val tf = own(c.documents
+        .select(col("doc_id"),
+          explode(Llm.termCounts(s, col("text"))).as(Seq("term", "tfi")))
+        .select(col("doc_id"), col("term"), col("tfi").cast("long").as("tf"))
+        .persist())
       val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val n = c.documents.agg(count(lit(1)).as("n"))
       val scored = tf.join(Scale.maybeBroadcast(df), "term")
@@ -263,10 +270,14 @@ object TextAnalysis {
     "xt6_lm_score",
     (s, d) => reap {
       val c = Ctx(s, d)
-      // tf feeds the total, the model, and the scoring join
+      // tf feeds the total, the model, and the scoring join. The
+      // term_counts kernel computes each doc's counts row-local in
+      // the scan stage, so this is an explode of per-doc vocabularies
+      // — the groupBy(doc, term) over the full token stream that r6
+      // paid here (the query's dominant shuffle input) is gone.
       val tf = own(c.documents
-        .select(col("doc_id"), col("lang"), explode(Llm.tokens(s, col("text"))).as("term"))
-        .groupBy("doc_id", "lang", "term").agg(count(lit(1)).as("tf"))
+        .select(col("doc_id"), col("lang"),
+          explode(Llm.termCounts(s, col("text"))).as(Seq("term", "tf")))
         .persist())
       val total = tf.agg(sum(col("tf")).as("total"))
       val model = tf.groupBy("term").agg(sum(col("tf")).as("cnt"))
@@ -315,9 +326,12 @@ object TextAnalysis {
     "xt7_top_terms",
     (s, d) => {
       val c = Ctx(s, d)
+      // per-doc counts computed row-local (term_counts kernel): the
+      // vocabulary aggregate sums per-doc tfs, not token occurrences.
       val tf = c.documents
-        .select(col("lang"), explode(Llm.tokens(s, col("text"))).as("term"))
-        .groupBy("lang", "term").agg(count(lit(1)).as("cnt"))
+        .select(col("lang"),
+          explode(Llm.termCounts(s, col("text"))).as(Seq("term", "tfi")))
+        .groupBy("lang", "term").agg(sum(col("tfi")).as("cnt"))
       val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("term").asc)
       canonBy(tf.withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 10), "lang", "rnk")
@@ -392,8 +406,9 @@ object TextAnalysis {
     (s, d) => {
       val c = Ctx(s, d)
       val tf = c.documents
-        .select(col("lang"), explode(Llm.tokens(s, col("text"))).as("term"))
-        .groupBy("lang", "term").agg(count(lit(1)).as("cnt"))
+        .select(col("lang"),
+          explode(Llm.termCounts(s, col("text"))).as(Seq("term", "tfi")))
+        .groupBy("lang", "term").agg(sum(col("tfi")).as("cnt"))
       canon(tf.groupBy("lang").agg(
           sum(col("cnt")).as("n_tokens"),
           count(lit(1)).as("n_vocab"),

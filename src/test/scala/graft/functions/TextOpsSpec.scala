@@ -53,6 +53,35 @@ class TextOpsSpec extends AnyFunSuite {
     assert(r(1).getSeq[String](0) == Seq("a", "b"))
   }
 
+  test("term_counts equals tokenize-then-count") {
+    TextOps.register(spark)
+    val g = Gen.listOfN(200, Gen.listOfN(60,
+      Gen.frequency(
+        (6, Gen.oneOf('a', 'b', 'c', 'A', 'B')),
+        (2, Gen.oneOf(' ', '.', ',', '1', '-')),
+        (1, Gen.alphaChar))).map(_.mkString))
+    val strings = g.apply(Gen.Parameters.default, Seed(13L)).get ++
+      Seq("", "   ", "a a a", "A a aa", "x" * 300, "the the THE cat")
+    val rows = strings.toDF("s")
+      .select(call_function("term_counts", col("s")).as("m"),
+        call_function("tokenize", col("s")).as("toks"))
+      .collect()
+    rows.foreach { r =>
+      val m = r.getMap[String, Int](0).toMap
+      val toks = r.getSeq[String](1)
+      val ref = toks.groupBy(identity).map { case (t, g) => t -> g.size }
+      assert(m == ref, s"input row: $toks")
+    }
+  }
+
+  test("term_counts null propagates") {
+    TextOps.register(spark)
+    val r = Seq[Option[String]](None, Some("a b a")).toDF("s")
+      .select(call_function("term_counts", col("s"))).collect()
+    assert(r(0).isNullAt(0))
+    assert(r(1).getMap[String, Int](0) == Map("a" -> 2, "b" -> 1))
+  }
+
   test("shingle_hash equals the declarative xxhash64-over-concat form") {
     TextOps.register(spark)
     val g = Gen.listOfN(120, Gen.choose(0, 12).flatMap(len =>
