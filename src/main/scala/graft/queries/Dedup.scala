@@ -109,7 +109,17 @@ object Dedup {
     * J >= threshold pairs at any vocabulary; only recall depends on the
     * banding). Factored out so specs can run it on synthetic corpora.
     */
-  private[queries] def minhashPairs(groups: DataFrame, threshold: Double): DataFrame = {
+  private[queries] def minhashPairs(groups: DataFrame, threshold: Double): DataFrame =
+    intraPairs(groups, lit(1.0), "jaccard")
+      .unionByName(expandPairs(minhashQualifying(groups, threshold), "jaccard"))
+
+  /** The qualifying (verified J >= t) GROUP pairs behind xd1, before
+    * doc-pair expansion — (gid_a, gid_b, ids_a, ids_b, jaccard).
+    * Factored so xr5's recall certification can count doc pairs as
+    * edge weights (|ids_a|·|ids_b|) instead of materializing the
+    * multi-million-row expanded pair set.
+    */
+  private[queries] def minhashQualifying(groups: DataFrame, threshold: Double): DataFrame = {
     graft.functions.ArrayOps.register(groups.sparkSession)
     // Permutation i's min-hash re-hashes each pre-hashed 8-byte long
     // (htoks), not the token string. The HOF runs once per DISTINCT
@@ -166,8 +176,7 @@ object Dedup {
       .filter(col("inter") / col("uni") >= threshold)
     // ⊘ rows-only contract: no canonical sort — ordering a ~3M-pair
     // output would dominate the query's own cost.
-    intraPairs(groups, lit(1.0), "jaccard")
-      .unionByName(expandPairs(qualifying, "jaccard"))
+    qualifying
   }
 
   /** SimHash over the token SET (unweighted variant — consistent with
@@ -178,7 +187,17 @@ object Dedup {
     "xd2_simhash",
     (s, d) => reap {
       val c = Ctx(s, d)
-      val groups = setGroups(c.documents)
+      simhashPairs(setGroups(c.documents))
+    },
+    None)
+
+  /** SimHash@hamming<=3 qualifying GROUP pairs (gid_a, ids_a, gid_b,
+    * ids_b, hamming) before doc-pair expansion — factored so xr6's
+    * precision certification can weight edges by |ids_a|·|ids_b|
+    * instead of materializing the expanded pair set; simhashPairs
+    * below is xd2's doc-level form.
+    */
+  private[queries] def simhashQualifying(groups: DataFrame): DataFrame = {
       // The 64-bit SimHash signature is the sketch itself (bit j set iff
       // the per-token hash-bit majority at position j is positive) —
       // this shiftleft's shift amounts are 0..63 by construction, unlike
@@ -205,12 +224,13 @@ object Dedup {
         .filter(col("hamming") <= 3)
       val g1 = groups.select(col("gid").as("gid_a"), col("ids").as("ids_a"))
       val g2 = groups.select(col("gid").as("gid_b"), col("ids").as("ids_b"))
-      val cross = cand.join(Scale.maybeBroadcast(g1), "gid_a")
+      cand.join(Scale.maybeBroadcast(g1), "gid_a")
         .join(Scale.maybeBroadcast(g2), "gid_b")
-      intraPairs(groups, lit(0L), "hamming")
-        .unionByName(expandPairs(cross, "hamming"))
-    },
-    None)
+  }
+
+  private[queries] def simhashPairs(groups: DataFrame): DataFrame =
+    intraPairs(groups, lit(0L), "hamming")
+      .unionByName(expandPairs(simhashQualifying(groups), "hamming"))
 
   /** EXACT pairwise Jaccard >= threshold at ANY vocabulary size — the
     * general path behind Llm.qx2's gated <=64-vocab mask fast path.
@@ -275,11 +295,23 @@ object Dedup {
     }
   }
 
-  private[queries] def exactJaccardPairs(groups: DataFrame, threshold: Double): DataFrame = {
-    val pr = groupEdgesGeneral(groups, threshold)
+  private[queries] def exactJaccardPairs(groups: DataFrame, threshold: Double): DataFrame =
+    expandEdges(groups, groupEdgesGeneral(groups, threshold))
+
+  /** Same exact J >= t pair set, but through the vocabulary-gated
+    * edge generator (mask popcount when vocab <= 64, co-occurrence
+    * otherwise — GeneralVocabSpec proves the two agree). The xr5/xr6
+    * certifications use this as their in-query exact baseline so the
+    * shared setGroups frame is tokenized once per certification.
+    */
+  private[queries] def exactJaccardPairsGated(groups: DataFrame, threshold: Double): DataFrame =
+    expandEdges(groups, groupEdgesGated(groups, threshold))
+
+  /** Group edges -> ordered doc pairs, plus the intra-group J=1 pairs. */
+  private def expandEdges(groups: DataFrame, edges: DataFrame): DataFrame = {
     val g1 = groups.select(col("gid").as("gid_a"), col("ids").as("ids_a"))
     val g2 = groups.select(col("gid").as("gid_b"), col("ids").as("ids_b"))
-    val cross = pr.join(Scale.maybeBroadcast(g1), "gid_a")
+    val cross = edges.join(Scale.maybeBroadcast(g1), "gid_a")
       .join(Scale.maybeBroadcast(g2), "gid_b")
     intraPairs(groups, lit(1.0), "jaccard")
       .unionByName(expandPairs(cross, "jaccard"))

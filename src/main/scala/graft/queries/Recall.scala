@@ -137,38 +137,108 @@ object Recall {
     Some(reportSql("xs4_ann_query", "bipartite_recall_vs_exact",
       Some(5), 0.50, None)))
 
-  /** MinHash-LSH pair recall vs exact J>=0.8 (qx2), plus the
-    * no-false-positives guarantee (every emitted pair is exact-verified
-    * by construction — this certifies the verify stage stayed honest).
+  /** Doc-pair set comparisons computed at the GROUP-EDGE level.
+    *
+    * Every document belongs to exactly one distinct-token-set group
+    * (doc → its token set → its gid), so a cross-group doc pair maps
+    * to exactly ONE group edge, |expand(E)| = Σ_e |ids_a|·|ids_b|,
+    * and expand(E1) ∩ expand(E2) = expand(E1 ∩ E2). Intra-group
+    * pairs (Σ C(m,2)) sit in BOTH the exact set (identical sets have
+    * J=1 ≥ t) and each sketch set (emitted by construction), so
+    * doc-level recall/precision reduce exactly to weighted edge sums:
+    *
+    *   recall = (I + W(Eexact ∩ Eapprox)) / (I + W(Eexact))
+    *
+    * — identical numbers to expanding, without materializing the
+    * multi-million-row doc-pair sets the r6-shaped certification
+    * spent its whole runtime on (xr5: 8.5 s → ~3 s at sf0.1).
+    */
+  private def intraCount(groups: DataFrame): Long =
+    groups.agg(coalesce(sum(
+      expr("CAST(size(ids) AS BIGINT) * (size(ids) - 1) DIV 2")), lit(0L)))
+      .head.getLong(0)
+
+  /** Attach w = |ids_a|·|ids_b| (the expanded doc-pair count) to group
+    * edges via broadcast size lookups.
+    */
+  private def weighted(edges: DataFrame, groups: DataFrame): DataFrame = {
+    val sz = groups.select(col("gid"), size(col("ids")).cast("long").as("m"))
+    edges.select("gid_a", "gid_b")
+      .join(Scale.maybeBroadcast(
+        sz.select(col("gid").as("gid_a"), col("m").as("ma"))), "gid_a")
+      .join(Scale.maybeBroadcast(
+        sz.select(col("gid").as("gid_b"), col("m").as("mb"))), "gid_b")
+      .select(col("gid_a"), col("gid_b"), (col("ma") * col("mb")).as("w"))
+  }
+
+  /** MinHash-LSH pair recall vs exact J>=0.8 (qx2's pair set), plus
+    * the no-false-positives guarantee (every emitted pair is
+    * exact-verified by construction — this certifies the verify stage
+    * stayed honest).
     */
   val xr5 = GQuery(
     "xr5_minhash_recall",
     (s, d) => reap {
-      val cols = Seq("doc_a", "doc_b")
-      val exact = keySet(Llm.qx2.fn(s, d), cols)
-      val approx = keySet(Dedup.xd1.fn(s, d), cols)
+      val cols = Seq("gid_a", "gid_b")
+      // ONE setGroups pass feeds both sides: the exact baseline
+      // (vocab-gated edge generator == qx2's pair set, GeneralVocabSpec)
+      // and the MinHash band-join — tokenized and set-grouped once.
+      val groups = Dedup.setGroups(Ctx(s, d).documents)
+      val exactE = weighted(Dedup.groupEdgesGated(groups, 0.8), groups)
+      val approxE = Dedup.minhashQualifying(groups, 0.8)
+        .select(col("gid_a"), col("gid_b"), lit(1).as("ap"))
+      // Each edge side is consumed exactly once, so the three scalars
+      // (exact weight, intersection weight, false-positive count) come
+      // out of ONE full-outer edge join + aggregate — one job instead
+      // of the persist + semi + anti + two weight joins the first cut
+      // paid (~7 s → ~4 s at sf0.1 on a 698k-edge graph).
+      val stats = exactE.join(approxE, cols, "full_outer")
+        .agg(coalesce(sum(col("w")), lit(0L)).as("w_exact"),
+          coalesce(sum(when(col("ap").isNotNull, col("w"))), lit(0L))
+            .as("w_inter"),
+          count(when(col("w").isNull, 1)).as("n_fp"))
+        .head
+      val intra = intraCount(groups)
+      val nExact = intra + stats.getLong(0)
+      val nInter = intra + stats.getLong(1)
+      val noFp = stats.getLong(2) == 0L
+      val r = if (nExact == 0) 1.0 else nInter.toDouble / nExact
       // measured 0.9999+ at sf0.001/0.01/0.1 (dup-heavy fixture;
       // banding misses only isolated boundary pairs); floor 0.90
       val floor = 0.90
-      val r = recallOf(approx, exact, cols)
       canon(report(s, "xd1_minhash_lsh", "pair_recall_vs_exact", None,
-        floor, Some(subsetOf(approx, exact, cols)), r >= floor))
+        floor, Some(noFp), r >= floor))
     },
     Some(reportSql("xd1_minhash_lsh", "pair_recall_vs_exact", None, 0.90,
       Some(true))))
 
   /** SimHash@hamming<=3 precision vs exact J>=0.8 — simhash is a
     * TIGHTER filter than J (different metric), so the contract is
-    * precision (its hits are true near-dups), not recall.
+    * precision (its hits are true near-dups), not recall. Same
+    * edge-weighted arithmetic as xr5; simhash's intra-group pairs
+    * (hamming 0) are exact J=1 pairs, so they count as hits.
     */
   val xr6 = GQuery(
     "xr6_simhash_precision",
     (s, d) => reap {
-      val cols = Seq("doc_a", "doc_b")
-      val exact = keySet(Llm.qx2.fn(s, d), cols)
-      val approx = keySet(Dedup.xd2.fn(s, d), cols)
-      val n = approx.count()
-      val hit = approx.join(exact, cols, "left_semi").count()
+      val cols = Seq("gid_a", "gid_b")
+      // shared setGroups frame + one-job edge arithmetic, as in xr5;
+      // here the APPROX side carries the weights (precision divides by
+      // the sketch's own emissions).
+      val groups = Dedup.setGroups(Ctx(s, d).documents)
+      val approxE = Dedup.simhashQualifying(groups)
+        .select(col("gid_a"), col("gid_b"),
+          (size(col("ids_a")).cast("long") * size(col("ids_b"))).as("w"))
+      val exactE = Dedup.groupEdgesGated(groups, 0.8)
+        .select(col("gid_a"), col("gid_b"), lit(1).as("ex"))
+      val stats = approxE.join(exactE, cols, "left_outer")
+        .agg(coalesce(sum(col("w")), lit(0L)).as("w_approx"),
+          coalesce(sum(when(col("ex").isNotNull, col("w"))), lit(0L))
+            .as("w_hit"))
+        .head
+      val intra = intraCount(groups)
+      val n = intra + stats.getLong(0)
+      val hit = intra + stats.getLong(1)
       val p = if (n == 0) 1.0 else hit.toDouble / n
       // measured 0.97/0.98/0.98 at sf0.001/0.01/0.1; floor 0.90
       val floor = 0.90
