@@ -80,15 +80,46 @@ object Recall {
         "meets_floor")
   }
 
-  /** Exact top-k recall of an ANN query vs the brute-force qx3. */
+  /** Exact top-k recall of an ANN query vs brute force, over a
+    * DETERMINISTIC 1-in-5 query sample (vec_id % 5 == 0). The sketch
+    * under certification runs in full — sampling only bounds the
+    * exact baseline, whose brute-force cost is the n² term nobody
+    * would pay corpus-wide at 100 TB; recall estimated over a fixed
+    * 20% of queries is the honest production shape of this audit, and
+    * the floors carry wide margins over the full-corpus measurements
+    * (0.53+ vs 0.40, 0.63+ vs 0.55, ~1.0 vs 0.90). Scoring/tie rules
+    * match qx3 exactly (round-4 score desc, neighbor_id asc).
+    */
   private def topkRecall(name: String, sketch: GQuery, floor: Double) =
     GQuery(
       name,
       (s, d) => reap {
+        graft.functions.VectorOps.register(s)
+        val c = Ctx(s, d)
+        val topk = udaf(new graft.functions.TopK(5),
+          org.apache.spark.sql.Encoders.product[graft.functions.Scored])
+        val e = own(c.embeddings
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          .withColumn("nrm", sqrt(expr("vec_dot(v, v)")))
+          .persist())
+        val qs = e.filter(col("vec_id") % 5 === 0)
+          .select(col("vec_id"), col("v").as("va"), col("nrm").as("na"))
+        val ref = e.select(col("vec_id").as("neighbor_id"),
+          col("v").as("vb"), col("nrm").as("nb"))
+        val exact = qs.join(Scale.maybeBroadcast(ref),
+            col("vec_id") =!= col("neighbor_id"))
+          .select(col("vec_id"), col("neighbor_id"),
+            round(expr("vec_dot(va, vb)") / (col("na") * col("nb")), 4)
+              .as("score"))
+          .groupBy("vec_id")
+          .agg(topk(col("score"), col("neighbor_id")).as("top"))
+          .select(col("vec_id"), explode(col("top")).as("t"))
+          .select(col("vec_id"), col("t.id").as("neighbor_id"))
         val cols = Seq("vec_id", "neighbor_id")
-        val exact = keySet(Llm.qx3.fn(s, d), cols)
-        val approx = keySet(sketch.fn(s, d), cols)
-        val r = recallOf(approx, exact, cols)
+        val exactK = keySet(exact, cols)
+        val approx = keySet(
+          sketch.fn(s, d).filter(col("vec_id") % 5 === 0), cols)
+        val r = recallOf(approx, exactK, cols)
         canon(report(s, sketch.name, "topk_recall_vs_exact", Some(5),
           floor, None, r >= floor))
       },
