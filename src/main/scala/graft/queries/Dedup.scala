@@ -39,8 +39,8 @@ import Det._
   */
 object Dedup {
 
-  private val NumPerms = 64
-  private val BandRows = 4 // 16 bands x 4 rows: P(cand | J=0.8) ~ 0.9998
+  private[graft] val NumPerms = 64
+  private[graft] val BandRows = 4 // 16 bands x 4 rows: P(cand | J=0.8) ~ 0.9998
 
   /** One row per distinct token SET over the given documents:
     * (gid, toks, htoks, sz, ids) — deterministic 64-bit group id, the

@@ -491,4 +491,104 @@ object StreamingOps {
         org.apache.spark.sql.streaming.TimeMode.None(),
         org.apache.spark.sql.streaming.OutputMode.Update())
   }
+
+  /** One (band_key, doc_id) row per MinHash band of an arriving doc. */
+  final case class BandIn(band_key: Long, doc_id: Long)
+
+  /** A near-dup candidate pair surfaced at ingest (doc_a < doc_b). */
+  final case class CandPair(doc_a: Long, doc_b: Long)
+
+  /** Per-document MinHash band keys with EXACTLY batch xd1's formulas
+    * (same tokenizer, same xxhash64 permutations, same 16-band x 4-row
+    * banding — Dedup.NumPerms/BandRows), but at DOC level: streaming
+    * has no corpus to compress into distinct-set groups, and identical
+    * docs collide on every band anyway. Works on a static frame too —
+    * the spec's batch expectation is this same projection self-joined.
+    */
+  def bandKeys(docs: DataFrame): DataFrame = {
+    val perms = graft.queries.Dedup.NumPerms
+    val rows = graft.queries.Dedup.BandRows
+    docs
+      .withColumn("htoks", expr(
+        "array_distinct(transform(array_distinct(tokenize(text)), t -> xxhash64(t)))"))
+      .withColumn("sig", expr(
+        s"""transform(sequence(0, ${perms - 1}),
+           |  i -> array_min(transform(htoks, h -> xxhash64(i, h))))""".stripMargin))
+      .select(col("doc_id"),
+        explode(expr(
+          s"transform(sequence(0, ${perms / rows - 1}), " +
+            s"b -> xxhash64(b, slice(sig, b * $rows + 1, $rows)))"))
+          .as("band_key"))
+  }
+
+  /** The LSH band index as STREAMING STATE — dedup-at-ingest: each
+    * band key owns the list of doc ids previously seen in that band,
+    * and an arriving document immediately emits a candidate pair
+    * against every prior member of any band it lands in (including
+    * same-micro-batch peers, in doc_id order). This is xd1's
+    * candidate generator turned into an online index: the nightly
+    * batch pass (xd1/xd6) stays the exact-verification authority;
+    * at-ingest the pipeline gets the candidate signal the moment a
+    * document arrives, without rescanning the corpus.
+    *
+    * Scale/state story: state is (band_key -> member ids), total 16
+    * ids per document ever ingested — linear in corpus, RocksDB-
+    * backed, and shardable by band key (bands are hash-spread by
+    * construction). Production would bound it with TTLConfig (dedup
+    * against a trailing window) or periodic flush-to-lake compaction
+    * of the band index (xd6's static-index form); TTLConfig.NONE here
+    * keeps the spec deterministic. Replayed batches re-emit their
+    * pairs (at-least-once) but never duplicate state: ids already in
+    * the member list are not re-appended.
+    */
+  class BandIndex
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, BandIn, CandPair] {
+    @transient private var members:
+        org.apache.spark.sql.streaming.ListState[Long] = _
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      members = getHandle.getListState[Long]("members",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[BandIn],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[CandPair] = {
+      val prior = members.get().toIndexedSeq
+      val priorSet = prior.toSet
+      val fresh = rows.map(_.doc_id).toIndexedSeq.distinct.sorted
+        .filterNot(priorSet)
+      val out = IndexedSeq.newBuilder[CandPair]
+      var seen = prior
+      fresh.foreach { b =>
+        seen.foreach { a =>
+          if (a != b)
+            out += (if (a < b) CandPair(a, b) else CandPair(b, a))
+        }
+        seen = seen :+ b
+      }
+      if (fresh.nonEmpty) members.appendList(fresh.toArray)
+      out.result().iterator
+    }
+  }
+
+  /** docs (doc_id, text) -> distinct near-dup candidate pairs, online.
+    * The trailing dropDuplicates is itself stateful (a pair found in
+    * several bands, or found again on replay, emits once); production
+    * would give it a watermark/TTL alongside the band state's.
+    */
+  def lshCandidates(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    graft.functions.TextOps.register(s)
+    import s.implicits._
+    bandKeys(docs).as[BandIn]
+      .groupByKey(_.band_key)
+      .transformWithState(new BandIndex,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      .toDF()
+      .dropDuplicates("doc_a", "doc_b")
+  }
 }
