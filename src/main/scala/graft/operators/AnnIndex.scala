@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The IVF index AS A LAKE LAYOUT — xs2's cell assignment persisted as
+  * cell-partitioned parquet, so that at probe time the cell filter is
+  * a PARTITION filter and Spark plans only the probed cells'
+  * directories. This is the claim xs2's doc makes ("at 100 TB the
+  * cell assignment becomes the partitioning key, so a probe reads
+  * only its cells' files") turned into an actual on-disk operator
+  * with an executed-plan proof (AnnIndexSpec counts the scan's
+  * planned files): probe I/O scales with NProbe/Cells of the corpus,
+  * not the corpus.
+  *
+  * Layout under `path`:
+  *   centroids/   K rows (cid, cv, cnrm2) — the routing table, tiny
+  *   cells/cid=N/ the inverted file: (vec_id, v, nrm) of cell N
+  *
+  * Build trains xs2's deterministic k-means (lowest-xxhash init,
+  * fixed Lloyd iterations, rounded re-centers) and writes each
+  * vector into its nearest-centroid partition. `append` folds new
+  * vectors in ASSIGN-ONLY (xs5's maintenance contract: centroids
+  * frozen, new files land inside existing cell directories) — the
+  * index stays serveable during growth, retrain is a rebuild.
+  */
+object AnnIndex {
+
+  /** Normalize raw embeddings to the (vec_id, v, nrm) working shape. */
+  private def normalized(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(expr("vec_dot(v, v)")))
+
+  /** Train centroids on `embeddings` and write the full index. */
+  def build(spark: SparkSession, embeddings: DataFrame, path: String): Unit = {
+    graft.functions.VectorOps.register(spark)
+    val e = normalized(embeddings)
+    val centroids = graft.queries.Similarity.trainCentroids(e)
+    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    val assigned = graft.queries.Similarity.rankAgainst(e, centroids)
+      .filter(col("rn") === 1)
+      .select(col("cid"), col("vec_id"), col("v"), col("nrm"))
+    assigned.write.mode("overwrite").partitionBy("cid")
+      .parquet(s"$path/cells")
+  }
+
+  /** Assign-only fold-in of new vectors against the FROZEN centroid
+    * table (xs5's maintenance semantics): new files append inside
+    * their cells' directories; no existing file is touched.
+    */
+  def append(spark: SparkSession, embeddings: DataFrame, path: String): Unit = {
+    graft.functions.VectorOps.register(spark)
+    val centroids = broadcast(spark.read.parquet(s"$path/centroids"))
+    val assigned = graft.queries.Similarity
+      .rankAgainst(normalized(embeddings), centroids)
+      .filter(col("rn") === 1)
+      .select(col("cid"), col("vec_id"), col("v"), col("nrm"))
+    assigned.write.mode("append").partitionBy("cid")
+      .parquet(s"$path/cells")
+  }
+
+  /** The `nprobe` nearest cell ids to a query vector — K driver-side
+    * rows of routing math (bounded by the constant K, never the
+    * corpus), the same argmin arithmetic the build used.
+    */
+  def probedCells(spark: SparkSession, path: String,
+      query: Array[Double], nprobe: Int): Seq[Int] = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select(col("cid"), col("cv"), col("cnrm2")).collect()
+    cents.map { r =>
+        val cv = r.getSeq[Double](1)
+        val dot = cv.iterator.zip(query.iterator).map { case (a, b) => a * b }.sum
+        (r.getInt(0), r.getDouble(2) - 2.0 * dot)
+      }
+      .sortBy { case (cid, dist) => (dist, cid) }
+      .take(nprobe).map(_._1).toSeq
+  }
+
+  /** Top-k neighbors of `query` among the probed cells ONLY. The
+    * cid filter is a partition filter — AnnIndexSpec asserts the
+    * executed scan plans just the probed directories' files.
+    */
+  def probe(spark: SparkSession, path: String, query: Array[Double],
+      k: Int, nprobe: Int): DataFrame = {
+    graft.functions.VectorOps.register(spark)
+    val probed = probedCells(spark, path, query, nprobe)
+    val qv = array(query.map(lit): _*)
+    val qn = math.sqrt(query.map(x => x * x).sum)
+    val cells = spark.read.parquet(s"$path/cells")
+      .filter(col("cid").isin(probed: _*))
+    // sort+limit plans TakeOrderedAndProject — per-partition top-k
+    // then a k-row driver merge, no single-partition window
+    cells
+      .withColumn("qv", qv)
+      .select(col("vec_id").as("neighbor_id"),
+        round(expr("vec_dot(v, qv)") / (col("nrm") * lit(qn)), 4).as("score"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+      .limit(k)
+  }
+}

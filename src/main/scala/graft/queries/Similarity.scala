@@ -138,7 +138,7 @@ object Similarity {
     * (cid, cv, cnrm2) table. Only K centroid rows ever reach the
     * driver (bounded by the constant K, not the corpus).
     */
-  private[queries] def trainCentroids(train: org.apache.spark.sql.DataFrame)
+  private[graft] def trainCentroids(train: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val s = train.sparkSession
     import s.implicits._
@@ -178,7 +178,7 @@ object Similarity {
     * rn == 1 is the cell assignment (the inverted file), rn <= NProbe
     * the probe list.
     */
-  private[queries] def rankAgainst(e: org.apache.spark.sql.DataFrame,
+  private[graft] def rankAgainst(e: org.apache.spark.sql.DataFrame,
       centroidDf: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
     e.crossJoin(centroidDf)

@@ -1,0 +1,112 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The persisted IVF index must (1) partition the corpus exactly once
+  * across cell directories, (2) answer probes identically to scoring
+  * the probed cells of the in-memory layout, and (3) — the point —
+  * PLAN only the probed cells' files: the cid filter is a partition
+  * filter, so probe I/O is NProbe/Cells of the corpus by
+  * construction, which is the property that keeps a 100 TB index
+  * serveable.
+  */
+class AnnIndexSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def parquetFilesUnder(dir: String): Seq[String] = {
+    val root = Paths.get(dir)
+    if (!Files.exists(root)) return Nil
+    val out = Seq.newBuilder[String]
+    Files.walk(root).forEach { p =>
+      val n = p.getFileName.toString
+      if (n.endsWith(".parquet") && !n.startsWith("_")) out += p.toString
+    }
+    out.result()
+  }
+
+  private def scanNumFiles(df: org.apache.spark.sql.DataFrame): Long = {
+    df.collect()
+    val scans = df.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, "expected a parquet scan in the probe plan")
+    scans.map(_.metrics("numFiles").value).sum
+  }
+
+  test("build + probe: partition-pruned I/O and correct top-k") {
+    val path = Files.createTempDirectory("annidx").toString + "/idx"
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    AnnIndex.build(spark, emb, path)
+
+    // (1) every vector lands in exactly one cell
+    val cells = spark.read.parquet(s"$path/cells")
+    assert(cells.count() == emb.count())
+    assert(cells.select("vec_id").distinct().count() == emb.count())
+    val nCells = cells.select("cid").distinct().count()
+    assert(nCells > 1, "k-means must spread the corpus across cells")
+
+    // a probe query: vector 7's embedding
+    val q = emb.filter(col("vec_id") === 7L)
+      .select(col("embedding").cast("array<double>"))
+      .head.getSeq[Double](0).toArray
+    val probed = AnnIndex.probedCells(spark, path, q, nprobe = 3)
+    assert(probed.size == 3 && probed.distinct.size == 3)
+
+    // (2) probe == brute force over exactly the probed cells
+    val res = AnnIndex.probe(spark, path, q, k = 5, nprobe = 3)
+    val got = res.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    graft.functions.VectorOps.register(spark)
+    val qn = math.sqrt(q.map(x => x * x).sum)
+    val expected = cells.filter(col("cid").isin(probed: _*))
+      .withColumn("qv", array(q.map(lit): _*))
+      .select(col("vec_id").as("neighbor_id"),
+        round(expr("vec_dot(v, qv)") / (col("nrm") * lit(qn)), 4).as("score"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+      .limit(5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == expected)
+    assert(got.size == 5)
+
+    // (3) the executed probe scan planned ONLY the probed dirs' files
+    val probedFiles =
+      probed.flatMap(c => parquetFilesUnder(s"$path/cells/cid=$c")).size
+    val allFiles = parquetFilesUnder(s"$path/cells").size
+    val planned = scanNumFiles(AnnIndex.probe(spark, path, q, 5, 3))
+    assert(planned == probedFiles.toLong,
+      s"planned $planned files, probed dirs hold $probedFiles")
+    assert(planned < allFiles.toLong,
+      "pruning must beat a full scan on a multi-cell index")
+  }
+
+  test("append folds new vectors into existing cells, probe sees them") {
+    val path = Files.createTempDirectory("annidx2").toString + "/idx"
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val base = emb.filter(col("vec_id") % 10 =!= 0)
+    val extra = emb.filter(col("vec_id") % 10 === 0)
+    AnnIndex.build(spark, base, path)
+    val before = spark.read.parquet(s"$path/cells").count()
+    AnnIndex.append(spark, extra, path)
+    val after = spark.read.parquet(s"$path/cells")
+    assert(after.count() == emb.count() && before < emb.count())
+    // appended rows are routed by the FROZEN centroids: re-ranking any
+    // appended vector against the stored routing table agrees with the
+    // cell directory it landed in
+    graft.functions.VectorOps.register(spark)
+    val cents = broadcast(spark.read.parquet(s"$path/centroids"))
+    val want = graft.queries.Similarity.rankAgainst(
+        after.filter(col("vec_id") % 10 === 0).select("vec_id", "v", "nrm"),
+        cents)
+      .filter(col("rn") === 1).select(col("vec_id"), col("cid").as("want"))
+    val mismatch = after.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id"), col("cid"))
+      .join(want, "vec_id")
+      .filter(col("cid") =!= col("want")).count()
+    assert(mismatch == 0L)
+  }
+}
