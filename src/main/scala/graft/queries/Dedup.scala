@@ -738,6 +738,41 @@ object Dedup {
 
   private[queries] def containmentPairs(groups: DataFrame,
       t: Double): DataFrame = {
+    val s = groups.sparkSession
+    import s.implicits._
+    // vocabulary probe (qx2's gate, one bounded 65-row action): at
+    // <=64 tokens every set is a bitmask and the exact intersection is
+    // one popcount — a G×G broadcast theta join with a threshold
+    // prefilter (inter/min(sa,sb) qualifies in SOME direction), vs the
+    // dense small-vocab corpus's co-occurrence join whose row count is
+    // Σ_token df² (~100M at sf0.1, the query's former dominant cost).
+    val vprobe = groups.select(explode(col("toks")).as("token"))
+      .distinct().limit(65).as[String].collect()
+    if (vprobe.length <= 64) {
+      val vocab = broadcast(vprobe.sorted.zipWithIndex.toSeq
+        .toDF("token", "idx"))
+      val masks = groups
+        .select(col("gid"), explode(col("toks")).as("token"))
+        .join(vocab, "token")
+        .groupBy("gid")
+        .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), idx)")).as("mask"))
+      val withMask = groups.join(masks, "gid")
+      val a = withMask.select(col("gid").as("gid_a"), col("ids").as("ids_a"),
+        col("sz").as("sa"), col("mask").as("ma"))
+      val b = withMask.select(col("gid").as("gid_b"), col("ids").as("ids_b"),
+        col("sz").as("sb"), col("mask").as("mb"))
+      val inter = bit_count(col("ma").bitwiseAND(col("mb"))).cast("long")
+      // same double-division comparisons dirs applies below, so no
+      // exact-threshold boundary can diverge between gate and report
+      val und = own(a.join(broadcast(b), col("gid_a") < col("gid_b") &&
+          (inter.cast("double") / col("sa") >= t ||
+            inter.cast("double") / col("sb") >= t))
+        .withColumn("inter", inter)
+        .select(col("gid_a"), col("sa"), col("ids_a"),
+          col("gid_b"), col("sb"), col("ids_b"), col("inter"))
+        .persist())
+      return expandContainment(groups, und, t)
+    }
     val gtok = groups.select(col("gid"), col("sz"),
       explode(col("htoks")).as("token"))
     val (dfreq, hotCap, anyHot) = hotStats(groups)
@@ -777,6 +812,15 @@ object Dedup {
             col("gid_b"), col("sb"), col("ids_b"), col("inter"))
           .persist())
       }
+    expandContainment(groups, und, t)
+  }
+
+  /** Undirected qualifying group pairs -> the directed doc-level
+    * containment report (both directions re-checked at the same
+    * double-division threshold) plus the intra-group J=1 pairs.
+    */
+  private def expandContainment(groups: DataFrame, und: DataFrame,
+      t: Double): DataFrame = {
     val dirs = und.select(col("gid_a").as("gid_in"), col("sa").as("sz_in"),
         col("gid_b").as("gid_of"), col("ids_a").as("ids_in"),
         col("ids_b").as("ids_of"), col("inter"))

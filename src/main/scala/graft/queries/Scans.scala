@@ -222,13 +222,18 @@ object Scans {
     */
   val xv3 = GQuery(
     "xv3_version_diff",
-    (s, d) => {
+    (s, d) => reap {
       val c = Ctx(s, d)
-      val v1 = c.orders.select(
+      // v1 feeds the before-hash side AND both of v2's derivation
+      // branches — persist the narrow projection so orders is scanned
+      // once, not three times (a real diff reads two stored versions;
+      // the in-query mutation is the self-contained fixture form)
+      val v1 = own(c.orders.select(
         col("o_orderkey").as("k"), col("o_custkey"), col("o_orderstatus"),
         col("o_orderpriority"),
         col("o_totalprice").cast("decimal(18,4)").as("price"),
         col("o_orderdate").cast("date").as("odate"))
+        .persist())
       val v2 = v1.filter(col("k") % 97 =!= 3)
         .withColumn("price",
           when(col("k") % 89 === 5, col("price") + lit(1))
