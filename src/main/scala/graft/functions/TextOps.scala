@@ -105,6 +105,8 @@ object TextOps {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "term_counts", exprs => TermCounts(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bigram_counts", exprs => BigramCounts(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "shingle_hash", exprs => ShingleHash(exprs.head,
         exprs(1).eval().asInstanceOf[Int]), "built-in")
   }
@@ -281,5 +283,80 @@ object ShingleHash {
     i = 0
     while (it.hasNext) { out(i) = it.next(); i += 1 }
     new GenericArrayData(out)
+  }
+}
+
+/** Per-document character-BIGRAM frequencies fused into one byte scan:
+  * text → MAP<gram, count> of every adjacent 2-char window containing
+  * no space — exactly xt3's declarative
+  * `filter(transform(sequence(1, length(text)-1), i -> substring(text, i, 2)),
+  *         g -> length(g) = 2 AND NOT contains(g, ' '))`
+  * then count-by-gram (spec'd equivalent in TextOpsSpec), without
+  * materializing a per-character substring array per row. ASCII
+  * contract as Tokenize: the byte walk treats each byte as one
+  * character, which matches substring() on the fixture's ASCII text;
+  * multi-byte code points would diverge and are out of the corpus
+  * contract (FIXTURES.md).
+  */
+case class BigramCounts(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"bigram_counts expects STRING, got ${child.dataType.sql}")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.MapType(StringType,
+      org.apache.spark.sql.types.IntegerType, valueContainsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    BigramCounts.counts(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.BigramCounts.counts($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): BigramCounts =
+    copy(child = newChild)
+}
+
+object BigramCounts {
+
+  /** Static kernel (called from generated code): one pass, space-free
+    * adjacent byte pairs into an insertion-ordered count map.
+    */
+  def counts(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayBasedMapData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    val m = new java.util.LinkedHashMap[UTF8String, Array[Int]](16)
+    var i = 0
+    while (i < n - 1) {
+      val a = bytes(i)
+      val b = bytes(i + 1)
+      if (a != ' ' && b != ' ') {
+        val tb = new Array[Byte](2)
+        tb(0) = a
+        tb(1) = b
+        val t = UTF8String.fromBytes(tb)
+        val c = m.get(t)
+        if (c == null) m.put(t, Array(1)) else c(0) += 1
+      }
+      i += 1
+    }
+    val sz = m.size()
+    val keys = new Array[AnyRef](sz)
+    val vals = new Array[Int](sz)
+    val it = m.entrySet().iterator()
+    i = 0
+    while (it.hasNext) {
+      val e = it.next()
+      keys(i) = e.getKey
+      vals(i) = e.getValue()(0)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+      new GenericArrayData(keys), new GenericArrayData(vals))
   }
 }

@@ -81,32 +81,29 @@ object TextAnalysis {
     "xt3_lang_id",
     (s, d) => reap {
       val c = Ctx(s, d)
-      // bigram ARRAYS per doc, persisted at doc granularity: the
-      // profile branch explodes all occurrences, the scoring branch
-      // explodes the per-row array_distinct — so the distinct runs in
-      // the scan stage per document instead of as a corpus-wide
-      // exploded-row shuffle (7.0 s -> 6.0 s cold / 1.5 s warm at
-      // sf0.1 — the remaining cold cost is per-stage codegen, not
-      // data). (Space-free check replaces the regex: text is
-      // lowercase words.)
+      graft.functions.TextOps.register(s)
+      // bigram COUNT MAPS per doc (one byte-walk kernel pass,
+      // persisted): the profile branch explodes (gram, per-doc count)
+      // rows — already distinct per doc — and the scoring branch
+      // explodes just the keys, so neither branch ever shuffles the
+      // per-occurrence gram stream and no per-character substring
+      // array is materialized (the r6 HOF form built one per row;
+      // 1.5 s warm → ~1.0 s, and the cold gap was the HOF codegen).
       val base = own(c.documents
-        .select(col("doc_id"), col("lang"), expr(
-          """filter(transform(sequence(1, length(text) - 1),
-            |  i -> substring(text, i, 2)),
-            |  g -> length(g) = 2 AND NOT contains(g, ' '))""".stripMargin)
-          .as("grams"))
+        .select(col("doc_id"), col("lang"),
+          call_function("bigram_counts", col("text")).as("bg"))
         .persist())
       // profile: top-20 bigrams per language by frequency
       val profile = base
-        .select(col("lang"), explode(col("grams")).as("gram"))
-        .groupBy("lang", "gram").agg(count(lit(1)).as("cnt"))
+        .select(col("lang"), explode(col("bg")).as(Seq("gram", "cnt_d")))
+        .groupBy("lang", "gram").agg(sum(col("cnt_d")).as("cnt"))
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("gram"))))
         .filter(col("rn") <= 20)
         .select(col("lang").as("profile_lang"), col("gram"))
       // score each doc against each profile by distinct-gram overlap
       val docGrams = base.select(col("doc_id"), col("lang"),
-        explode(array_distinct(col("grams"))).as("gram"))
+        explode(map_keys(col("bg"))).as("gram"))
       val scored = docGrams.join(broadcast(profile), Seq("gram"))
         .groupBy("doc_id", "lang", "profile_lang")
         .agg(count(lit(1)).as("overlap"))
@@ -657,6 +654,104 @@ object TextAnalysis {
         |FROM red""".stripMargin +
         orderAll("doc_id")))
 
+  /** xt14: corpus drift monitor — Jensen-Shannon divergence between
+    * two corpus snapshots' per-language term distributions, plus each
+    * language's top-drifting term. The distribution-shift gate a
+    * training pipeline runs between crawl snapshots: JS is symmetric,
+    * bounded [0, ln 2], and defined even where one side's term is
+    * absent (unlike raw KL), so no smoothing constant to tune. The
+    * two "snapshots" are the deterministic doc_id-parity halves of
+    * the corpus — self-contained, like xv3's in-query versions.
+    *
+    * Scale shape: one term_counts scan-stage pass with the half tag
+    * in the aggregation key; everything downstream works on the
+    * (lang, term) vocabulary table — per-lang totals ride a window
+    * over it, the JS fold and the drift ranking are vocabulary-sized
+    * aggregates. The corpus is never touched twice.
+    *
+    * Determinism: xt6's fixed-point discipline — each term's JS
+    * contribution and its probability delta are quantized to BIGINT
+    * (×1e9) BEFORE summation/ranking, so cross-engine float-order
+    * divergence is impossible; p, q, m are double divisions of
+    * identical integers and ln agrees bit-for-bit on identical
+    * doubles (the xt5/xt6/q34 libm contract).
+    */
+  val xt14 = GQuery(
+    "xt14_vocab_drift",
+    (s, d) => reap {
+      val c = Ctx(s, d)
+      val tf = own(c.documents
+        .withColumn("half", (col("doc_id") % 2 === 0).cast("int"))
+        .select(col("lang"), col("half"),
+          explode(Llm.termCounts(s, col("text"))).as(Seq("term", "tfi")))
+        .groupBy("lang", "term")
+        .agg(sum(when(col("half") === 1, col("tfi")).otherwise(0L)).as("cnt_a"),
+          sum(when(col("half") === 0, col("tfi")).otherwise(0L)).as("cnt_b"))
+        .persist())
+      val w = Window.partitionBy("lang")
+      val probs = tf
+        .withColumn("tot_a", sum(col("cnt_a")).over(w))
+        .withColumn("tot_b", sum(col("cnt_b")).over(w))
+        .withColumn("p", col("cnt_a").cast("double") / col("tot_a"))
+        .withColumn("q", col("cnt_b").cast("double") / col("tot_b"))
+        .withColumn("m", (col("p") + col("q")) / 2)
+        .withColumn("c9", expr(
+          """CAST(round((CASE WHEN cnt_a > 0 THEN p * ln(p / m) ELSE 0.0 END
+            |           + CASE WHEN cnt_b > 0 THEN q * ln(q / m) ELSE 0.0 END)
+            |          / 2 * 1e9) AS BIGINT)""".stripMargin))
+        .withColumn("d9", expr("CAST(round((p - q) * 1e9) AS BIGINT)"))
+      val js = probs.groupBy("lang").agg(
+        max(col("tot_a")).as("total_a"), max(col("tot_b")).as("total_b"),
+        count(lit(1)).as("n_vocab"),
+        round(sum(col("c9")).cast("double") / lit(1e9), 6).as("js_div"))
+      val wd = Window.partitionBy("lang")
+        .orderBy(col("d9").desc, col("term").asc)
+      val top = probs.withColumn("rn", row_number().over(wd))
+        .filter(col("rn") === 1)
+        .select(col("lang"), col("term").as("top_term"),
+          round(col("d9").cast("double") / lit(1e9), 6).as("top_delta"))
+      canon(js.join(top, "lang"))
+    },
+    Some(
+      """WITH tok AS (
+        |  SELECT lang, CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS half, t.term
+        |  FROM documents,
+        |    UNNEST(list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS t(term)),
+        |tf AS (
+        |  SELECT lang, term,
+        |    SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS cnt_a,
+        |    SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS cnt_b
+        |  FROM tok GROUP BY 1, 2),
+        |probs AS (
+        |  SELECT lang, term, cnt_a, cnt_b,
+        |    SUM(cnt_a) OVER (PARTITION BY lang) AS tot_a,
+        |    SUM(cnt_b) OVER (PARTITION BY lang) AS tot_b,
+        |    CAST(cnt_a AS DOUBLE) / SUM(cnt_a) OVER (PARTITION BY lang) AS p,
+        |    CAST(cnt_b AS DOUBLE) / SUM(cnt_b) OVER (PARTITION BY lang) AS q
+        |  FROM tf),
+        |contrib AS (
+        |  SELECT lang, term, cnt_a, cnt_b, tot_a, tot_b, p, q,
+        |    CAST(round((CASE WHEN cnt_a > 0 THEN p * ln(p / ((p + q) / 2)) ELSE 0.0 END
+        |               + CASE WHEN cnt_b > 0 THEN q * ln(q / ((p + q) / 2)) ELSE 0.0 END)
+        |              / 2 * 1e9) AS BIGINT) AS c9,
+        |    CAST(round((p - q) * 1e9) AS BIGINT) AS d9
+        |  FROM probs),
+        |js AS (
+        |  SELECT lang, CAST(MAX(tot_a) AS BIGINT) AS total_a,
+        |    CAST(MAX(tot_b) AS BIGINT) AS total_b,
+        |    COUNT(*) AS n_vocab,
+        |    ROUND(CAST(SUM(c9) AS DOUBLE) / 1e9, 6) AS js_div
+        |  FROM contrib GROUP BY lang),
+        |top AS (
+        |  SELECT lang, term AS top_term,
+        |    ROUND(CAST(d9 AS DOUBLE) / 1e9, 6) AS top_delta,
+        |    row_number() OVER (PARTITION BY lang ORDER BY d9 DESC, term ASC) AS rn
+        |  FROM contrib)
+        |SELECT js.lang AS lang, total_a, total_b, n_vocab, js_div, top_term, top_delta
+        |FROM js JOIN top ON js.lang = top.lang AND top.rn = 1""".stripMargin +
+        orderAll("lang", "total_a", "total_b", "n_vocab", "js_div",
+          "top_term", "top_delta")))
+
   def queries: Seq[GQuery] =
-    Seq(xt1, xt2, xt3, xt4, xt5, xt6, xt7, xt8, xt9, xt10, xt11, xt13)
+    Seq(xt1, xt2, xt3, xt4, xt5, xt6, xt7, xt8, xt9, xt10, xt11, xt13, xt14)
 }

@@ -74,6 +74,30 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bigram_counts equals the declarative substring-window form") {
+    TextOps.register(spark)
+    val g = Gen.listOfN(200, Gen.listOfN(50,
+      Gen.frequency(
+        (6, Gen.oneOf('a', 'b', 'c', 'x')),
+        (3, Gen.const(' ')),
+        (1, Gen.oneOf('.', '1', '-')))).map(_.mkString))
+    val strings = g.apply(Gen.Parameters.default, Seed(17L)).get ++
+      Seq("", " ", "a", "ab", "a b", "  ", "abc", "ab cd ef", "x" * 200)
+    val rows = strings.toDF("s")
+      .select(call_function("bigram_counts", col("s")).as("m"),
+        expr("""filter(transform(sequence(1, greatest(length(s) - 1, 1)),
+               |  i -> substring(s, i, 2)),
+               |  g -> length(g) = 2 AND NOT contains(g, ' '))""".stripMargin)
+          .as("ref"))
+      .collect()
+    rows.foreach { r =>
+      val m = r.getMap[String, Int](0).toMap
+      val ref = r.getSeq[String](1)
+        .groupBy(identity).map { case (t, gs) => t -> gs.size }
+      assert(m == ref, s"ref grams: ${r.getSeq[String](1)}")
+    }
+  }
+
   test("term_counts null propagates") {
     TextOps.register(spark)
     val r = Seq[Option[String]](None, Some("a b a")).toDF("s")
