@@ -600,6 +600,73 @@ object EventOps {
         |FROM r GROUP BY hr""".stripMargin +
         orderAll("hour_bucket")))
 
+  /** xe8: hourly traffic anomaly detection — each hour's event count
+    * z-scored against its trailing 24 hours (current hour excluded),
+    * flagged at |z| > 3. The ops-monitoring gate over an event
+    * pipeline (traffic collapse = upstream outage; spike = replay or
+    * abuse), and the classic trailing-baseline shape expressed so the
+    * result is CROSS-ENGINE EXACT despite being "statistics":
+    *
+    *   mean = s/n,  sd = sqrt(n·s2 − s²)/n
+    *   z = (cnt − mean)/sd = (cnt·n − s) / sqrt(n·s2 − s²)
+    *
+    * — s, s2, n come from exact BIGINT window sums over the hourly
+    * count table, so both the z numerator and the sqrt argument are
+    * exact integers and the one double division + sqrt is bit-equal
+    * on both engines (no float accumulation anywhere). z is NULL
+    * until 12 reference hours exist and when the window is constant
+    * (sd = 0).
+    *
+    * Scale shape: events aggregate once to the hour table (partial
+    * agg in the scan stage); the ROWS-frame window runs over DISTINCT
+    * HOURS — thousands of rows per year regardless of event volume.
+    */
+  val xe8 = GQuery(
+    "xe8_hourly_anomaly",
+    (s, d) => {
+      val c = Ctx(s, d)
+      val hourly = c.events
+        .select(date_trunc("hour", col("ts")).as("hr"))
+        .groupBy("hr").agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy("hr").rowsBetween(-24, -1)
+      val stats = hourly
+        .withColumn("n", count(col("cnt")).over(w))
+        .withColumn("s", sum(col("cnt")).over(w))
+        .withColumn("s2", sum(col("cnt") * col("cnt")).over(w))
+        .withColumn("num", col("n") * col("s2") - col("s") * col("s"))
+      val z = when(col("n") >= 12 && col("num") > 0,
+        round((col("cnt") * col("n") - col("s")).cast("double") /
+          sqrt(col("num").cast("double")), 4))
+      canon(stats.select(col("hr"), col("cnt"), col("n").as("n_ref"),
+        when(col("n") >= 12,
+          round(col("s").cast("double") / col("n"), 4)).as("ref_mean"),
+        z.as("z"),
+        when(z.isNotNull, abs(z) > lit(3.0)).as("is_anomaly")))
+    },
+    Some(
+      """WITH h AS (
+        |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr, COUNT(*) AS cnt
+        |  FROM events GROUP BY 1),
+        |st AS (
+        |  SELECT hr, cnt,
+        |    COUNT(cnt) OVER tw AS n,
+        |    SUM(cnt) OVER tw AS s,
+        |    SUM(cnt * cnt) OVER tw AS s2
+        |  FROM h WINDOW tw AS (ORDER BY hr ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+        |f AS (
+        |  SELECT hr, cnt, n, s, n * s2 - s * s AS num FROM st),
+        |r AS (
+        |  SELECT hr, cnt, CAST(n AS BIGINT) AS n_ref,
+        |    CASE WHEN n >= 12 THEN ROUND(CAST(s AS DOUBLE) / n, 4) END AS ref_mean,
+        |    CASE WHEN n >= 12 AND num > 0 THEN
+        |      ROUND(CAST(cnt * n - s AS DOUBLE) / sqrt(CAST(num AS DOUBLE)), 4)
+        |    END AS z
+        |  FROM f)
+        |SELECT hr, cnt, n_ref, ref_mean, z,
+        |  CASE WHEN z IS NOT NULL THEN abs(z) > 3.0 END AS is_anomaly
+        |FROM r""".stripMargin +
+        orderAll("hr", "cnt", "n_ref", "ref_mean", "z", "is_anomaly")))
+
   def queries: Seq[GQuery] =
-    Seq(q29, q30, q31, q32, q41, xe1, xe2, xe3, xe4, xe5, xe6, xe7)
+    Seq(q29, q30, q31, q32, q41, xe1, xe2, xe3, xe4, xe5, xe6, xe7, xe8)
 }

@@ -26,7 +26,9 @@ class CacheHygieneSpec extends AnyFunSuite {
     "xd7_semantic_dedup", "xd8_semantic_clusters", "xd10_containment",
     "xs2_ann_ivf", "xs3_ann_quantized", "xs4_ann_query",
     "xs5_ann_incremental", "xp2_curation_full", "xe6_markov_rank",
-    "xt3_lang_id", "xt6_lm_score", "xt11_bigram_lm",
+    "xt3_lang_id", "xt5_tfidf", "xt6_lm_score", "xt11_bigram_lm",
+    "xt14_vocab_drift", "xv3_version_diff",
+    "xr1_lsh_recall", "xr5_minhash_recall", "xr6_simhash_precision",
     "q11b_binned_range_join", "xi2_incremental_quantiles")
 
   for (name <- caching) test(s"$name leaves no cached frames behind") {
