@@ -417,5 +417,68 @@ object Similarity {
     },
     None)
 
-  def queries: Seq[GQuery] = Seq(xs1, xs2, xs3, xs4, xs5, xd7)
+  /** xs6: embedding-space audit — per-DIMENSION statistics of the
+    * corpus embedding matrix: mean, variance, zero fraction, and a
+    * dead-dimension flag (variance below 1e-6 — a collapsed axis
+    * contributes nothing to any distance and usually signals an
+    * upstream encoder bug or a truncated export). The quality gate an
+    * embedding pipeline runs before building ANN indexes on a new
+    * model's vectors; complements the xs1-xs5 family which all ASSUME
+    * the space is healthy.
+    *
+    * Cross-engine exactness for "statistics over floats": each
+    * element is quantized to BIGINT (×1e6) in the scan projection, so
+    * the per-dimension sums and sums-of-squares are EXACT integer
+    * aggregates (64 dims × corpus rows; q6² fits: |x|<~10 ⇒ q6<1e7,
+    * q6²<1e14, ×5e3 rows <1e18 < 2⁶³) and the final mean/variance are
+    * single double divisions of exact integers — bit-equal on both
+    * engines regardless of aggregation order. Output is 64 rows at
+    * any corpus size; the only corpus-sized work is one posexplode +
+    * partial aggregate in the scan stage.
+    */
+  val xs6 = GQuery(
+    "xs6_embedding_audit",
+    (s, d) => {
+      val c = Ctx(s, d)
+      val q = c.embeddings
+        .select(posexplode(expr(
+          "transform(CAST(embedding AS ARRAY<DOUBLE>), x -> CAST(round(x * 1e6) AS BIGINT))"))
+          .as(Seq("dim", "q6")))
+      canon(q.groupBy("dim").agg(
+          count(lit(1)).as("n"),
+          sum(col("q6")).as("s"),
+          sum(col("q6") * col("q6")).as("s2"),
+          sum(when(col("q6") === 0L, 1L).otherwise(0L)).as("n_zero"))
+        .select(col("dim"), col("n"),
+          round(col("s").cast("double") / col("n") / lit(1e6), 6).as("mean"),
+          round((col("s2").cast("double") * col("n") -
+              col("s").cast("double") * col("s").cast("double")) /
+            (col("n").cast("double") * col("n")) / lit(1e12), 6).as("variance"),
+          round(col("n_zero").cast("double") / col("n"), 6).as("zero_frac"),
+          ((col("s2").cast("double") * col("n") -
+              col("s").cast("double") * col("s").cast("double")) /
+            (col("n").cast("double") * col("n")) / lit(1e12) < 1e-6)
+            .as("is_dead")))
+    },
+    Some(
+      """WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (
+        |  SELECT CAST(d.dim AS INT) AS dim,
+        |    CAST(round(v[CAST(d.dim AS INT) + 1] * 1e6) AS BIGINT) AS q6
+        |  FROM e, UNNEST(range(len(v))) AS d(dim)),
+        |agg AS (
+        |  SELECT dim, COUNT(*) AS n, SUM(q6) AS s, SUM(q6 * q6) AS s2,
+        |    SUM(CASE WHEN q6 = 0 THEN 1 ELSE 0 END) AS n_zero
+        |  FROM q GROUP BY dim)
+        |SELECT CAST(dim AS INT) AS dim, n,
+        |  ROUND(CAST(s AS DOUBLE) / n / 1e6, 6) AS mean,
+        |  ROUND((CAST(s2 AS DOUBLE) * n - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) * n) / 1e12, 6) AS variance,
+        |  ROUND(CAST(n_zero AS DOUBLE) / n, 6) AS zero_frac,
+        |  (CAST(s2 AS DOUBLE) * n - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * n) / 1e12 < 1e-6 AS is_dead
+        |FROM agg""".stripMargin +
+        orderAll("dim", "n", "mean", "variance", "zero_frac", "is_dead")))
+
+  def queries: Seq[GQuery] = Seq(xs1, xs2, xs3, xs4, xs5, xs6, xd7)
 }
