@@ -591,4 +591,100 @@ object StreamingOps {
       .toDF()
       .dropDuplicates("doc_a", "doc_b")
   }
+
+  /** One (lang, term, count) arrival from a streamed document. */
+  final case class TermArrival(lang: String, term: String, cnt: Long)
+
+  /** Per-language drift snapshot after a micro-batch: `n_terms` =
+    * stream-side vocabulary so far, `stream_tokens` = its mass,
+    * `js_div` = Jensen-Shannon divergence between the running stream
+    * term distribution and the reference profile (xt14's statistic,
+    * online). Update semantics: the LAST row per lang is current.
+    */
+  final case class Drift(lang: String, n_terms: Long, stream_tokens: Long,
+      js_div: Double)
+
+  /** xt14's drift monitor ONLINE — the distribution-shift alarm a
+    * training pipeline runs against the live ingest stream instead of
+    * between snapshots: per language, exact running term counts as
+    * MapState (vocabulary-bounded, the xt7/MG-sketch state
+    * discipline; a production deployment caps it with the same MG
+    * summary or a df floor), and after each micro-batch the JS
+    * divergence of the stream-so-far distribution against a FROZEN
+    * reference profile (a lake snapshot's (lang, term, cnt) table).
+    *
+    * Determinism: xt14's fixed-point discipline — each term's JS
+    * contribution is quantized to BIGINT (×1e9) before the fold, and
+    * integer addition is order-free, so the emitted js_div is
+    * identical whatever order the state iterator walks the
+    * vocabulary. The reference rides into the processor as plain
+    * constructor data (vocabulary-sized, the K-centroids precedent —
+    * bounded by vocab, never by corpus).
+    */
+  class DriftMonitor(reference: Map[String, Map[String, Long]])
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, TermArrival, Drift] {
+    @transient private var counts:
+        org.apache.spark.sql.streaming.MapState[String, Long] = _
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("counts",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[TermArrival],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[Drift] = {
+      rows.foreach { r =>
+        val prev = if (counts.containsKey(r.term)) counts.getValue(r.term) else 0L
+        counts.updateValue(r.term, prev + r.cnt)
+      }
+      val stream = counts.iterator().toIndexedSeq
+      val ref = reference.getOrElse(key, Map.empty)
+      val totS = stream.map(_._2).sum
+      val totR = ref.valuesIterator.sum
+      val vocab = (stream.map(_._1) ++ ref.keys).distinct
+      val sMap = stream.toMap
+      var js9 = 0L
+      vocab.foreach { t =>
+        val p = if (totS == 0) 0.0 else sMap.getOrElse(t, 0L).toDouble / totS
+        val q = if (totR == 0) 0.0 else ref.getOrElse(t, 0L).toDouble / totR
+        val m = (p + q) / 2
+        val c = (if (p > 0) p * math.log(p / m) else 0.0) +
+          (if (q > 0) q * math.log(q / m) else 0.0)
+        js9 += math.round(c / 2 * 1e9)
+      }
+      Iterator.single(
+        Drift(key, stream.size.toLong, totS, js9.toDouble / 1e9))
+    }
+  }
+
+  /** docs (lang, text) + a static reference profile (lang, term, cnt)
+    * -> per-language drift stream. The reference collect is
+    * vocabulary-sized driver state (documented bound, the centroid
+    * precedent), frozen for the life of the query.
+    */
+  def driftStream(docs: DataFrame, reference: DataFrame)
+      : org.apache.spark.sql.Dataset[Drift] = {
+    val s = docs.sparkSession
+    graft.functions.TextOps.register(s)
+    import s.implicits._
+    val ref = reference.select(col("lang"), col("term"),
+        col("cnt").cast("long"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (l, rs) =>
+        l -> rs.map(r => r.getString(1) -> r.getLong(2)).toMap }
+    docs
+      .select(col("lang"),
+        explode(expr("term_counts(text)")).as(Seq("term", "tfi")))
+      .select(col("lang"), col("term"), col("tfi").cast("long").as("cnt"))
+      .as[TermArrival]
+      .groupByKey(_.lang)
+      .transformWithState(new DriftMonitor(ref),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+  }
 }
