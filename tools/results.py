@@ -68,6 +68,19 @@ with open(out_path, "w") as f:
             f"Spark total {spark['value']:.1f}s = {budgeted_s:.1f}s budgeted "
             f"(duckdb {budgeted_d:.1f}s) + {unbudgeted_s:.1f}s unbudgeted "
             f"sketch/ANN paths DuckDB has no counterpart for.\n\n")
+    # headline aggregate with xd9's intractable-oracle outlier removed
+    ex_s = sum(r[2] for r in rows
+               if r[1] is not None and r[0] != "xd9_edit_distance")
+    ex_d = sum(r[1] for r in rows
+               if r[1] is not None and r[0] != "xd9_edit_distance")
+    n_beat = sum(1 for r in rows
+                 if r[1] is not None and r[2] < r[1])
+    if ex_d > 0:
+        f.write(f"Aggregate excluding xd9 (its unbounded-DP levenshtein "
+                f"oracle is the one intractable outlier, Spark 0.7s vs "
+                f"DuckDB ~230s): Spark {ex_s:.1f}s vs DuckDB {ex_d:.1f}s = "
+                f"**{ex_s / ex_d:.2f}x**; Spark beats DuckDB outright on "
+                f"{n_beat} budgeted queries.\n\n")
     if cold:
         if cold_risks:
             f.write("Cold-run budget risks (cold > warm budget; verdicts "
