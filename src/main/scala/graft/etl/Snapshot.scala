@@ -681,19 +681,30 @@ object Snapshot {
     * (vacuum's job), and the replay commits cleanly. Returns the
     * published version, or None if the batch was already committed.
     */
-  def commitAppendOnce(df: DataFrame, path: String, streamId: String,
-      batchId: Long): Option[Long] = {
-    require(!streamId.contains("\n") && !streamId.contains("/"),
-      s"streamId must be a plain token: $streamId")
+  /** Newest committed batch id for `streamId`, if any — the PUBLIC
+    * replay probe behind commitAppendOnce's skip, for sinks whose OWN
+    * side effects (quarantine writes, ops counters, index updates)
+    * must also be replay-safe: check this BEFORE computing anything,
+    * because after the original commit the lake already contains the
+    * batch's rows and any recomputation would see them (e.g. a
+    * replayed dedup batch matching its own survivors). None when the
+    * table doesn't exist yet or the stream has never committed.
+    */
+  def lastCommittedBatch(path: String, streamId: String): Option[Long] = {
     val (fs, root) = resolve(path)
+    if (!fs.exists(root)) None else lastMarkedIn(fs, root, streamId)
+  }
+
+  // batch ids are delivered monotonically PER STREAM, so only this
+  // stream's newest marker matters. Every manifest carries the full
+  // txn state forward, so the scan stops at the newest manifest in
+  // the current format; the walk continues only across legacy
+  // manifests that predate carried state.
+  private def lastMarkedIn(fs: FileSystem, root: Path,
+      streamId: String): Option[Long] = {
     val prefix = s"#txn=$streamId/"
     val statePrefix = s"#txnstate=$streamId/"
-    // batch ids are delivered monotonically PER STREAM, so only this
-    // stream's newest marker matters. Every manifest carries the full
-    // txn state forward, so the scan stops at the newest manifest in
-    // the current format; the walk continues only across legacy
-    // manifests that predate carried state.
-    def lastMarked: Option[Long] = versionsIn(fs, root).reverseIterator
+    versionsIn(fs, root).reverseIterator
       .map { v =>
         val ids = headerOf(fs, root, v).collect {
           case l if l.startsWith(prefix) => l.drop(prefix.length).toLong
@@ -702,6 +713,15 @@ object Snapshot {
         ids.maxOption
       }
       .collectFirst { case Some(id) => id }
+  }
+
+  def commitAppendOnce(df: DataFrame, path: String, streamId: String,
+      batchId: Long): Option[Long] = {
+    require(!streamId.contains("\n") && !streamId.contains("/"),
+      s"streamId must be a plain token: $streamId")
+    val (fs, root) = resolve(path)
+    val prefix = s"#txn=$streamId/"
+    def lastMarked: Option[Long] = lastMarkedIn(fs, root, streamId)
     // data written at most once (lazily: a replayed batch writes
     // nothing); the marker is RE-CHECKED inside every retry, so a race
     // lost to another instance of the SAME stream committing this very

@@ -65,7 +65,7 @@ object Dedup {
     * explode → distinct → groupBy(doc) → groupBy(set) form shuffled
     * every token three times and was measured 7x slower cold at
     * sf0.1 for identical output. */
-  private[queries] def setGroups(docs: DataFrame): DataFrame =
+  private[graft] def setGroups(docs: DataFrame): DataFrame =
     own(docs
       .select(col("doc_id"),
         sort_array(array_distinct(Llm.tokens(docs.sparkSession, col("text")))).as("toks"))
@@ -323,7 +323,7 @@ object Dedup {
     * gb: (gid_b, toks_b, h_b, sb). A gid present on both sides IS a
     * legal edge (identical token set across sides, J = 1).
     */
-  private[queries] def crossEdgesGeneral(ga: DataFrame, gb: DataFrame,
+  private[graft] def crossEdgesGeneral(ga: DataFrame, gb: DataFrame,
       threshold: Double): DataFrame = {
     val ta = ga.select(col("gid_a"), col("sa"), explode(col("h_a")).as("token"))
     val tb = gb.select(col("gid_b"), col("sb"), explode(col("h_b")).as("token"))
