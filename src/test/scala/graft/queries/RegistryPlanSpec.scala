@@ -31,13 +31,14 @@ class RegistryPlanSpec extends AnyFunSuite {
     *    form recomputes the 600k-row supply chain twice — see q64's
     *    scaladoc for the extreme-cardinality escape hatch)
     */
-  /** xe7's carry window runs over DISTINCT HOUR BUCKETS (time-range-
-    * sized: 8.8k rows/year at any corpus size), phase 2 of its
-    * two-phase prefix sum.
+  /** xe7's carry window and xe8's trailing-baseline ROWS frame both
+    * run over DISTINCT HOUR BUCKETS (time-range-sized: 8.8k rows/year
+    * at any corpus size), never the event stream.
     */
   private val globalWindowOk =
     Set("xi2_incremental_quantiles", "xi3_incremental_join",
-      "xv4_key_skew", "q64_sql_tpch11", "xe7_peak_concurrency")
+      "xv4_key_skew", "q64_sql_tpch11", "xe7_peak_concurrency",
+      "xe8_hourly_anomaly")
 
   test("no declared query plans a CartesianProduct or a data-sized global window") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
