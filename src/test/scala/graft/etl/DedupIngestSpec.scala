@@ -71,6 +71,27 @@ class DedupIngestSpec extends AnyFunSuite {
     assert(q3 == Set((20L, 11L, "corpus_dup")))
   }
 
+  test("crash between quarantine write and lake commit converges on redelivery") {
+    val root = Files.createTempDirectory("ingest-crash").toString
+    val lake = s"$root/lake"
+    val quar = s"$root/quarantine"
+    DedupIngest.ingestBatch(
+      Seq((1L, a)).toDF("doc_id", "text"), 0L, "s3", lake, quar)
+    // simulate the crash window: batch 1's quarantine dir holds STALE
+    // bytes from a run that died before commitAppendOnce published —
+    // the lake has no batch-1 marker, so redelivery recomputes from
+    // the PRE-BATCH corpus state and overwrites the dir correctly
+    Seq((99L, 99L, "garbage")).toDF("doc_id", "match_id", "reason")
+      .write.mode("overwrite").parquet(s"$quar/batch=1")
+    val r = DedupIngest.ingestBatch(
+      Seq((10L, aNear), (11L, c)).toDF("doc_id", "text"),
+      1L, "s3", lake, quar)
+    assert(r.appended == 1 && r.quarantined == 1 && r.version.nonEmpty)
+    val q = spark.read.parquet(s"$quar/batch=1")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(q == Set((10L, 1L, "corpus_dup")), s"stale bytes must be replaced: $q")
+  }
+
   test("streaming sink wires the same semantics") {
     val s = spark.newSession()
     graft.functions.TextOps.register(s)
