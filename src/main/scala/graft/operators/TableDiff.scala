@@ -57,10 +57,29 @@ object TableDiff {
     * sets without exchanging them.
     */
   def summary(v1: DataFrame, v2: DataFrame, keys: Seq[String]): DataFrame = {
-    val st = status(v1, v2, keys)
-    st.groupBy("status")
+    require(v1.columns.sameElements(v2.columns),
+      s"column sets differ: ${v1.columns.mkString(",")} vs ${v2.columns.mkString(",")}")
+    val cols = v1.columns.toSeq
+    // the key hash rides each SIDE's scan projection (it renders only
+    // the key columns, so both sides produce the identical hash for
+    // the same key and coalesce picks whichever side exists) — the
+    // post-join md5 pass a status()-then-rehash composition would pay
+    // disappears, and with it one whole codegen stage
+    val h1 = v1.select(keys.map(col) :+
+      TableCheck.rowHash(v1, cols).as("__h1") :+
+      TableCheck.rowHash(v1, keys).as("__kh1"): _*)
+    val h2 = v2.select(keys.map(col) :+
+      TableCheck.rowHash(v2, cols).as("__h2") :+
+      TableCheck.rowHash(v2, keys).as("__kh2"): _*)
+    h1.join(h2, keys, "full_outer")
+      .withColumn("status",
+        when(col("__h2").isNull, lit("removed"))
+          .when(col("__h1").isNull, lit("added"))
+          .when(col("__h1") =!= col("__h2"), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .withColumn("__kh", coalesce(col("__kh1"), col("__kh2")))
+      .groupBy("status")
       .agg(count(lit(1)).as("n_rows"),
-        TableCheck.foldedSum(TableCheck.rowHash(st, keys))
-          .as("key_checksum"))
+        TableCheck.foldedSum(col("__kh")).as("key_checksum"))
   }
 }
