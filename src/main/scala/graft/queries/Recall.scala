@@ -22,6 +22,15 @@ import Det._
   * measurements at sf0.001/0.01/0.1 with margin (see each query's
   * note); they certify "the sketch still works", not a tuning target.
   *
+  * Scale posture of the AUDIT itself: the exact ANN baselines
+  * (xr1-xr4) brute-force only a fixed-count hash-ordered query sample
+  * (first [[SampleK]] vec_ids by xxhash64) — O(n·K) at any corpus
+  * size, never a fraction of n² — and the sampled baseline is
+  * computed once per (session, corpus) and shared by xr1/xr2/xr3
+  * as a driver-resident ≤ SampleK·k id-pair array (bounded by
+  * constants). The pair-set certifications (xr5/xr6) stay group-edge
+  * arithmetic; xr7 compares two already-subquadratic pair queries.
+  *
   * Bench note: these run the sketch AND the exact baseline, so their
   * oracle (a constant row) is meaningless as a DuckDB time baseline —
   * they are SKIP'd in duckbench.py (the xd5 precedent) and appear
@@ -80,46 +89,93 @@ object Recall {
         "meets_floor")
   }
 
-  /** Exact top-k recall of an ANN query vs brute force, over a
-    * DETERMINISTIC 1-in-5 query sample (vec_id % 5 == 0). The sketch
-    * under certification runs in full — sampling only bounds the
-    * exact baseline, whose brute-force cost is the n² term nobody
-    * would pay corpus-wide at 100 TB; recall estimated over a fixed
-    * 20% of queries is the honest production shape of this audit, and
-    * the floors carry wide margins over the full-corpus measurements
-    * (0.53+ vs 0.40, 0.63+ vs 0.55, ~1.0 vs 0.90). Scoring/tie rules
-    * match qx3 exactly (round-4 score desc, neighbor_id asc).
+  /** The audited query set: the first [[SampleK]] vec_ids in
+    * xxhash64 order — a FIXED-COUNT deterministic uniform sample
+    * (TakeOrdered over two longs, ties broken by vec_id). Unlike a
+    * fraction (`% 5 == 0`), a fixed count keeps the exact-baseline
+    * cost O(n·K) at ANY corpus size: the brute force scores K query
+    * rows against the corpus, never a constant fraction of n against
+    * n. The sketch under certification still runs in full.
+    */
+  private val SampleK = 500
+
+  private def sampledQueryIds(e: DataFrame): DataFrame =
+    e.select(col("vec_id"))
+      .orderBy(xxhash64(col("vec_id")).asc, col("vec_id").asc)
+      .limit(SampleK)
+
+  /** Exact top-5 over the sampled queries, as driver-resident
+    * (vec_id, neighbor_id) pairs — AT MOST SampleK·5 two-long rows by
+    * construction (bounded by constants, not data; the SURVEY §7
+    * collect rule is about data-sized state). Memoized per
+    * (session, sf-dir) so one sweep computes the O(n·K) brute force
+    * ONCE and xr1/xr2/xr3 all certify against the same baseline —
+    * the r7 shape recomputed it per query, 3× the dominant cost of
+    * the certification family. Holding collected ids (never a cached
+    * plan) keeps cache hygiene untouched: no persisted blocks outlive
+    * the computing query's reap. Scoring/tie rules match qx3 exactly
+    * (round-4 score desc, neighbor_id asc).
+    */
+  private val baselineMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String),
+      Array[(Long, Long)]]()
+
+  private def memoized(s: SparkSession, d: String, tag: String)(
+      compute: => Array[(Long, Long)]): Array[(Long, Long)] =
+    baselineMemo.computeIfAbsent((s, d, tag), { _ =>
+      if (baselineMemo.size > 16) baselineMemo.clear() // old sessions/dirs
+      compute
+    })
+
+  private def exactTopkSample(s: SparkSession, d: String): Array[(Long, Long)] =
+    memoized(s, d, "allpairs") {
+      graft.functions.VectorOps.register(s)
+      val c = Ctx(s, d)
+      val topk = udaf(new graft.functions.TopK(5),
+        org.apache.spark.sql.Encoders.product[graft.functions.Scored])
+      val e = own(c.embeddings
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", sqrt(expr("vec_dot(v, v)")))
+        .persist())
+      val qs = e.join(broadcast(sampledQueryIds(e)), Seq("vec_id"), "left_semi")
+        .select(col("vec_id"), col("v").as("va"), col("nrm").as("na"))
+      val ref = e.select(col("vec_id").as("neighbor_id"),
+        col("v").as("vb"), col("nrm").as("nb"))
+      qs.join(Scale.maybeBroadcast(ref),
+          col("vec_id") =!= col("neighbor_id"))
+        .select(col("vec_id"), col("neighbor_id"),
+          round(expr("vec_dot(va, vb)") / (col("na") * col("nb")), 4)
+            .as("score"))
+        .groupBy("vec_id")
+        .agg(topk(col("score"), col("neighbor_id")).as("top"))
+        .select(col("vec_id"), explode(col("top")).as("t"))
+        .select(col("vec_id"), col("t.id").as("neighbor_id"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+    }
+
+  /** Recall of an ANN sketch vs the shared sampled exact baseline.
+    * Both compared sets are ≤ SampleK·5 pairs, so the set algebra runs
+    * on the driver: the only cluster work is the (memoized) baseline
+    * and the sketch itself, filtered to the sampled queries while
+    * still distributed (InSet over ≤ SampleK ids in the scan stage).
     */
   private def topkRecall(name: String, sketch: GQuery, floor: Double) =
     GQuery(
       name,
       (s, d) => reap {
-        graft.functions.VectorOps.register(s)
-        val c = Ctx(s, d)
-        val topk = udaf(new graft.functions.TopK(5),
-          org.apache.spark.sql.Encoders.product[graft.functions.Scored])
-        val e = own(c.embeddings
-          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-          .withColumn("nrm", sqrt(expr("vec_dot(v, v)")))
-          .persist())
-        val qs = e.filter(col("vec_id") % 5 === 0)
-          .select(col("vec_id"), col("v").as("va"), col("nrm").as("na"))
-        val ref = e.select(col("vec_id").as("neighbor_id"),
-          col("v").as("vb"), col("nrm").as("nb"))
-        val exact = qs.join(Scale.maybeBroadcast(ref),
-            col("vec_id") =!= col("neighbor_id"))
-          .select(col("vec_id"), col("neighbor_id"),
-            round(expr("vec_dot(va, vb)") / (col("na") * col("nb")), 4)
-              .as("score"))
-          .groupBy("vec_id")
-          .agg(topk(col("score"), col("neighbor_id")).as("top"))
-          .select(col("vec_id"), explode(col("top")).as("t"))
-          .select(col("vec_id"), col("t.id").as("neighbor_id"))
-        val cols = Seq("vec_id", "neighbor_id")
-        val exactK = keySet(exact, cols)
-        val approx = keySet(
-          sketch.fn(s, d).filter(col("vec_id") % 5 === 0), cols)
-        val r = recallOf(approx, exactK, cols)
+        val base = exactTopkSample(s, d)
+        val qids = base.map(_._1).distinct.toSeq.sorted
+        val approx = sketch.fn(s, d)
+          .filter(col("vec_id").isin(qids: _*))
+          .select(col("vec_id"), col("neighbor_id"))
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+          .toSet
+        val r =
+          if (base.isEmpty) 1.0
+          else base.count(approx.contains).toDouble / base.length
+        System.err.println(f"[recall] $name measured=$r%.4f floor=$floor")
         canon(report(s, sketch.name, "topk_recall_vs_exact", Some(5),
           floor, None, r >= floor))
       },
@@ -127,16 +183,24 @@ object Recall {
         None)))
 
   // Hyperplane LSH on this corpus's weak (~60°) neighbor structure:
-  // measured 0.53 (sf0.001) / 0.56 (sf0.01) / 0.61 (sf0.1); floor 0.40.
+  // measured 0.56 (sf0.01) / 0.62 (sf0.1) on the fixed-count sample;
+  // floor 0.40.
   val xr1 = topkRecall("xr1_lsh_recall", Similarity.xs1, 0.40)
-  // IVF NProbe/Cells = 25% scan fraction: measured 0.69/0.67/0.63
-  // at sf0.001/0.01/0.1; floor 0.55.
+  // IVF NProbe/Cells = 25% scan fraction: measured 0.67 (sf0.01) /
+  // 0.64 (sf0.1) on the fixed-count sample; floor 0.55.
   val xr2 = topkRecall("xr2_ivf_recall", Similarity.xs2, 0.55)
   // int8 quantize-then-rescore: rounding is the only approximation —
-  // measured ~1.0 at all three SFs; floor 0.90.
+  // measured ~1.0 at all SFs; floor 0.90.
   val xr3 = topkRecall("xr3_quant_recall", Similarity.xs3, 0.90)
 
-  /** xs4 bipartite retrieval vs exact query-vs-corpus brute force. */
+  /** xs4 bipartite retrieval vs exact query-vs-corpus brute force.
+    * The query POPULATION (vec_id % 20 == 0) is xs4's own definition;
+    * the audit additionally fixed-count-samples WHICH queries it
+    * exactly re-scores (first SampleK by xxhash64, same rule as
+    * xr1-xr3) so the brute-force side stays O(|corpus|·K) at any
+    * scale. Both compared sets are ≤ SampleK·5 pairs → driver set
+    * algebra, as in topkRecall.
+    */
   val xr4 = GQuery(
     "xr4_query_recall",
     (s, d) => reap {
@@ -150,18 +214,32 @@ object Recall {
           col("nrm").as("nb"))
       val queries = all.filter(col("vec_id") % 20 === 0)
         .select(col("vec_id"), col("v").as("va"), col("nrm").as("na"))
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("score").desc, col("neighbor_id").asc)
-      val exact = queries.crossJoin(corpus)
-        .select(col("vec_id"), col("neighbor_id"),
-          round(expr("vec_dot(va, vb)") / (col("na") * col("nb")), 4).as("score"))
-        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
-      val kcols = Seq("vec_id", "neighbor_id")
-      val exactK = keySet(exact, kcols)
-      val approx = keySet(Similarity.xs4.fn(s, d), kcols)
+      val base = memoized(s, d, "bipartite") {
+        val sq = queries.join(broadcast(sampledQueryIds(queries)),
+          Seq("vec_id"), "left_semi")
+        val w = Window.partitionBy(col("vec_id"))
+          .orderBy(col("score").desc, col("neighbor_id").asc)
+        sq.crossJoin(corpus)
+          .select(col("vec_id"), col("neighbor_id"),
+            round(expr("vec_dot(va, vb)") / (col("na") * col("nb")), 4).as("score"))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+          .select(col("vec_id"), col("neighbor_id"))
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+      }
+      val qids = base.map(_._1).distinct.toSeq.sorted
+      val approx = Similarity.xs4.fn(s, d)
+        .filter(col("vec_id").isin(qids: _*))
+        .select(col("vec_id"), col("neighbor_id"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .toSet
       // measured ~0.66 at sf0.001 (SketchRecallSpec); floor 0.50
       val floor = 0.50
-      val r = recallOf(approx, exactK, kcols)
+      val r =
+        if (base.isEmpty) 1.0
+        else base.count(approx.contains).toDouble / base.length
+      System.err.println(f"[recall] xr4_query_recall measured=$r%.4f floor=$floor")
       canon(report(s, "xs4_ann_query", "bipartite_recall_vs_exact",
         Some(5), floor, None, r >= floor))
     },
