@@ -642,7 +642,8 @@ object Dedup {
     * identical-set groups contribute member pairs at containment 1.0
     * both ways. Same 100 TB posture as the Jaccard family: linear
     * shuffle on hashed tokens, pairs born at group (not doc)
-    * granularity, persist on the two-consumer inter table.
+    * granularity and kept NARROW until after the direction filter
+    * (see expandContainment).
     */
   /** xd10's core over a setGroups table — directed (doc_in, doc_of,
     * containment) pairs at containment >= t. Factored out so specs can
@@ -749,28 +750,40 @@ object Dedup {
     val vprobe = groups.select(explode(col("toks")).as("token"))
       .distinct().limit(65).as[String].collect()
     if (vprobe.length <= 64) {
-      val vocab = broadcast(vprobe.sorted.zipWithIndex.toSeq
-        .toDF("token", "idx"))
-      val masks = groups
-        .select(col("gid"), explode(col("toks")).as("token"))
-        .join(vocab, "token")
-        .groupBy("gid")
-        .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), idx)")).as("mask"))
-      val withMask = groups.join(masks, "gid")
-      val a = withMask.select(col("gid").as("gid_a"), col("ids").as("ids_a"),
-        col("sz").as("sa"), col("mask").as("ma"))
-      val b = withMask.select(col("gid").as("gid_b"), col("ids").as("ids_b"),
-        col("sz").as("sb"), col("mask").as("mb"))
+      // per-group mask via the same inline-map aggregate qx2's scan
+      // uses: no explode, no vocab join, no shuffle (tokens are [a-z]+
+      // by the tokenizer's construction, safe to quote)
+      val mapSql = vprobe.sorted.zipWithIndex
+        .map { case (tk, i) => s"'$tk', $i" }.mkString("map(", ", ", ")")
+      // kmin = smallest integer k with (double)k / (double)sz >= t,
+      // precomputed once per group (G rows): by monotonicity of
+      // k -> k/sz, `inter >= least(ka, kb)` is EXACTLY `inter/sa >= t
+      // OR inter/sb >= t` — the same double-division boundary dirs
+      // re-applies downstream — but the G×G inner loop pays ONE
+      // popcount + ONE integer compare instead of a popcount and two
+      // divides. sz = 0 is guarded FIRST (CASE WHEN short-circuits, so
+      // the ANSI-throwing /0 never evaluates): kmin 1 > the only
+      // possible intersection 0 — the same "an empty set never
+      // qualifies in either direction" outcome as the division form.
+      val k0 = ceil(col("sz") * lit(t)).cast("long")
+      val withMask = groups.withColumn("mask", expr(
+        s"""aggregate(toks, CAST(0 AS BIGINT),
+           |  (m, tk) -> m | shiftleft(CAST(1 AS BIGINT), $mapSql[tk]))"""
+          .stripMargin))
+        .withColumn("kmin",
+          when(col("sz") === 0, lit(1L))
+            .when((k0 - 1).cast("double") / col("sz") >= t, k0 - 1)
+            .when(k0.cast("double") / col("sz") >= t, k0)
+            .otherwise(k0 + 1))
+      val a = withMask.select(col("gid").as("gid_a"), col("sz").as("sa"),
+        col("mask").as("ma"), col("kmin").as("ka"))
+      val b = withMask.select(col("gid").as("gid_b"), col("sz").as("sb"),
+        col("mask").as("mb"), col("kmin").as("kb"))
       val inter = bit_count(col("ma").bitwiseAND(col("mb"))).cast("long")
-      // same double-division comparisons dirs applies below, so no
-      // exact-threshold boundary can diverge between gate and report
-      val und = own(a.join(broadcast(b), col("gid_a") < col("gid_b") &&
-          (inter.cast("double") / col("sa") >= t ||
-            inter.cast("double") / col("sb") >= t))
-        .withColumn("inter", inter)
-        .select(col("gid_a"), col("sa"), col("ids_a"),
-          col("gid_b"), col("sb"), col("ids_b"), col("inter"))
-        .persist())
+      val und = a.join(broadcast(b), col("gid_a") < col("gid_b") &&
+          inter >= least(col("ka"), col("kb")))
+        .select(col("gid_a"), col("sa"), col("gid_b"), col("sb"),
+          inter.as("inter"))
       return expandContainment(groups, und, t)
     }
     val gtok = groups.select(col("gid"), col("sz"),
@@ -783,34 +796,28 @@ object Dedup {
         // pass, no candidate materialization, no array re-walk (the
         // fast shape for dense small-vocabulary corpora, where the
         // candidate set is ~all pairs by nature)
-        own(gtok.as("a").join(gtok.as("b"),
+        gtok.as("a").join(gtok.as("b"),
             col("a.token") === col("b.token") && col("a.gid") < col("b.gid"))
           .groupBy(col("a.gid").as("gid_a"), col("a.sz").as("sa"),
             col("b.gid").as("gid_b"), col("b.sz").as("sb"))
           .agg(count(lit(1)).as("inter"))
-          .join(Scale.maybeBroadcast(groups
-            .select(col("gid").as("gid_a"), col("ids").as("ids_a"))), "gid_a")
-          .join(Scale.maybeBroadcast(groups
-            .select(col("gid").as("gid_b"), col("ids").as("ids_b"))), "gid_b")
-          .persist())
       } else {
         // hot tokens present: guarded candidate generation, then the
         // exact intersection via the codegen'd sorted merge-walk on
         // the hashed arrays — only candidates pay it
         graft.functions.ArrayOps.register(groups.sparkSession)
-        val g1 = groups.select(col("gid").as("gid_a"), col("ids").as("ids_a"),
+        val g1 = groups.select(col("gid").as("gid_a"),
           col("htoks").as("h_a"), col("sz").as("sa"))
-        val g2 = groups.select(col("gid").as("gid_b"), col("ids").as("ids_b"),
+        val g2 = groups.select(col("gid").as("gid_b"),
           col("htoks").as("h_b"), col("sz").as("sb"))
-        own(containmentCandidates(groups, t, dfreq, hotCap)
+        containmentCandidates(groups, t, dfreq, hotCap)
           .join(Scale.maybeBroadcast(g1), "gid_a")
           .join(Scale.maybeBroadcast(g2), "gid_b")
           .withColumn("inter",
             expr("sorted_intersect_count(h_a, h_b)").cast("long"))
           .filter(col("inter") > 0)
-          .select(col("gid_a"), col("sa"), col("ids_a"),
-            col("gid_b"), col("sb"), col("ids_b"), col("inter"))
-          .persist())
+          .select(col("gid_a"), col("sa"), col("gid_b"), col("sb"),
+            col("inter"))
       }
     expandContainment(groups, und, t)
   }
@@ -818,18 +825,32 @@ object Dedup {
   /** Undirected qualifying group pairs -> the directed doc-level
     * containment report (both directions re-checked at the same
     * double-division threshold) plus the intra-group J=1 pairs.
+    *
+    * und must be NARROW — (gid_a, sa, gid_b, sb, inter), no member-id
+    * arrays: both directions are emitted in ONE explode pass per pair
+    * (no union, so und has a single consumer and needs no persist),
+    * and the id arrays are attached only to the rows that SURVIVE the
+    * direction filter, from a size-gated broadcast of the group
+    * table. The r7 shape widened every candidate with both id arrays
+    * before filtering and persisted that 2.5M-row stream to feed two
+    * direction projections — measured ~2× this plan at sf0.1.
     */
   private def expandContainment(groups: DataFrame, und: DataFrame,
       t: Double): DataFrame = {
-    val dirs = und.select(col("gid_a").as("gid_in"), col("sa").as("sz_in"),
-        col("gid_b").as("gid_of"), col("ids_a").as("ids_in"),
-        col("ids_b").as("ids_of"), col("inter"))
-      .unionByName(und.select(col("gid_b").as("gid_in"),
-        col("sb").as("sz_in"), col("gid_a").as("gid_of"),
-        col("ids_b").as("ids_in"), col("ids_a").as("ids_of"), col("inter")))
+    val dirs = und.select(explode(array(
+        struct(col("gid_a").as("gid_in"), col("sa").as("sz_in"),
+          col("gid_b").as("gid_of"), col("inter")),
+        struct(col("gid_b").as("gid_in"), col("sb").as("sz_in"),
+          col("gid_a").as("gid_of"), col("inter")))).as("e"))
+      .select(col("e.gid_in").as("gid_in"), col("e.sz_in").as("sz_in"),
+        col("e.gid_of").as("gid_of"), col("e.inter").as("inter"))
       .withColumn("containment", col("inter").cast("double") / col("sz_in"))
       .filter(col("containment") >= t)
+    val gIn = groups.select(col("gid").as("gid_in"), col("ids").as("ids_in"))
+    val gOf = groups.select(col("gid").as("gid_of"), col("ids").as("ids_of"))
     val cross = dirs
+      .join(Scale.maybeBroadcast(gIn), "gid_in")
+      .join(Scale.maybeBroadcast(gOf), "gid_of")
       .select(explode(expr(
         "flatten(transform(ids_in, a -> transform(ids_of, b -> named_struct('a', a, 'b', b))))"))
         .as("p"), round(col("containment"), 4).as("containment"))
@@ -851,7 +872,15 @@ object Dedup {
     "xd10_containment",
     (s, d) => reap {
       val c = Ctx(s, d)
-      canon(containmentPairs(setGroups(c.documents), 0.9))
+      // (doc_in, doc_of) is unique by construction (groups partition
+      // docs; each directed pair is emitted once) — sort the 8M-row
+      // output on the two-long key prefix, not the double too. The
+      // pair stream is persisted first: a global orderBy executes its
+      // child TWICE (range-boundary sampling, then the sort), and
+      // re-running the expansion costs more than caching its narrow
+      // 3-column rows (MEMORY_AND_DISK — spills, never OOMs).
+      val pairs = own(containmentPairs(setGroups(c.documents), 0.9).persist())
+      canonBy(pairs, "doc_in", "doc_of")
     },
     Some(
       """WITH tok AS (
@@ -865,7 +894,7 @@ object Dedup {
         |SELECT da AS doc_in, db AS doc_of, ROUND(inter / sa.sz, 4) AS containment
         |FROM pr JOIN sz sa ON pr.da = sa.doc_id
         |WHERE inter / sa.sz >= 0.9""".stripMargin +
-        orderAll("doc_in", "doc_of", "containment")))
+        orderAll("doc_in", "doc_of")))
 
   /** Duplicated-SPAN coverage (exact-substring dedup signal, the
     * word-k-gram approximation of suffix-array training-data dedup):

@@ -88,8 +88,12 @@ object Llm {
         .select(explode(tokens(s, col("text"))).as("token"))
         .distinct().limit(65).as[String].collect()
       if (probe.length > 64) {
+        // (doc_a, doc_b) is unique (docs belong to exactly one set
+        // group; each unordered pair is emitted once) — sort the
+        // pair-sized output on the two-long key prefix only
         val pairs = Dedup.exactJaccardPairs(Dedup.setGroups(c.documents), 0.8)
-        canon(pairs.select(col("doc_a"), col("doc_b"), col("jaccard")))
+        canonBy(pairs.select(col("doc_a"), col("doc_b"), col("jaccard")),
+          "doc_a", "doc_b")
       } else {
         // per-row mask in the scan projection: the ≤64-entry vocab
         // rides as an inline map literal, OR-folding is idempotent so
@@ -133,8 +137,9 @@ object Llm {
             col("jaccard"))
           .select(least(col("p.a"), col("p.b")).as("doc_a"),
             greatest(col("p.a"), col("p.b")).as("doc_b"), col("jaccard"))
-        canon(intra.unionByName(cross)
-          .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard")))
+        canonBy(intra.unionByName(cross)
+          .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard")),
+          "doc_a", "doc_b")
       }
     },
     Some(
@@ -150,7 +155,7 @@ object Llm {
         |  ROUND(inter / (sa.sz + sb.sz - inter), 4) AS jaccard
         |FROM pr JOIN sz sa ON pr.da = sa.doc_id JOIN sz sb ON pr.db = sb.doc_id
         |WHERE inter / (sa.sz + sb.sz - inter) >= 0.8""".stripMargin +
-        orderAll("doc_a", "doc_b", "jaccard")),
+        orderAll("doc_a", "doc_b")),
     headline = true)
 
   /** Exact cosine top-5 neighbors per vector (brute force). Norms are
