@@ -35,12 +35,17 @@ import org.apache.spark.sql.types._
 object BloomPrune {
 
   /** A pruned plan plus the lifecycle of its broadcast filter bits:
-    * `release()` destroys the broadcast once every query derived from
-    * `df` has COMPLETED (the plan is unusable afterwards). Broadcasts
-    * are otherwise held on the driver and executors for the
-    * application lifetime — one leaked filter is noise, but a
-    * long-lived service pruning per request accumulates them without
-    * bound.
+    * `release()` unpersists the broadcast once every query derived
+    * from `df` has COMPLETED — executor copies are dropped
+    * immediately (the memory that actually accumulates in a
+    * long-lived service), while the driver-held value stays readable
+    * so an ASYNC consumer that re-touches the plan after release —
+    * Spark's QueryExecutionListener bus re-evaluating observed
+    * metrics is the concrete one — lazily re-broadcasts instead of
+    * hitting a use-after-destroy ("Attempted to use Broadcast(n)
+    * after it was destroyed", poisoning every registered listener).
+    * The ContextCleaner reaps the remainder once the plan is
+    * unreachable; `destroy()` is deliberately NOT exposed.
     */
   final case class Pruned(df: DataFrame, release: () => Unit)
 
@@ -71,6 +76,6 @@ object BloomPrune {
       case other => throw new IllegalArgumentException(
         s"bloom prune supports integral/string keys, got ${other.sql}")
     }
-    Pruned(fact.filter(pred), () => bc.destroy())
+    Pruned(fact.filter(pred), () => bc.unpersist(blocking = false))
   }
 }

@@ -52,7 +52,7 @@ class BloomPruneSpec extends AnyFunSuite {
     assert(!got.contains(null.asInstanceOf[String]), "null key must be dropped")
   }
 
-  test("pruneManaged releases the broadcast filter after use") {
+  test("pruneManaged release drops executor copies without poisoning the plan") {
     import spark.implicits._
     val dim = Seq(1L, 2L).toDF("k")
     val fact = Seq(1L, 2L, 999L).toDF("k")
@@ -60,8 +60,46 @@ class BloomPruneSpec extends AnyFunSuite {
     val kept = h.df.count()
     assert(kept >= 2 && kept <= 3) // exact matches + possible fp
     h.release()
-    // the destroyed broadcast makes the plan unusable — the handle's
-    // contract is release AFTER every derived query completed
-    intercept[Exception](h.df.count())
+    // release() unpersists (executor copies dropped) but must NOT
+    // destroy: an async consumer that re-touches the plan after
+    // release — concretely the QueryExecutionListener bus
+    // re-evaluating observed metrics — would otherwise hit
+    // "Attempted to use Broadcast(n) after it was destroyed" and
+    // poison every registered listener. A re-touched plan lazily
+    // re-broadcasts instead and computes the same result.
+    assert(h.df.count() === kept)
+  }
+
+  test("release never surfaces a use-after-free to query listeners") {
+    import spark.implicits._
+    // the round-7 failure mode: a listener's async callback walks the
+    // executed plan AFTER release() — with destroy() this raised
+    // [FAILED_EXECUTE_UDF] inside the listener bus. Register a
+    // listener that re-executes the pruned predicate on success and
+    // assert it observes no error across release.
+    @volatile var listenerError: Option[Throwable] = None
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = ()
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = { listenerError = Some(exception) }
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val dim = Seq(7L).toDF("k")
+      val fact = Seq(7L, 8L).toDF("k")
+      val h = BloomPrune.pruneManaged(fact, dim, "k", "k", expectedKeys = 1)
+      h.df.collect()
+      h.release()
+      // a post-release re-execution (what the async bus effectively
+      // does) must succeed and report no listener failure
+      h.df.collect()
+      // the bus delivers asynchronously (no public drain hook);
+      // give it a beat before asserting nothing failed
+      Thread.sleep(1000)
+      assert(listenerError.isEmpty, s"listener saw: $listenerError")
+    } finally spark.listenerManager.unregister(listener)
   }
 }
