@@ -53,9 +53,19 @@ object DedupIngest {
     if (Snapshot.lastCommittedBatch(lakePath, streamId).exists(_ >= batchId))
       return BatchReport(0L, 0L, None)
     val bg = Dedup.setGroups(batch.select(col("doc_id"), col("text")))
-    val cgOpt = scala.util.Try(
-      Snapshot.read(s, lakePath).select(col("doc_id"), col("text")))
-      .toOption.map(Dedup.setGroups)
+    // ONLY the missing-table signal means "no corpus yet". Any other
+    // failure (a transient FS/listing error during version resolution,
+    // a corrupt manifest) must FAIL the batch so the stream retries —
+    // treating it as an empty corpus would append real corpus dups,
+    // permanent duplicates in an exactly-once lake.
+    val cgOpt =
+      (try Some(Snapshot.read(s, lakePath).select(col("doc_id"), col("text")))
+      catch {
+        case e: IllegalStateException
+            if e.getMessage != null &&
+              e.getMessage.startsWith("no snapshot versions") => None
+      }).map(Dedup.setGroups)
+    var tagged: DataFrame = null
     try {
       // best corpus match per batch group, if a corpus exists
       val corpusMatch: DataFrame = cgOpt match {
@@ -75,8 +85,14 @@ object DedupIngest {
           import s.implicits._
           Seq.empty[(Long, Long)].toDF("gid", "corpus_match")
       }
-      val tagged = bg.join(corpusMatch, Seq("gid"), "left_outer")
+      // persisted: the quarantine write, the keeper append, and both
+      // report counts all read this one-row-per-group table — without
+      // the persist each action replans the whole corpus-match join
+      // (batch re-read + crossEdgesGeneral, measured up to 2 extra
+      // executions per micro-batch just for the counts)
+      tagged = bg.join(corpusMatch, Seq("gid"), "left_outer")
         .select(col("gid"), col("ids"), col("corpus_match"))
+        .persist()
 
       val corpusDup = tagged.filter(col("corpus_match").isNotNull)
         .select(explode(col("ids")).as("doc_id"),
@@ -95,10 +111,14 @@ object DedupIngest {
       val clean = batch.join(keepers, Seq("doc_id"), "left_semi")
       val version = Snapshot.commitAppendOnce(clean, lakePath,
         streamId, batchId)
-      BatchReport(clean.count(), quarantined.count(), version)
+      // both counts come off the persisted group table (one keeper
+      // per null-match group; quarantined = the exploded rest) — the
+      // match join is never re-executed for the report
+      BatchReport(keepers.count(), quarantined.count(), version)
     } finally {
       bg.unpersist()
       cgOpt.foreach(_.unpersist())
+      if (tagged != null) tagged.unpersist()
     }
   }
 

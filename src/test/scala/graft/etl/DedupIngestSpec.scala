@@ -92,6 +92,34 @@ class DedupIngestSpec extends AnyFunSuite {
     assert(q == Set((10L, 1L, "corpus_dup")), s"stale bytes must be replaced: $q")
   }
 
+  test("a corpus read failure fails the batch instead of faking an empty corpus") {
+    val root = Files.createTempDirectory("ingest-fail").toString
+    val lake = s"$root/lake"
+    val quar = s"$root/quarantine"
+    DedupIngest.ingestBatch(
+      Seq((1L, a)).toDF("doc_id", "text"), 0L, "s4", lake, quar)
+    // make the committed data files "vanish" (the visible shape of a
+    // transient FS/listing error): the manifest still lists them, so
+    // the corpus read fails with something that is NOT the
+    // missing-table signal — swallowing it would dedup against an
+    // empty corpus and append permanent duplicates, so the batch must
+    // FAIL (stream retries).
+    def parquetsUnder(f: java.io.File): Seq[java.io.File] =
+      Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap { c =>
+        if (c.isDirectory && c.getName != "manifests") parquetsUnder(c)
+        else if (c.getName.endsWith(".parquet")) Seq(c) else Nil
+      }
+    val victims = parquetsUnder(new java.io.File(lake))
+    assert(victims.nonEmpty, "fixture: expected committed data files")
+    victims.foreach(v => assert(v.delete()))
+    intercept[Exception] {
+      DedupIngest.ingestBatch(
+        Seq((10L, aNear)).toDF("doc_id", "text"), 1L, "s4", lake, quar)
+    }
+    assert(Snapshot.lastCommittedBatch(lake, "s4").contains(0L),
+      "the failed batch must not have committed")
+  }
+
   test("streaming sink wires the same semantics") {
     val s = spark.newSession()
     graft.functions.TextOps.register(s)
