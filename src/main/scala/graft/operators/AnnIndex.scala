@@ -26,11 +26,17 @@ import org.apache.spark.sql.functions._
   */
 object AnnIndex {
 
-  /** Normalize raw embeddings to the (vec_id, v, nrm) working shape. */
+  /** Normalize raw embeddings to the (vec_id, v, nrm) working shape.
+    * Zero-norm vectors are EXCLUDED at the door: a zero vector has no
+    * direction, so its cosine against anything is 0/0 = NaN — and
+    * Spark's descending sort ranks NaN above every real number, so a
+    * single zero vector in a probed cell would hijack the top-k.
+    */
   private def normalized(embeddings: DataFrame): DataFrame =
     embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(expr("vec_dot(v, v)")))
+      .filter(col("nrm") > 0)
 
   /** Train centroids on `embeddings` and write the full index. */
   def build(spark: SparkSession, embeddings: DataFrame, path: String): Unit = {
@@ -87,8 +93,12 @@ object AnnIndex {
     val probed = probedCells(spark, path, query, nprobe)
     val qv = array(query.map(lit): _*)
     val qn = math.sqrt(query.map(x => x * x).sum)
+    require(qn > 0, "cannot probe with a zero-norm query vector")
+    // nrm > 0 also re-checked here: build/append exclude zero vectors,
+    // but an index dir written by other tooling must not let a NaN
+    // score outrank every real neighbor
     val cells = spark.read.parquet(s"$path/cells")
-      .filter(col("cid").isin(probed: _*))
+      .filter(col("cid").isin(probed: _*) && col("nrm") > 0)
     // sort+limit plans TakeOrderedAndProject — per-partition top-k
     // then a k-row driver merge, no single-partition window
     cells

@@ -427,14 +427,17 @@ object Similarity {
     * the space is healthy.
     *
     * Cross-engine exactness for "statistics over floats": each
-    * element is quantized to BIGINT (×1e6) in the scan projection, so
-    * the per-dimension sums and sums-of-squares are EXACT integer
-    * aggregates (64 dims × corpus rows; q6² fits: |x|<~10 ⇒ q6<1e7,
-    * q6²<1e14, ×5e3 rows <1e18 < 2⁶³) and the final mean/variance are
-    * single double divisions of exact integers — bit-equal on both
-    * engines regardless of aggregation order. Output is 64 rows at
-    * any corpus size; the only corpus-sized work is one posexplode +
-    * partial aggregate in the scan stage.
+    * element is quantized to BIGINT (×1e6) in the scan projection.
+    * The per-ELEMENT square fits a long with room (|x|<~10 ⇒ q6<1e7,
+    * q6²<1e14), and the per-dimension SUMS accumulate as
+    * DECIMAL(38,0) — 38 digits absorbs q6²≈1e14 × up to ~1e24 rows,
+    * so the aggregates stay exact at ANY corpus size (a BIGINT s2
+    * would wrap silently past ~1e5 rows at |x|≈10 in non-ANSI mode).
+    * The final mean/variance are single double divisions of exact
+    * integers (scale-0 decimal → double is one rounding on both
+    * engines) — bit-equal regardless of aggregation order. Output is
+    * 64 rows at any corpus size; the only corpus-sized work is one
+    * posexplode + partial aggregate in the scan stage.
     */
   val xs6 = GQuery(
     "xs6_embedding_audit",
@@ -446,8 +449,10 @@ object Similarity {
           .as(Seq("dim", "q6")))
       canon(q.groupBy("dim").agg(
           count(lit(1)).as("n"),
-          sum(col("q6")).as("s"),
-          sum(col("q6") * col("q6")).as("s2"),
+          sum(col("q6").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            .as("s"),
+          sum((col("q6") * col("q6"))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("s2"),
           sum(when(col("q6") === 0L, 1L).otherwise(0L)).as("n_zero"))
         .select(col("dim"), col("n"),
           round(col("s").cast("double") / col("n") / lit(1e6), 6).as("mean"),

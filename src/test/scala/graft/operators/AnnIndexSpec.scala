@@ -84,6 +84,33 @@ class AnnIndexSpec extends AnyFunSuite {
       "pruning must beat a full scan on a multi-cell index")
   }
 
+  test("zero-norm vectors never reach the index or hijack a probe") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("annidx0").toString + "/idx"
+    // a tiny corpus with one all-zero embedding: cosine against it is
+    // 0/0 = NaN, and NaN sorts ABOVE every real score descending — it
+    // must be excluded at build, and probe must guard anyway
+    val rows = (1L to 40L).map { i =>
+      val v = if (i == 13L) Array.fill(4)(0.0f)
+        else Array.tabulate(4)(j => (((i * 7 + j * 3) % 11) - 5).toFloat)
+      (i, v.toSeq)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    AnnIndex.build(spark, emb, path)
+    val stored = spark.read.parquet(s"$path/cells")
+      .select("vec_id").as[Long].collect().toSet
+    assert(!stored.contains(13L), "zero vector must not be indexed")
+    assert(stored.size == 39)
+    val got = AnnIndex.probe(spark, path, Array(1.0, -1.0, 2.0, 0.5),
+        k = 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.length == 5)
+    assert(got.forall { case (id, s) => id != 13L && !s.isNaN })
+    // a zero QUERY has no direction to rank by — refuse loudly
+    intercept[IllegalArgumentException](
+      AnnIndex.probe(spark, path, Array(0.0, 0.0, 0.0, 0.0), 5, 2))
+  }
+
   test("append folds new vectors into existing cells, probe sees them") {
     val path = Files.createTempDirectory("annidx2").toString + "/idx"
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
