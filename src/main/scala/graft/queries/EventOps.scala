@@ -617,17 +617,32 @@ object EventOps {
     * until 12 reference hours exist and when the window is constant
     * (sd = 0).
     *
+    * The hour axis is DENSIFIED first: the observed [min, max] hour
+    * range explodes to a full spine (sequence + interval 1 hour) and
+    * left-joins the counts, zero for missing hours. Without it a
+    * total-outage hour — the headline "traffic collapse" this
+    * detector exists for — produces NO row at all (it can never be
+    * flagged), and the ROWS frame silently spans more than 24 clock
+    * hours across gaps. The spine is hours-sized (thousands of rows
+    * per year), so the densify is free at any event volume.
+    *
     * Scale shape: events aggregate once to the hour table (partial
-    * agg in the scan stage); the ROWS-frame window runs over DISTINCT
-    * HOURS — thousands of rows per year regardless of event volume.
+    * agg in the scan stage); the ROWS-frame window runs over the
+    * dense hour spine — thousands of rows per year regardless of
+    * event volume.
     */
   val xe8 = GQuery(
     "xe8_hourly_anomaly",
     (s, d) => {
       val c = Ctx(s, d)
-      val hourly = c.events
+      val observed = c.events
         .select(date_trunc("hour", col("ts")).as("hr"))
         .groupBy("hr").agg(count(lit(1)).as("cnt"))
+      val spine = observed
+        .agg(min(col("hr")).as("lo"), max(col("hr")).as("hi"))
+        .select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("hr"))
+      val hourly = spine.join(observed, Seq("hr"), "left_outer")
+        .na.fill(0L, Seq("cnt"))
       val w = Window.orderBy("hr").rowsBetween(-24, -1)
       val stats = hourly
         .withColumn("n", count(col("cnt")).over(w))
@@ -644,9 +659,16 @@ object EventOps {
         when(z.isNotNull, abs(z) > lit(3.0)).as("is_anomaly")))
     },
     Some(
-      """WITH h AS (
+      """WITH ob AS (
         |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr, COUNT(*) AS cnt
         |  FROM events GROUP BY 1),
+        |sp AS (
+        |  SELECT unnest(generate_series((SELECT MIN(hr) FROM ob),
+        |                                (SELECT MAX(hr) FROM ob),
+        |                                INTERVAL '1 hour')) AS hr),
+        |h AS (
+        |  SELECT sp.hr, COALESCE(ob.cnt, 0) AS cnt
+        |  FROM sp LEFT JOIN ob ON sp.hr = ob.hr),
         |st AS (
         |  SELECT hr, cnt,
         |    COUNT(cnt) OVER tw AS n,
