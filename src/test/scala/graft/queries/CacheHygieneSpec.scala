@@ -38,4 +38,34 @@ class CacheHygieneSpec extends AnyFunSuite {
     assert(spark.sharedState.cacheManager.isEmpty,
       s"$name left cached plans registered after returning")
   }
+
+  /** The long-lived-service contract over the WHOLE surface: run every
+    * registry query back-to-back with NO per-query cleanup (Bench and
+    * Verify clear caches between queries as belt-and-braces; a user's
+    * session won't) and prove nothing accumulates beyond the one
+    * localCheckpoint each reap leaves for its own result — which a
+    * caller releases by dropping the frame, and which this test
+    * releases explicitly to prove the block store drains to zero.
+    */
+  test("full registry sweep: no cached plans; block store drains to empty") {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    val before = spark.sparkContext.getPersistentRDDs.size
+    for (q <- Registry.all) {
+      val out = q.fn(spark, sf)
+      out.count()
+      assert(spark.sharedState.cacheManager.isEmpty,
+        s"${q.name} leaked a catalog-cached plan into the session")
+    }
+    // only reap's per-result checkpoints may remain — bounded by the
+    // number of queries run, never data- or iteration-unbounded
+    val leaked = spark.sparkContext.getPersistentRDDs
+    assert(leaked.size <= before + Registry.all.size,
+      s"sweep left ${leaked.size} persistent RDDs (started with $before) — " +
+        "something beyond the per-result checkpoints is accumulating")
+    leaked.values.foreach(_.unpersist(blocking = true))
+    assert(spark.sparkContext.getRDDStorageInfo.isEmpty,
+      "cached blocks survived after releasing every result checkpoint")
+  }
 }
