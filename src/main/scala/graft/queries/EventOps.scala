@@ -477,14 +477,39 @@ object EventOps {
           lit(Scale).as("p_fix"))
       val matrix = own(p.unionByName(selfLoops).persist())
       val nStates = states.count() // constant-bounded: |event types|
-      var rank = states.select(col("state"),
-        lit(Scale / nStates).as("r"))
-      for (_ <- 1 to 3)
-        rank = rank.join(matrix, rank("state") === matrix("src"))
-          .groupBy(col("dst").as("state_next"))
-          .agg(expr(s"sum(r * p_fix) DIV $Scale").as("r"))
-          .withColumnRenamed("state_next", "state")
-      canon(rank.select(col("state"), col("r").as("fix_rank")))
+      if (nStates <= 256) {
+        // states-gated driver iteration (xd5's broadcast-gate
+        // pattern): the matrix is at most |states|² fixed-point
+        // entries — bounded by the event-type domain, never the
+        // corpus — while each distributed iteration pays a join+agg
+        // stage's codegen and job overhead for a ~|states|-row frame
+        // (the bulk of xe6's cold time). Same integer arithmetic and
+        // inner-join semantics (only edges whose src carries rank
+        // contribute; a dst appears iff one does), so the quantized
+        // ranks are identical; past the gate the distributed loop
+        // below is the shape that scales.
+        import s.implicits._
+        val edges = matrix.select(col("src"), col("dst"), col("p_fix"))
+          .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        var rank: Map[String, Long] = states.select(col("state")).as[String]
+          .collect().iterator.map(_ -> Scale / nStates).toMap
+        for (_ <- 1 to 3)
+          rank = edges.filter(e => rank.contains(e._1))
+            .groupBy(_._2)
+            .map { case (dst, es) =>
+              dst -> es.iterator.map(e => rank(e._1) * e._3).sum / Scale
+            }
+        canon(rank.toSeq.toDF("state", "fix_rank"))
+      } else {
+        var rank = states.select(col("state"),
+          lit(Scale / nStates).as("r"))
+        for (_ <- 1 to 3)
+          rank = rank.join(matrix, rank("state") === matrix("src"))
+            .groupBy(col("dst").as("state_next"))
+            .agg(expr(s"sum(r * p_fix) DIV $Scale").as("r"))
+            .withColumnRenamed("state_next", "state")
+        canon(rank.select(col("state"), col("r").as("fix_rank")))
+      }
     },
     Some(
       """WITH e AS (

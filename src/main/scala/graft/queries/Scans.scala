@@ -225,15 +225,18 @@ object Scans {
     (s, d) => reap {
       val c = Ctx(s, d)
       // v1 feeds the before-hash side AND both of v2's derivation
-      // branches — persist the narrow projection so orders is scanned
-      // once, not three times (a real diff reads two stored versions;
-      // the in-query mutation is the self-contained fixture form)
-      val v1 = own(c.orders.select(
+      // branches. Deliberately NOT persisted: all three consumers sit
+      // in ONE final plan, each is a column-pruned parquet scan of a
+      // narrow projection, and re-scanning three times pipelines —
+      // while a persist is a cold materialization barrier (store every
+      // row, then re-read) that measured slower than the extra scans
+      // at sf0.1 (a real diff reads two stored versions anyway; the
+      // in-query mutation is the self-contained fixture form).
+      val v1 = c.orders.select(
         col("o_orderkey").as("k"), col("o_custkey"), col("o_orderstatus"),
         col("o_orderpriority"),
         col("o_totalprice").cast("decimal(18,4)").as("price"),
         col("o_orderdate").cast("date").as("odate"))
-        .persist())
       val v2 = v1.filter(col("k") % 97 =!= 3)
         .withColumn("price",
           when(col("k") % 89 === 5, col("price") + lit(1))
