@@ -83,6 +83,75 @@ object AnnIndex {
       .take(nprobe).map(_._1).toSeq
   }
 
+  /** Top-k per query for a BATCH of queries (query_id, embedding) —
+    * the per-micro-batch core of [[serve]], and the batch form of
+    * [[probe]] (identical scoring, rounding, and tie rules, proven
+    * equal in AnnServeSpec). Routing runs distributed (each query ×
+    * K broadcast centroids, row_number over (dist, cid) — the same
+    * argmin/tie arithmetic probedCells applies on the driver); the
+    * batch's probed-cell UNION — at most K ids, bounded by the
+    * constant K — is collected so the cell read stays a PARTITION
+    * filter, and one equi-join on cid scores each query against only
+    * its probed cells' vectors.
+    */
+  def probeBatch(spark: SparkSession, path: String, queries: DataFrame,
+      k: Int, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorOps.register(spark)
+    val cents = broadcast(spark.read.parquet(s"$path/centroids"))
+    val q = queries
+      .select(col("query_id"), col("embedding").cast("array<double>").as("qv"))
+      .withColumn("qn", sqrt(expr("vec_dot(qv, qv)")))
+      .filter(col("qn") > 0) // zero-norm queries have no direction
+    val ranked = q.crossJoin(cents)
+      .select(col("query_id"), col("qv"), col("qn"), col("cid"),
+        (col("cnrm2") - lit(2.0) * expr("vec_dot(qv, cv)")).as("dist"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("dist").asc, col("cid").asc)))
+      .filter(col("rn") <= nprobe)
+      .select("query_id", "qv", "qn", "cid")
+    val cids = ranked.select("cid").distinct().collect().map(_.getInt(0))
+    if (cids.isEmpty) {
+      import org.apache.spark.sql.types._
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("query_id", LongType),
+          StructField("neighbor_id", LongType),
+          StructField("score", DoubleType))))
+    }
+    val cells = spark.read.parquet(s"$path/cells")
+      .filter(col("cid").isin(cids.toSeq: _*) && col("nrm") > 0)
+    ranked.join(cells, "cid")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(expr("vec_dot(v, qv)") / (col("nrm") * col("qn")), 4).as("score"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("neighbor_id").asc)))
+      .filter(col("rn") <= k)
+      .select("query_id", "neighbor_id", "score")
+  }
+
+  /** Micro-batched SERVING over the persisted layout — the production
+    * shape xs4 models in batch: a standing index on disk, a stream of
+    * query vectors, per-batch top-k answers. Each micro-batch probes
+    * via [[probeBatch]] (partition-pruned cell reads against FROZEN
+    * centroids — `append` can keep folding vectors in underneath) and
+    * lands its answers in an IDEMPOTENT per-batch directory, so a
+    * replayed batch rewrites identical bytes instead of duplicating
+    * results (the quarantine-dir pattern).
+    */
+  def serve(queries: DataFrame, indexPath: String, outPath: String,
+      checkpoint: String, k: Int, nprobe: Int)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        probeBatch(df.sparkSession, indexPath, df, k, nprobe)
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   /** Top-k neighbors of `query` among the probed cells ONLY. The
     * cid filter is a partition filter — AnnIndexSpec asserts the
     * executed scan plans just the probed directories' files.
