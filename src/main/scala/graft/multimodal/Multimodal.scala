@@ -154,36 +154,53 @@ object Multimodal {
     if (off + 4 > b.length) ""
     else new String(b, off, 4, "US-ASCII")
 
-  /** Sniff + parse a payload's container header: (format, width,
-    * height, duration_ms). Unrecognized or truncated bytes parse as
-    * ("unknown", 0, 0, 0) — a decode stage must never throw on a
-    * corrupt payload.
+  /** Result of a container-header parse: the metadata fields plus
+    * `headerLen`, the offset where the SAMPLE DATA begins — the bytes
+    * a real pixel/PCM decoder would consume. Unknown formats carry
+    * headerLen 0 (the whole payload is "sample").
     */
-  private[multimodal] def parseHeader(b: Array[Byte])
-      : (String, Int, Int, Long) = {
+  final case class ParsedHeader(format: String, width: Int, height: Int,
+      durationMs: Long, headerLen: Int)
+
+  private val Unknown = ParsedHeader("unknown", 0, 0, 0L, 0)
+
+  /** Sniff + parse a payload's container header. Unrecognized or
+    * truncated bytes parse as `Unknown` — a decode stage must never
+    * throw on a corrupt payload.
+    */
+  private[multimodal] def parseHeader(b: Array[Byte]): ParsedHeader = {
     if (b.length >= 24 && b.take(8).sameElements(PngSig) &&
-        tag(b, 12) == "IHDR")
-      ("png", rbe32(b, 16).toInt, rbe32(b, 20).toInt, 0L)
-    else if (tag(b, 0) == "RIFF" && tag(b, 8) == "WAVE") {
-      // chunk walk: byte rate from 'fmt ', declared size from 'data'
+        tag(b, 12) == "IHDR") {
+      // sample (IDAT stand-in) starts after sig + IHDR chunk:
+      // 8 + (4 len + 4 tag + body + 4 crc), body length from the file
+      val ihdrLen = rbe32(b, 8).toInt
+      ParsedHeader("png", rbe32(b, 16).toInt, rbe32(b, 20).toInt, 0L,
+        math.min(b.length, 8 + 12 + ihdrLen))
+    } else if (tag(b, 0) == "RIFF" && tag(b, 8) == "WAVE") {
+      // chunk walk: byte rate from 'fmt ', declared size from 'data';
+      // the PCM sample region starts right after the data declaration
       var off = 12
       var byteRate = -1L
       var dataSize = -1L
+      var dataOff = -1
       while (off + 8 <= b.length && (byteRate < 0 || dataSize < 0)) {
         val id = tag(b, off)
         val sz = rle32(b, off + 4)
         if (id == "fmt " && off + 16 + 4 <= b.length)
           byteRate = rle32(b, off + 16)
-        if (id == "data") dataSize = sz
+        if (id == "data") { dataSize = sz; dataOff = off + 8 }
         off += 8 + math.max(0L, sz).toInt // data is last; walk stops there
       }
       if (byteRate > 0 && dataSize >= 0)
-        ("wav", 0, 0, dataSize * 1000L / byteRate)
-      else ("unknown", 0, 0, 0L)
+        ParsedHeader("wav", 0, 0, dataSize * 1000L / byteRate,
+          math.min(b.length, dataOff))
+      else Unknown
     } else if (tag(b, 4) == "ftyp") {
-      // top-level box walk to moov, then child walk to mvhd
+      // top-level box walk to moov, then child walk to mvhd; the mdat
+      // stand-in starts where the moov box ends
       var off = 0
       var out: Option[Long] = None
+      var hdrEnd = 0
       while (out.isEmpty && off + 8 <= b.length) {
         val sz = rbe32(b, off)
         if (tag(b, off + 4) == "moov") {
@@ -194,7 +211,10 @@ object Multimodal {
             if (tag(b, c + 4) == "mvhd" && c + 28 <= b.length) {
               val timescale = rbe32(b, c + 20)
               val duration = rbe32(b, c + 24)
-              if (timescale > 0) out = Some(duration * 1000L / timescale)
+              if (timescale > 0) {
+                out = Some(duration * 1000L / timescale)
+                hdrEnd = math.min(b.length.toLong, off + math.max(8L, sz)).toInt
+              }
             }
             c += math.max(8L, csz).toInt
           }
@@ -202,28 +222,45 @@ object Multimodal {
         if (sz < 8) off = b.length // malformed: stop
         else off += sz.toInt
       }
-      out.map(d => ("mp4", 1280, 720, d)).getOrElse(("unknown", 0, 0, 0L))
-    } else ("unknown", 0, 0, 0L)
+      out.map(d => ParsedHeader("mp4", 1280, 720, d, hdrEnd))
+        .getOrElse(Unknown)
+    } else Unknown
   }
 
-  /** Decode one media row: REAL header parse (format, dimensions,
-    * duration from the payload bytes) + deterministic byte-statistics
-    * features standing in for the sample-data model call.
+  /** Decode one media row from the REAL payload bytes: parse the
+    * container header, then derive the 8-dim feature vector from the
+    * PARSE RESULT — dims 0-2 encode the parsed geometry
+    * (width/4096, height/4096, duration_s/256: exactly the fields
+    * xm5 hash-certifies, so MultimodalSpec ties features to the
+    * audited parse), dims 3-7 are strided byte means over the SAMPLE
+    * REGION only (the bytes after the parsed header — what a real
+    * pixel/PCM decoder would consume; a corrupt payload has
+    * headerLen 0 and features over everything). The stats fold is
+    * the one piece standing in for a model call — in production it
+    * becomes the JNI/library invocation with the same per-partition
+    * batch contract; everything feeding it is real parsed payload.
     */
   private[multimodal] def decode(row: MediaRow): MediaFeatures = {
     val crc = new java.util.zip.CRC32
     crc.update(row.content)
     val sum = crc.getValue
-    // fake 8-dim "embedding" derived from byte statistics
-    val emb = Array.tabulate(8) { i =>
-      val slice = row.content.iterator.drop(i).grouped(8).map(_.head)
-      var acc = 0L; var n = 0
-      slice.foreach { b => acc += (b & 0xff); n += 1 }
-      if (n == 0) 0f else (acc.toFloat / n / 255f)
+    val p = parseHeader(row.content)
+    val from = math.min(math.max(p.headerLen, 0), row.content.length)
+    val emb = new Array[Float](8)
+    emb(0) = p.width / 4096f
+    emb(1) = p.height / 4096f
+    emb(2) = p.durationMs / 1000f / 256f
+    var i = 0
+    while (i < 5) {
+      var acc = 0L; var n = 0; var j = from + i
+      while (j < row.content.length) {
+        acc += row.content(j) & 0xff; n += 1; j += 5
+      }
+      emb(3 + i) = if (n == 0) 0f else acc.toFloat / n / 255f
+      i += 1
     }
-    val (fmt, w, h, dur) = parseHeader(row.content)
     MediaFeatures(row.doc_id, row.media_type, row.content.length.toLong,
-      sum, emb, fmt, w, h, dur)
+      sum, emb, p.format, p.width, p.height, p.durationMs)
   }
 
   /** Feature extraction: batch-shaped mapPartitions — codec state is

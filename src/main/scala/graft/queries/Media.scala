@@ -36,10 +36,12 @@ object Media {
         orderAll("media_type", "n_media", "total_bytes", "max_duration_ms")))
 
   // Decoded features (mapPartitions batch shape): header fields parsed
-  // from the REAL payload bytes + byte-statistics embedding standing in
-  // for the model call — ⊘ rows-only (checksum/embedding aren't
-  // SQL-expressible); invariants + parse roundtrip in MultimodalSpec,
-  // and the parsed header surface is hash-checked separately (xm5).
+  // from the REAL payload bytes, and the feature vector DERIVED from
+  // that parse — dims 0-2 re-encode the parsed geometry xm5
+  // hash-certifies, dims 3-7 are strided byte stats over the sample
+  // region after the parsed header (the model-call stand-in) — ⊘
+  // rows-only (checksum/embedding aren't SQL-expressible);
+  // MultimodalSpec ties the features to xm5's parsed fields.
   val xm2 = GQuery(
     "xm2_media_features",
     (s, d) => {

@@ -61,30 +61,63 @@ class MultimodalSpec extends AnyFunSuite {
   test("header parse roundtrips the builder's metadata from REAL bytes") {
     val rows = Multimodal.mediaTable(spark, sf).collect()
     rows.foreach { r =>
-      val (fmt, w, h, dur) = Multimodal.parseHeader(r.content)
-      assert(fmt == r.meta.format, s"doc ${r.doc_id}")
-      if (fmt == "png") {
-        assert(w == r.meta.width && h == r.meta.height, s"doc ${r.doc_id}")
+      val p = Multimodal.parseHeader(r.content)
+      assert(p.format == r.meta.format, s"doc ${r.doc_id}")
+      if (p.format == "png") {
+        assert(p.width == r.meta.width && p.height == r.meta.height,
+          s"doc ${r.doc_id}")
       }
-      if (fmt == "wav" || fmt == "mp4")
-        assert(dur == r.meta.duration_ms, s"doc ${r.doc_id}")
+      if (p.format == "wav" || p.format == "mp4")
+        assert(p.durationMs == r.meta.duration_ms, s"doc ${r.doc_id}")
+      // headerLen lands exactly on the builder's header/payload seam
+      assert(p.headerLen == Multimodal.HeaderBytes(r.media_type),
+        s"doc ${r.doc_id}: headerLen ${p.headerLen}")
     }
   }
 
   test("parse handles direct builder output and corruption gracefully") {
     val p = "payload".getBytes("UTF-8")
     assert(Multimodal.parseHeader(Multimodal.pngBytes(640, 480, p))
-      == ("png", 640, 480, 0L))
+      == Multimodal.ParsedHeader("png", 640, 480, 0L, 33))
     assert(Multimodal.parseHeader(Multimodal.wavBytes(12345L, p))
-      == ("wav", 0, 0, 12345L))
+      == Multimodal.ParsedHeader("wav", 0, 0, 12345L, 44))
     assert(Multimodal.parseHeader(Multimodal.mp4Bytes(98765L, p))
-      == ("mp4", 1280, 720, 98765L))
+      == Multimodal.ParsedHeader("mp4", 1280, 720, 98765L, 132))
     // corrupt/unknown payloads must parse as unknown, never throw
-    assert(Multimodal.parseHeader(Array.empty[Byte])._1 == "unknown")
-    assert(Multimodal.parseHeader("just text".getBytes)._1 == "unknown")
+    assert(Multimodal.parseHeader(Array.empty[Byte]).format == "unknown")
+    assert(Multimodal.parseHeader("just text".getBytes).format == "unknown")
     assert(Multimodal.parseHeader(
-      Multimodal.pngBytes(1, 1, p).take(10))._1 == "unknown")
+      Multimodal.pngBytes(1, 1, p).take(10)).format == "unknown")
     val truncatedWav = Multimodal.wavBytes(1000L, p).take(20)
-    assert(Multimodal.parseHeader(truncatedWav)._1 == "unknown")
+    assert(Multimodal.parseHeader(truncatedWav).format == "unknown")
+  }
+
+  test("xm2 features derive from the parsed payload, tied to xm5's fields") {
+    // geometry dims reconstruct exactly the parsed header fields xm5
+    // hash-certifies — the features demonstrably come from the REAL
+    // parse, not a stub
+    val feats = Multimodal.extractFeatures(Multimodal.mediaTable(spark, sf))
+      .collect()
+    feats.foreach { f =>
+      assert(math.round(f.embedding(0) * 4096f) == f.parsed_width,
+        s"doc ${f.doc_id}: e0 vs parsed_width")
+      assert(math.round(f.embedding(1) * 4096f) == f.parsed_height,
+        s"doc ${f.doc_id}: e1 vs parsed_height")
+      assert(math.round(f.embedding(2) * 256f * 1000f).toLong
+          == f.parsed_duration_ms,
+        s"doc ${f.doc_id}: e2 vs parsed_duration_ms")
+    }
+    // sample dims cover ONLY the bytes after the parsed header: for a
+    // hand-built payload the strided means over the sample region are
+    // computable by hand — "abc" at stride 5 puts one byte per stripe
+    val row = Multimodal.MediaRow(1L, "image",
+      Multimodal.pngBytes(64, 64, "abc".getBytes("US-ASCII")),
+      Multimodal.MediaMeta("png", 64, 64, 0L))
+    val emb = Multimodal.extractFeatures(
+      spark.createDataset(Seq(row))(
+        org.apache.spark.sql.Encoders.product[Multimodal.MediaRow]))
+      .collect().head.embedding
+    assert(emb(3) == 'a' / 255f && emb(4) == 'b' / 255f && emb(5) == 'c' / 255f)
+    assert(emb(6) == 0f && emb(7) == 0f)
   }
 }
