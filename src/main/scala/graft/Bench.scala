@@ -30,6 +30,27 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // JIT code-cache headroom guard. A full sweep compiles one or more
+    // whole-stage-codegen classes PER QUERY into one JVM; at 155
+    // queries the default 240m cache overflowed mid-run, silently
+    // disabling the compiler — every later query (untouched TPC-H
+    // included) measured 4-5x slow (fixed by reserving 512m in
+    // build.sbt's javaOptions). Codegen units measured ~1.5 MB/query;
+    // fail FAST at ~2 MB/query + base headroom so the registry's next
+    // growth step surfaces as this message, not as a silently slow
+    // sweep the round's numbers absorb.
+    import scala.jdk.CollectionConverters._
+    val codeHeaps = java.lang.management.ManagementFactory
+      .getMemoryPoolMXBeans.asScala.filter(_.getName.startsWith("CodeHeap"))
+    val reservedCode = codeHeaps
+      .map(p => Option(p.getUsage).map(_.getMax).getOrElse(0L)).sum
+    val neededCode = (128L << 20) + Registry.all.size.toLong * (2L << 20)
+    require(codeHeaps.isEmpty || reservedCode >= neededCode,
+      f"JIT code cache too small for ${Registry.all.size} queries: " +
+        f"reserved ${reservedCode >> 20}m < ${neededCode >> 20}m needed — " +
+        "raise -XX:ReservedCodeCacheSize in build.sbt javaOptions " +
+        "(~2 MB per registry query + 128m base)")
+
     def once(name: String): Double = {
       val t0 = System.nanoTime()
       Registry.byName(name).fn(spark, sfDir)
@@ -247,6 +268,15 @@ object Bench {
         java.nio.file.Paths.get(dest),
         (full + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () } // reporting must not fail the bench
+    // post-sweep: if compiled code nearly filled the reservation, the
+    // NEXT registry growth step will tip over — make it visible now
+    val usedCode = codeHeaps
+      .map(p => Option(p.getUsage).map(_.getUsed).getOrElse(0L)).sum
+    if (reservedCode > 0 && usedCode > reservedCode / 100 * 85)
+      System.err.println(
+        f"[bench] WARNING: JIT code cache at ${usedCode >> 20}m of " +
+          f"${reservedCode >> 20}m reserved (>85%%) — raise " +
+          "-XX:ReservedCodeCacheSize before adding queries")
     spark.stop()
     println(line)
     System.out.flush()
