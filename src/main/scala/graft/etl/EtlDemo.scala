@@ -65,7 +65,7 @@ object EtlDemo {
     q.awaitTermination(120000)
     val streamed = spark.read.parquet(root.resolve("stream_sink").toString)
     val streamedMax = streamed.agg(org.apache.spark.sql.functions
-      .max("block_number")).head.getLong(0)
+      .max("block_number")).head().getLong(0)
     println(s"[etl-demo] dsv2 stream: rows=${streamed.count()} maxBlock=$streamedMax " +
       s"(head=${ChainFixture.Epoch + ChainFixture.Span - 1}, lag 4 held=" +
       s"${streamedMax <= ChainFixture.Epoch + ChainFixture.Span - 5})")

@@ -309,7 +309,7 @@ object Multimodal {
     */
   def sizeByPayload(media: Dataset[MediaRow], targetBytes: Long): Dataset[MediaRow] = {
     val total = media.toDF()
-      .agg(sum(length(col("content")))).head.getLong(0)
+      .agg(sum(length(col("content")))).head().getLong(0)
     val parts = math.max(1, (total / targetBytes).toInt)
     media.repartition(parts)
   }

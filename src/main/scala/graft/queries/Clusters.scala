@@ -43,17 +43,65 @@ object Clusters {
     * Returns (doc_id, rep_id) at fixpoint: rep_id = min node id
     * reachable.
     */
+  /** Union-find with path compression over collected edge pairs —
+    * the shared driver kernel of both broadcast-gated fast paths.
+    * Returns (node, component-min) for every edge endpoint.
+    */
+  private def unionFind(es: Array[(Long, Long)]): Seq[(Long, Long)] = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = es.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
+    nodes.iterator.map(x => (x, find(x))).toSeq
+  }
+
   private[queries] def components(init: DataFrame, edges: DataFrame): DataFrame = {
+    val s = init.sparkSession
+    val bcThreshold = s.sessionState.conf.autoBroadcastJoinThreshold
+    def maybeBc(df: DataFrame, rows: Long): DataFrame =
+      if (bcThreshold > 0 && rows * 32L <= bcThreshold) broadcast(df) else df
+
+    // RAW-EDGE fast path: when the whole edge set already fits the
+    // SAME broadcast gate the contracted path applies later, skip the
+    // star contraction entirely — its four materialization jobs
+    // (contraction pass + count, contracted-edge distinct + count)
+    // exist to shrink a huge edge set BEFORE the driver collect, and
+    // on an already-small graph they ARE the cost (xd8's ~2k-edge
+    // semantic graph spent ~4x longer contracting than solving).
+    // Isolated nodes never enter; they fall back to their seed label
+    // in the compose join.
+    val eps = edges.select(col("doc_a"), col("doc_b")).persist()
+    val eCnt = eps.count()
+    if (sys.env.contains("GRAFT_DEBUG_ROUNDS"))
+      System.err.println(s"[components] edges=$eCnt fastPath=${
+        bcThreshold > 0 && eCnt * 32L <= bcThreshold}")
+    if (bcThreshold > 0 && eCnt * 32L <= bcThreshold) {
+      val lblRows = unionFind(
+        eps.collect().map(r => (r.getLong(0), r.getLong(1))))
+      eps.unpersist()
+      import s.implicits._
+      val lbl = lblRows.toDF("doc_id", "rep")
+      return init.select(col("doc_id"), col("rep_id").as("seed"))
+        .join(maybeBc(lbl, lblRows.size.toLong), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("rep"), col("seed")).as("rep_id"))
+    }
+
     // NOTE (measured, not kept): pre-partitioning dir by src to let
     // the per-round join elide its exchange read 8.0 s vs 4.6 s —
     // AQE's coalesced exchanges beat the pinned layout here, so the
     // plain persist stands.
-    val dir = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val dir = eps.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(eps.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
-    val bcThreshold = init.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
-    def maybeBc(df: DataFrame, rows: Long): DataFrame =
-      if (bcThreshold > 0 && rows * 32L <= bcThreshold) broadcast(df) else df
 
     // STAR CONTRACTION — one aggregation pass before any iteration:
     // m(x) = min(x, x's neighbors). Near-dup graphs are overwhelmingly
@@ -97,27 +145,13 @@ object Clusters {
     val lbl: DataFrame = if (bcThreshold <= 0 || cdirCnt * 32L > bcThreshold) {
       distributedFixpoint(cdir, m, mCnt, maybeBc)
     } else {
-      val es = cdir.collect().map(r => (r.getLong(0), r.getLong(1)))
-      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.getOrElse(r, r) != r) r = parent(r)
-        var c = x // path compression
-        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
-        r
-      }
-      es.foreach { case (a, b) =>
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-      }
-      val nodes = es.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
-      val rows = nodes.iterator.map(x => (x, find(x))).toSeq
-      val s = init.sparkSession
+      val rows = unionFind(cdir.collect().map(r => (r.getLong(0), r.getLong(1))))
       import s.implicits._
       rows.toDF("doc_id", "rep_id")
     }
     cdir.unpersist()
     dir.unpersist()
+    eps.unpersist()
     // compose back to the full node space: x's component is its
     // contraction class's component. A class rep with no contracted
     // edges is its own component's minimum (the whole component

@@ -113,7 +113,10 @@ object Recall {
     * the r7 shape recomputed it per query, 3× the dominant cost of
     * the certification family. Holding collected ids (never a cached
     * plan) keeps cache hygiene untouched: no persisted blocks outlive
-    * the computing query's reap. Scoring/tie rules match qx3 exactly
+    * the computing query's reap. The memo assumes the corpus at `d`
+    * is immutable within a session (the fixture contract everywhere
+    * in this registry); auditing a refreshed corpus needs a new
+    * session or path. Scoring/tie rules match qx3 exactly
     * (round-4 score desc, neighbor_id asc).
     */
   private val baselineMemo =
