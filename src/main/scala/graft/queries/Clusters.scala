@@ -64,26 +64,66 @@ object Clusters {
     nodes.iterator.map(x => (x, find(x))).toSeq
   }
 
+  /** Try the RAW-EDGE driver fast path: ONE limit-collect, bounded by
+    * the session broadcast gate, both decides feasibility and fetches
+    * the edges (limit(cap+1) returning ≤ cap rows proves the whole
+    * edge set fits — the same bytes we would happily broadcast). On a
+    * small graph this replaces the star contraction's four
+    * materialization jobs AND the count-then-collect pair with a
+    * single action; past the cap it returns None having fetched at
+    * most cap rows. Labels cover edge ENDPOINTS only — callers
+    * handle isolated nodes (compose join / left-join coalesce).
+    */
+  private def collectedLabels(eps: DataFrame): Option[Seq[(Long, Long)]] = {
+    val bcThreshold = eps.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    val cap = if (bcThreshold > 0) math.min(bcThreshold / 32L, 4000000L).toInt else 0
+    if (cap <= 0) return None
+    val head = eps.limit(cap + 1).collect()
+    if (sys.env.contains("GRAFT_DEBUG_ROUNDS"))
+      System.err.println(s"[components] edge-probe=${head.length} cap=$cap " +
+        s"fastPath=${head.length <= cap}")
+    if (head.length > cap) None
+    else Some(unionFind(head.map(r => (r.getLong(0), r.getLong(1)))))
+  }
+
+  /** Component labels for every EDGE ENDPOINT of `edges` — the form
+    * for callers that left-join the labels back and coalesce
+    * singletons to themselves (xd8): on the gated path the WHOLE
+    * closure is one limit-collect + a local-relation result, no
+    * endpoint distinct, no compose join. Falls back to the full
+    * `components` machinery past the gate.
+    */
+  private[queries] def componentsOfEdges(edges: DataFrame): DataFrame = {
+    val s = edges.sparkSession
+    val eps = edges.select(col("doc_a"), col("doc_b"))
+    collectedLabels(eps) match {
+      case Some(rows) =>
+        import s.implicits._
+        rows.toDF("doc_id", "rep_id")
+      case None =>
+        val endpoints = eps.select(col("doc_a").as("doc_id"))
+          .unionByName(eps.select(col("doc_b").as("doc_id"))).distinct()
+        components(endpoints.select(col("doc_id"),
+          col("doc_id").as("rep_id")), eps)
+    }
+  }
+
   private[queries] def components(init: DataFrame, edges: DataFrame): DataFrame = {
     val s = init.sparkSession
     val bcThreshold = s.sessionState.conf.autoBroadcastJoinThreshold
     def maybeBc(df: DataFrame, rows: Long): DataFrame =
       if (bcThreshold > 0 && rows * 32L <= bcThreshold) broadcast(df) else df
 
-    // RAW-EDGE fast path: when the whole edge set already fits the
-    // SAME broadcast gate the contracted path applies later, skip the
-    // star contraction entirely — its four materialization jobs
-    // (contraction pass + count, contracted-edge distinct + count)
-    // exist to shrink a huge edge set BEFORE the driver collect, and
-    // on an already-small graph they ARE the cost (xd8's ~2k-edge
-    // semantic graph spent ~4x longer contracting than solving).
-    // Isolated nodes never enter; they fall back to their seed label
-    // in the compose join.
+    // RAW-EDGE fast path: skip the star contraction when the whole
+    // edge set fits the broadcast gate. Gated by a COUNT here (not
+    // collectedLabels' limit-probe): eps is persisted and fully
+    // materialized by whichever path follows, so the count rides work
+    // the query pays anyway, while a limit-probe would partially
+    // double-execute the edge generator for over-cap graphs (xd5's
+    // 698k-edge token graph). Isolated nodes never enter; they fall
+    // back to their seed label in the compose join.
     val eps = edges.select(col("doc_a"), col("doc_b")).persist()
     val eCnt = eps.count()
-    if (sys.env.contains("GRAFT_DEBUG_ROUNDS"))
-      System.err.println(s"[components] edges=$eCnt fastPath=${
-        bcThreshold > 0 && eCnt * 32L <= bcThreshold}")
     if (bcThreshold > 0 && eCnt * 32L <= bcThreshold) {
       val lblRows = unionFind(
         eps.collect().map(r => (r.getLong(0), r.getLong(1))))
@@ -92,7 +132,8 @@ object Clusters {
       val lbl = lblRows.toDF("doc_id", "rep")
       return init.select(col("doc_id"), col("rep_id").as("seed"))
         .join(maybeBc(lbl, lblRows.size.toLong), Seq("doc_id"), "left")
-        .select(col("doc_id"), coalesce(col("rep"), col("seed")).as("rep_id"))
+        .select(col("doc_id"),
+          coalesce(col("rep"), col("seed")).as("rep_id"))
     }
 
     // NOTE (measured, not kept): pre-partitioning dir by src to let
@@ -116,11 +157,15 @@ object Clusters {
     // connectivity; and a component's global min c has m(c) = c, so
     // it IS a contracted node and the contracted fixpoint minimum is
     // the original component minimum.
+    // count rides the checkpoint's own materialization job as an
+    // observed metric — no second pass over m
+    val mObs = org.apache.spark.sql.Observation()
     val m = dir.groupBy("src")
       .agg(min(col("dst")).as("mn"))
       .select(col("src").as("x"), least(col("src"), col("mn")).as("mx"))
+      .observe(mObs, count(lit(1)).as("n"))
       .localCheckpoint(true) // 3 consumers: both edge remaps + compose
-    val mCnt = m.count()
+    val mCnt = mObs.get("n").asInstanceOf[Long]
     val mB = maybeBc(m, mCnt)
     val cdir = dir
       .join(mB.select(col("x").as("src"), col("mx").as("csrc")), "src")
@@ -339,11 +384,7 @@ object Clusters {
       // near-dup population, not the corpus.
       val pairs = own(Similarity.ivfPairs(s, d, 0.45)
         .select("doc_a", "doc_b").persist())
-      val endpoints = pairs.select(col("doc_a").as("doc_id"))
-        .unionByName(pairs.select(col("doc_b").as("doc_id")))
-        .distinct()
-      val init = endpoints.select(col("doc_id"), col("doc_id").as("rep_id"))
-      val lbl = components(init, pairs)
+      val lbl = componentsOfEdges(pairs)
         .select(col("doc_id").as("vec_id"), col("rep_id"))
       val all = c.embeddings.select(col("vec_id"))
         .join(Scale.maybeBroadcast(lbl), Seq("vec_id"), "left")
