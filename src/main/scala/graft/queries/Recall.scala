@@ -360,19 +360,58 @@ object Recall {
     Some(reportSql("xd2_simhash", "pair_precision_vs_exact", None, 0.90,
       None)))
 
-  /** IVF-blocked semantic dedup vs exact xd4 pairs: subset + recall. */
+  /** ONE limit-collect of a pair frame, gated by the session
+    * broadcast threshold: ≤ cap rows proves the whole set fits the
+    * same bytes we would broadcast, so the certification's set
+    * algebra can run on the driver instead of paying persist + three
+    * count/semi/anti jobs; past the cap the caller falls back to the
+    * distributed keySet path.
+    */
+  private def gatedPairSet(df: DataFrame, cols: Seq[String])
+      : Option[Set[(Long, Long)]] = {
+    val thr = df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    val cap = if (thr > 0) math.min(thr / 32L, 4000000L).toInt else 0
+    if (cap <= 0) return None
+    val head = df.select(cols.map(col): _*).limit(cap + 1).collect()
+    if (head.length > cap) None
+    else Some(head.iterator.map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
+
+  /** IVF-blocked semantic dedup vs exact xd4 pairs: subset + recall.
+    * Near-dup pair sets are tiny in practice — both sides usually
+    * pass the broadcast-gated collect and the whole comparison is
+    * driver set algebra (two actions total); either side over the
+    * gate degrades to the distributed semi/anti-join path.
+    */
   val xr7 = GQuery(
     "xr7_semdup_recall",
     (s, d) => reap {
       val cols = Seq("doc_a", "doc_b")
-      val exact = keySet(Dedup.xd4.fn(s, d), cols)
-      val approx = keySet(Similarity.xd7.fn(s, d), cols)
       // measured 1.0 at sf0.001/0.01/0.1 (threshold pairs co-probe
       // reliably); floor 0.90
       val floor = 0.90
-      val r = recallOf(approx, exact, cols)
+      val (r, subset) =
+        (gatedPairSet(Dedup.xd4.fn(s, d), cols),
+          gatedPairSet(Similarity.xd7.fn(s, d), cols)) match {
+          case (Some(ex), Some(ap)) =>
+            val rec = if (ex.isEmpty) 1.0
+              else ex.count(ap.contains).toDouble / ex.size
+            (rec, ap.subsetOf(ex))
+          case (exOpt, apOpt) =>
+            def distributed(o: Option[Set[(Long, Long)]], df: => DataFrame) =
+              o match {
+                case Some(st) =>
+                  import s.implicits._
+                  keySet(st.toSeq.toDF(cols: _*), cols)
+                case None => keySet(df, cols)
+              }
+            val exact = distributed(exOpt, Dedup.xd4.fn(s, d))
+            val approx = distributed(apOpt, Similarity.xd7.fn(s, d))
+            (recallOf(approx, exact, cols), subsetOf(approx, exact, cols))
+        }
+      System.err.println(f"[recall] xr7_semdup_recall measured=$r%.4f floor=$floor")
       canon(report(s, "xd7_semantic_dedup", "pair_recall_vs_exact", None,
-        floor, Some(subsetOf(approx, exact, cols)), r >= floor))
+        floor, Some(subset), r >= floor))
     },
     Some(reportSql("xd7_semantic_dedup", "pair_recall_vs_exact", None, 0.90,
       Some(true))))
