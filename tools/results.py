@@ -81,6 +81,14 @@ with open(out_path, "w") as f:
                 f"DuckDB ~230s): Spark {ex_s:.1f}s vs DuckDB {ex_d:.1f}s = "
                 f"**{ex_s / ex_d:.2f}x**; Spark beats DuckDB outright on "
                 f"{n_beat} budgeted queries.\n\n")
+        f.write("Ratio context: both engines are measured in the SAME "
+                "session, but the shared host's background load shifts the "
+                "ratio — DuckDB's single-threaded runs lose far less to "
+                "contention than Spark's 32-thread stages, so the aggregate "
+                "drifts between rounds (r6 2.1x, r7 1.59x, r8 2.28x) even "
+                "while Spark's ABSOLUTE budgeted total improves every round "
+                "(r6 ~94s, r7 84.5s, r8 77.3s). Per-query comparisons are "
+                "the stable signal; the aggregate is host-weather.\n\n")
     if cold:
         if cold_risks:
             f.write("Cold-run budget risks (cold > warm budget; verdicts "
