@@ -111,10 +111,12 @@ object DedupIngest {
       val clean = batch.join(keepers, Seq("doc_id"), "left_semi")
       val version = Snapshot.commitAppendOnce(clean, lakePath,
         streamId, batchId)
-      // both counts come off the persisted group table (one keeper
-      // per null-match group; quarantined = the exploded rest) — the
-      // match join is never re-executed for the report
-      BatchReport(keepers.count(), quarantined.count(), version)
+      // appended counts the rows actually committed (clean replans
+      // only the batch scan + semi join against the PERSISTED group
+      // table — never the corpus match), so a micro-batch carrying
+      // duplicate doc_id rows reports what really landed instead of
+      // one-per-keeper-group; quarantined reads the persisted table
+      BatchReport(clean.count(), quarantined.count(), version)
     } finally {
       bg.unpersist()
       cgOpt.foreach(_.unpersist())

@@ -140,19 +140,29 @@ object Multimodal {
 
   // -------------------------------------------------------- header parse
 
-  private def rbe32(b: Array[Byte], off: Int): Long =
-    if (off + 4 > b.length) -1L
-    else ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
-      ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+  // All offsets are Longs with explicit [0, length] guards: size
+  // fields are UNSIGNED 32-bit, so a corrupt payload can declare
+  // sizes >= 0x80000000 that would wrap an Int offset negative and
+  // turn the never-throw parse into a crash (or a zero-advance hang).
+  private def rbe32(b: Array[Byte], off: Long): Long =
+    if (off < 0 || off + 4 > b.length) -1L
+    else {
+      val i = off.toInt
+      ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+        ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+    }
 
-  private def rle32(b: Array[Byte], off: Int): Long =
-    if (off + 4 > b.length) -1L
-    else (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
-      ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+  private def rle32(b: Array[Byte], off: Long): Long =
+    if (off < 0 || off + 4 > b.length) -1L
+    else {
+      val i = off.toInt
+      (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+        ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+    }
 
-  private def tag(b: Array[Byte], off: Int): String =
-    if (off + 4 > b.length) ""
-    else new String(b, off, 4, "US-ASCII")
+  private def tag(b: Array[Byte], off: Long): String =
+    if (off < 0 || off + 4 > b.length) ""
+    else new String(b, off.toInt, 4, "US-ASCII")
 
   /** Result of a container-header parse: the metadata fields plus
     * `headerLen`, the offset where the SAMPLE DATA begins — the bytes
@@ -173,39 +183,42 @@ object Multimodal {
         tag(b, 12) == "IHDR") {
       // sample (IDAT stand-in) starts after sig + IHDR chunk:
       // 8 + (4 len + 4 tag + body + 4 crc), body length from the file
-      val ihdrLen = rbe32(b, 8).toInt
+      val ihdrLen = rbe32(b, 8) // unsigned: in [0, 2^32)
       ParsedHeader("png", rbe32(b, 16).toInt, rbe32(b, 20).toInt, 0L,
-        math.min(b.length, 8 + 12 + ihdrLen))
+        math.min(b.length.toLong, 20L + ihdrLen).toInt)
     } else if (tag(b, 0) == "RIFF" && tag(b, 8) == "WAVE") {
       // chunk walk: byte rate from 'fmt ', declared size from 'data';
-      // the PCM sample region starts right after the data declaration
-      var off = 12
+      // the PCM sample region starts right after the data declaration.
+      // Long offsets: each step advances by >= 8, so the walk always
+      // terminates and never goes negative, whatever sizes claim.
+      var off = 12L
       var byteRate = -1L
       var dataSize = -1L
-      var dataOff = -1
+      var dataOff = -1L
       while (off + 8 <= b.length && (byteRate < 0 || dataSize < 0)) {
         val id = tag(b, off)
         val sz = rle32(b, off + 4)
         if (id == "fmt " && off + 16 + 4 <= b.length)
           byteRate = rle32(b, off + 16)
         if (id == "data") { dataSize = sz; dataOff = off + 8 }
-        off += 8 + math.max(0L, sz).toInt // data is last; walk stops there
+        off += 8 + math.max(0L, sz) // data is last; walk stops there
       }
       if (byteRate > 0 && dataSize >= 0)
         ParsedHeader("wav", 0, 0, dataSize * 1000L / byteRate,
-          math.min(b.length, dataOff))
+          math.min(b.length.toLong, dataOff).toInt)
       else Unknown
     } else if (tag(b, 4) == "ftyp") {
       // top-level box walk to moov, then child walk to mvhd; the mdat
-      // stand-in starts where the moov box ends
-      var off = 0
+      // stand-in starts where the moov box ends. Long offsets with
+      // >= 8 advance per step — see the RIFF note.
+      var off = 0L
       var out: Option[Long] = None
       var hdrEnd = 0
       while (out.isEmpty && off + 8 <= b.length) {
         val sz = rbe32(b, off)
         if (tag(b, off + 4) == "moov") {
           var c = off + 8
-          val end = math.min(b.length.toLong, off + math.max(8L, sz)).toInt
+          val end = math.min(b.length.toLong, off + math.max(8L, sz))
           while (out.isEmpty && c + 8 <= end) {
             val csz = rbe32(b, c)
             if (tag(b, c + 4) == "mvhd" && c + 28 <= b.length) {
@@ -213,14 +226,14 @@ object Multimodal {
               val duration = rbe32(b, c + 24)
               if (timescale > 0) {
                 out = Some(duration * 1000L / timescale)
-                hdrEnd = math.min(b.length.toLong, off + math.max(8L, sz)).toInt
+                hdrEnd = end.toInt
               }
             }
-            c += math.max(8L, csz).toInt
+            c += math.max(8L, csz)
           }
         }
-        if (sz < 8) off = b.length // malformed: stop
-        else off += sz.toInt
+        if (sz < 8) off = b.length.toLong // malformed: stop
+        else off += sz
       }
       out.map(d => ParsedHeader("mp4", 1280, 720, d, hdrEnd))
         .getOrElse(Unknown)

@@ -103,6 +103,11 @@ object AnnIndex {
       .select(col("query_id"), col("embedding").cast("array<double>").as("qv"))
       .withColumn("qn", sqrt(expr("vec_dot(qv, qv)")))
       .filter(col("qn") > 0) // zero-norm queries have no direction
+    // materialized once (eager executor-local checkpoint): both the
+    // probed-cid collect and the scoring join read these blocks — an
+    // unpersisted plan would re-run the routing crossJoin + window
+    // shuffle twice per micro-batch; blocks are reclaimed by the
+    // ContextCleaner once the batch's result frame is unreachable
     val ranked = q.crossJoin(cents)
       .select(col("query_id"), col("qv"), col("qn"), col("cid"),
         (col("cnrm2") - lit(2.0) * expr("vec_dot(qv, cv)")).as("dist"))
@@ -110,15 +115,14 @@ object AnnIndex {
         Window.partitionBy("query_id").orderBy(col("dist").asc, col("cid").asc)))
       .filter(col("rn") <= nprobe)
       .select("query_id", "qv", "qn", "cid")
+      .localCheckpoint(true)
     val cids = ranked.select("cid").distinct().collect().map(_.getInt(0))
-    if (cids.isEmpty) {
-      import org.apache.spark.sql.types._
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(StructField("query_id", LongType),
-          StructField("neighbor_id", LongType),
-          StructField("score", DoubleType))))
-    }
+    if (cids.isEmpty)
+      // empty THROUGH the input projection so query_id keeps the
+      // caller's type — a hardcoded schema would make empty batches
+      // write a different parquet type than normal ones
+      return q.select(col("query_id"), lit(0L).as("neighbor_id"),
+        lit(0.0).as("score")).limit(0)
     val cells = spark.read.parquet(s"$path/cells")
       .filter(col("cid").isin(cids.toSeq: _*) && col("nrm") > 0)
     ranked.join(cells, "cid")

@@ -122,9 +122,12 @@ object Clusters {
     // double-execute the edge generator for over-cap graphs (xd5's
     // 698k-edge token graph). Isolated nodes never enter; they fall
     // back to their seed label in the compose join.
+    // same 4M-row absolute cap as collectedLabels: a session tuned
+    // with a very large broadcast threshold must not turn the gate
+    // into an unbounded driver collect
     val eps = edges.select(col("doc_a"), col("doc_b")).persist()
     val eCnt = eps.count()
-    if (bcThreshold > 0 && eCnt * 32L <= bcThreshold) {
+    if (bcThreshold > 0 && eCnt * 32L <= bcThreshold && eCnt <= 4000000L) {
       val lblRows = unionFind(
         eps.collect().map(r => (r.getLong(0), r.getLong(1))))
       eps.unpersist()

@@ -124,11 +124,21 @@ object Recall {
       Array[(Long, Long)]]()
 
   private def memoized(s: SparkSession, d: String, tag: String)(
-      compute: => Array[(Long, Long)]): Array[(Long, Long)] =
-    baselineMemo.computeIfAbsent((s, d, tag), { _ =>
+      compute: => Array[(Long, Long)]): Array[(Long, Long)] = {
+    // get/putIfAbsent, NOT computeIfAbsent: the mapping function must
+    // not mutate the map (the size-capped clear would) and must not
+    // run a multi-second Spark job while holding a bin lock. A racing
+    // duplicate compute is benign — the baseline is deterministic.
+    val k = (s, d, tag)
+    val hit = baselineMemo.get(k)
+    if (hit != null) hit
+    else {
       if (baselineMemo.size > 16) baselineMemo.clear() // old sessions/dirs
-      compute
-    })
+      val v = compute
+      baselineMemo.putIfAbsent(k, v)
+      v
+    }
+  }
 
   private def exactTopkSample(s: SparkSession, d: String): Array[(Long, Long)] =
     memoized(s, d, "allpairs") {
@@ -390,25 +400,31 @@ object Recall {
       // measured 1.0 at sf0.001/0.01/0.1 (threshold pairs co-probe
       // reliably); floor 0.90
       val floor = 0.90
-      val (r, subset) =
-        (gatedPairSet(Dedup.xd4.fn(s, d), cols),
-          gatedPairSet(Similarity.xd7.fn(s, d), cols)) match {
-          case (Some(ex), Some(ap)) =>
-            val rec = if (ex.isEmpty) 1.0
-              else ex.count(ap.contains).toDouble / ex.size
-            (rec, ap.subsetOf(ex))
-          case (exOpt, apOpt) =>
-            def distributed(o: Option[Set[(Long, Long)]], df: => DataFrame) =
-              o match {
-                case Some(st) =>
-                  import s.implicits._
-                  keySet(st.toSeq.toDF(cols: _*), cols)
-                case None => keySet(df, cols)
-              }
-            val exact = distributed(exOpt, Dedup.xd4.fn(s, d))
-            val approx = distributed(apOpt, Similarity.xd7.fn(s, d))
-            (recallOf(approx, exact, cols), subsetOf(approx, exact, cols))
-        }
+      // probe the EXACT side first: approx ⊆ exact by the subset
+      // contract, so if exact is over the gate there is no point
+      // probing approx — go straight to the distributed path with no
+      // wasted partial execution. The only double-paid case is the
+      // contract-violating one (approx over cap while exact fits),
+      // where approx re-executes once; the gate probe itself is a
+      // TakeOrdered to cap+1, not a full materialization.
+      val (r, subset) = gatedPairSet(Dedup.xd4.fn(s, d), cols) match {
+        case Some(ex) =>
+          gatedPairSet(Similarity.xd7.fn(s, d), cols) match {
+            case Some(ap) =>
+              val rec = if (ex.isEmpty) 1.0
+                else ex.count(ap.contains).toDouble / ex.size
+              (rec, ap.subsetOf(ex))
+            case None =>
+              import s.implicits._
+              val exact = keySet(ex.toSeq.toDF(cols: _*), cols)
+              val approx = keySet(Similarity.xd7.fn(s, d), cols)
+              (recallOf(approx, exact, cols), subsetOf(approx, exact, cols))
+          }
+        case None =>
+          val exact = keySet(Dedup.xd4.fn(s, d), cols)
+          val approx = keySet(Similarity.xd7.fn(s, d), cols)
+          (recallOf(approx, exact, cols), subsetOf(approx, exact, cols))
+      }
       System.err.println(f"[recall] xr7_semdup_recall measured=$r%.4f floor=$floor")
       canon(report(s, "xd7_semantic_dedup", "pair_recall_vs_exact", None,
         floor, Some(subset), r >= floor))

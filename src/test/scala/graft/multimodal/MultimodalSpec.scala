@@ -92,6 +92,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.parseHeader(truncatedWav).format == "unknown")
   }
 
+  test("hostile unsigned size fields parse as unknown — no crash, no hang") {
+    def le(v: Long) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def be(v: Long) = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def a(s: String) = s.getBytes("US-ASCII")
+    // chunk size >= 0x80000000 once wrapped an Int offset NEGATIVE
+    // (StringIndexOutOfBounds in tag()); 0xFFFFFFF8 made the Int
+    // advance ZERO (infinite loop in an executor task)
+    val riffCrash = a("RIFF") ++ le(36) ++ a("WAVE") ++
+      a("junk") ++ le(0xFFFFFF00L) ++ Array.fill[Byte](40)(0)
+    assert(Multimodal.parseHeader(riffCrash).format == "unknown")
+    val riffHang = a("RIFF") ++ le(36) ++ a("WAVE") ++
+      a("junk") ++ le(0xFFFFFFF8L) ++ Array.fill[Byte](40)(0)
+    assert(Multimodal.parseHeader(riffHang).format == "unknown")
+    val mp4Evil = be(16) ++ a("ftyp") ++ a("isom") ++ be(0) ++
+      be(0xFFFFFFFFL) ++ a("moov") ++ Array.fill[Byte](60)(0)
+    assert(Multimodal.parseHeader(mp4Evil).format == "unknown")
+    // and decode (the production entry) survives them end-to-end
+    val row = Multimodal.MediaRow(1L, "audio", riffHang,
+      Multimodal.MediaMeta("wav", 0, 0, 0L))
+    val f = Multimodal.extractFeatures(
+      spark.createDataset(Seq(row))(
+        org.apache.spark.sql.Encoders.product[Multimodal.MediaRow]))
+      .collect().head
+    assert(f.parsed_format == "unknown" && f.embedding.length == 8)
+  }
+
   test("xm2 features derive from the parsed payload, tied to xm5's fields") {
     // geometry dims reconstruct exactly the parsed header fields xm5
     // hash-certifies — the features demonstrably come from the REAL
