@@ -85,9 +85,9 @@ with open(out_path, "w") as f:
                 "session, but the shared host's background load shifts the "
                 "ratio — DuckDB's single-threaded runs lose far less to "
                 "contention than Spark's 32-thread stages, so the aggregate "
-                "drifts between rounds (r6 2.1x, r7 1.59x, r8 2.28x) even "
+                "drifts between rounds (r6 2.1x, r7 1.59x, r8 2.16x) even "
                 "while Spark's ABSOLUTE budgeted total improves every round "
-                "(r6 ~94s, r7 84.5s, r8 77.3s). Per-query comparisons are "
+                "(r6 ~94s, r7 84.5s, r8 70.6s). Per-query comparisons are "
                 "the stable signal; the aggregate is host-weather.\n\n")
     if cold:
         if cold_risks:
