@@ -137,6 +137,10 @@ object Llm {
             col("jaccard"))
           .select(least(col("p.a"), col("p.b")).as("doc_a"),
             greatest(col("p.a"), col("p.b")).as("doc_b"), col("jaccard"))
+        // NOTE (measured twice, not kept): persisting the pair stream
+        // before the sort — xd10's win against orderBy's double child
+        // execution — is ~0.4 s SLOWER here: qx2's expansion is cheap
+        // relative to the materialization barrier (xd10's is not).
         canonBy(intra.unionByName(cross)
           .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard")),
           "doc_a", "doc_b")
