@@ -120,6 +120,36 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f.parsed_format == "unknown" && f.embedding.length == 8)
   }
 
+  test("parseHeader is a total function on arbitrary bytes (property)") {
+    // the decode stage's hard contract: ANY payload parses without
+    // throwing, terminates, and reports a headerLen inside the
+    // payload. Random bytes rarely hit the magic prefixes, so also
+    // fuzz MUTATIONS of real headers (valid magics + arbitrary size
+    // fields — the adversarial shape the walks must survive).
+    val rnd = new scala.util.Random(42)
+    val real = Seq(
+      Multimodal.pngBytes(64, 48, Array.fill[Byte](32)(7)),
+      Multimodal.wavBytes(2000L, Array.fill[Byte](32)(7)),
+      Multimodal.mp4Bytes(3000L, Array.fill[Byte](32)(7)))
+    val cases =
+      (1 to 300).map { _ =>
+        val b = new Array[Byte](rnd.nextInt(200)); rnd.nextBytes(b); b
+      } ++
+      (1 to 300).map { _ =>
+        val base = real(rnd.nextInt(real.size)).clone()
+        // corrupt 1-4 bytes anywhere (size fields included)
+        (0 until 1 + rnd.nextInt(4)).foreach { _ =>
+          base(rnd.nextInt(base.length)) = rnd.nextInt(256).toByte
+        }
+        base
+      }
+    cases.foreach { b =>
+      val p = Multimodal.parseHeader(b) // must not throw nor hang
+      assert(p.headerLen >= 0 && p.headerLen <= b.length,
+        s"headerLen ${p.headerLen} outside [0, ${b.length}]")
+    }
+  }
+
   test("xm2 features derive from the parsed payload, tied to xm5's fields") {
     // geometry dims reconstruct exactly the parsed header fields xm5
     // hash-certifies — the features demonstrably come from the REAL

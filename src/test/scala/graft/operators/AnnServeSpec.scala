@@ -140,4 +140,47 @@ class AnnServeSpec extends AnyFunSuite {
       .collect().map(_.toString).sorted.toSeq
     assert(after == before)
   }
+
+  test("the index stays serveable during growth: append lands mid-stream") {
+    val s = spark.newSession()
+    graft.functions.VectorOps.register(s)
+    import s.implicits._
+    val root = Files.createTempDirectory("annserve-grow").toString
+    val path = s"$root/idx"
+    val out = s"$root/out"
+    val emb = s.read.parquet(s"$sf/embeddings.parquet")
+    // build on 90% of the corpus; the rest arrives while serving
+    AnnIndex.build(s, emb.filter(col("vec_id") % 10 =!= 0), path)
+    def vec(id: Long): Array[Double] = emb.filter(col("vec_id") === id)
+      .select(col("embedding").cast("array<double>"))
+      .head.getSeq[Double](0).toArray
+
+    val input = MemoryStream[(Long, Seq[Double])](s)
+    val q = AnnIndex.serve(input.toDF().toDF("query_id", "embedding"),
+      path, out, Files.createTempDirectory("annserve-grow-ckpt").toString,
+      k = 5, nprobe = 3)
+    input.addData((3L, vec(3L).toSeq))
+    q.processAllAvailable()
+    // growth between micro-batches: assign-only fold-in, frozen
+    // centroids — no rebuild, no stream restart
+    AnnIndex.append(s, emb.filter(col("vec_id") % 10 === 0), path)
+    input.addData((3L, vec(3L).toSeq))
+    q.processAllAvailable()
+    q.stop()
+
+    // batch 1 answered against the GROWN index: equal to a fresh
+    // probe over it, and at least as good as batch 0's answer set
+    // (appended vectors are now candidates)
+    val g1 = s.read.parquet(s"$out/batch=1")
+      .select("neighbor_id", "score")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy(x => (-x._2, x._1)).toSeq
+    val want = AnnIndex.probe(s, path, vec(3L), 5, 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(g1 == want, "post-append batch must match a fresh probe of the grown index")
+    val g0Top = s.read.parquet(s"$out/batch=0")
+      .agg(max(col("score"))).head.getDouble(0)
+    assert(g1.head._2 >= g0Top,
+      "growing the index must never worsen the best answer")
+  }
 }
