@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Det._
@@ -340,5 +341,79 @@ object Scans {
         |FROM k CROSS JOIN t""".stripMargin +
         orderAll("key", "cnt", "rk", "share", "cum_share")))
 
-  def queries: Seq[GQuery] = Seq(q01, q02, q18, xv1, xv2, xv3, xv4)
+  /** One FK relationship audited in one pass: a LEFT join against the
+    * (unique-keyed) parent's key column with a null-hit count — never
+    * a second scan of the child for the total. Parent key sides are
+    * size-gated broadcasts (dimension keys are MBs even at 100 TB
+    * fact scale); past the threshold the audit degrades to a shuffled
+    * equi-join on the key, which is the same exchange the production
+    * join it is vetting would pay.
+    */
+  private[queries] def fkAudit(fk: String, child: DataFrame, ck: String,
+      parent: DataFrame, pk: String): DataFrame = {
+    val p = Scale.maybeBroadcast(
+      parent.select(col(pk).as("__k"), lit(1).as("__hit")))
+    child.select(col(ck).as("__k"))
+      .join(p, Seq("__k"), "left")
+      .agg(count(lit(1)).as("child_rows"),
+        sum(when(col("__hit").isNull, 1L).otherwise(0L)).as("orphan_rows"))
+      .select(lit(fk).as("fk"), col("child_rows"), col("orphan_rows"),
+        round(col("orphan_rows").cast("double") / col("child_rows"), 6)
+          .as("orphan_rate"))
+  }
+
+  /** xv5: referential-integrity audit — orphan-FK counts and rates for
+    * every declared relationship of the star schema, the load-time
+    * data-quality gate that decides whether inner joins silently drop
+    * rows downstream. Each relationship is one single-pass left-join
+    * aggregate (fkAudit); the seven audits are independent jobs whose
+    * union is seven rows. A null FK counts as an orphan (it would not
+    * survive the inner join being vetted), matching the oracle's
+    * null-extended LEFT JOIN.
+    */
+  val xv5 = GQuery(
+    "xv5_referential_integrity",
+    (s, d) => {
+      val c = Ctx(s, d)
+      canonBy(Seq(
+        fkAudit("customer.c_nationkey->nation.n_nationkey",
+          c.customer, "c_nationkey", c.nation, "n_nationkey"),
+        fkAudit("lineitem.l_orderkey->orders.o_orderkey",
+          c.lineitem, "l_orderkey", c.orders, "o_orderkey"),
+        fkAudit("lineitem.l_partkey->part.p_partkey",
+          c.lineitem, "l_partkey", c.part, "p_partkey"),
+        fkAudit("lineitem.l_suppkey->supplier.s_suppkey",
+          c.lineitem, "l_suppkey", c.supplier, "s_suppkey"),
+        fkAudit("nation.n_regionkey->region.r_regionkey",
+          c.nation, "n_regionkey", c.region, "r_regionkey"),
+        fkAudit("orders.o_custkey->customer.c_custkey",
+          c.orders, "o_custkey", c.customer, "c_custkey"),
+        fkAudit("supplier.s_nationkey->nation.n_nationkey",
+          c.supplier, "s_nationkey", c.nation, "n_nationkey"))
+        .reduce(_.unionByName(_)), "fk")
+    },
+    Some(Seq(
+      ("customer.c_nationkey->nation.n_nationkey",
+        "customer", "c_nationkey", "nation", "n_nationkey"),
+      ("lineitem.l_orderkey->orders.o_orderkey",
+        "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      ("lineitem.l_partkey->part.p_partkey",
+        "lineitem", "l_partkey", "part", "p_partkey"),
+      ("lineitem.l_suppkey->supplier.s_suppkey",
+        "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      ("nation.n_regionkey->region.r_regionkey",
+        "nation", "n_regionkey", "region", "r_regionkey"),
+      ("orders.o_custkey->customer.c_custkey",
+        "orders", "o_custkey", "customer", "c_custkey"),
+      ("supplier.s_nationkey->nation.n_nationkey",
+        "supplier", "s_nationkey", "nation", "n_nationkey"))
+      .map { case (fk, ct, ck, pt, pk) =>
+        s"""SELECT '$fk' AS fk, COUNT(*) AS child_rows,
+           |  CAST(SUM(CASE WHEN p.$pk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orphan_rows,
+           |  ROUND(CAST(SUM(CASE WHEN p.$pk IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / COUNT(*), 6) AS orphan_rate
+           |FROM $ct c LEFT JOIN $pt p ON c.$ck = p.$pk""".stripMargin }
+      .mkString("", "\nUNION ALL\n", orderAll("fk"))))
+
+  def queries: Seq[GQuery] = Seq(q01, q02, q18, xv1, xv2, xv3, xv4, xv5)
 }
