@@ -179,6 +179,27 @@ object Bench {
       r.join(r.select((col("r_regionkey") + lit(100)).as("r_regionkey")),
           Seq("r_regionkey"), "left_anti")
         .write.format("noop").mode("overwrite").save()
+      // xd11's k-gram kernel (posexplode over a transform/sequence/
+      // aggregate/slice chain) and the retrieval family's map pivots
+      // (map_from_entries + try_element_at inside transform) are
+      // interpreted-HOF classes nothing above loads; their first use
+      // cost ~1 s in the r8 cold sweep (xd11 2.04 s vs its 2.00 s
+      // budget — the one remaining cold-risk row).
+      r.select(col("r_regionkey"),
+          expr("transform(split(r_name, ''), x -> xxhash64(x))").as("htoks"))
+        .select(col("r_regionkey"), posexplode(expr(
+          """transform(sequence(1, greatest(size(htoks) - 2, 1)),
+            |  i -> aggregate(slice(htoks, i, 3), 1125899906842597L,
+            |         (h, x) -> xxhash64(h, x)))""".stripMargin))
+          .as(Seq("pos", "kg")))
+        .groupBy("kg").count()
+        .write.format("noop").mode("overwrite").save()
+      r.select(col("r_regionkey"),
+          expr("map_from_entries(array(struct(0, 1.0d), struct(1, 2.0d)))").as("m"))
+        .select(expr(
+          "transform(sequence(0, 2), i -> coalesce(try_element_at(m, i), 0.0d))").as("a"))
+        .groupBy("a").count()
+        .write.format("noop").mode("overwrite").save()
     }
 
     // Page-cache priming: stream every input file once. The shared

@@ -153,6 +153,23 @@ class RetrievalSpec extends AnyFunSuite {
     assert(clean.getLong(2) == 0L && clean.getDouble(3) == 0.0)
   }
 
+  test("fkAuditMulti: one-scan fact audit == per-relationship audits") {
+    import spark.implicits._
+    val child = Seq((1L, 10L), (2L, 11L), (3L, 99L), (4L, 10L))
+      .toDF("a_fk", "b_fk")
+    val pa = Seq(1L, 2L, 4L).toDF("a_pk")
+    val pb = Seq(10L, 11L).toDF("b_pk")
+    val multi = Scans.fkAuditMulti(child, Seq(
+        ("c.a->a", "a_fk", pa, "a_pk"), ("c.b->b", "b_fk", pb, "b_pk")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val single = Set(
+      Scans.fkAudit("c.a->a", child, "a_fk", pa, "a_pk"),
+      Scans.fkAudit("c.b->b", child, "b_fk", pb, "b_pk"))
+      .map(_.head()).map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(multi == single)
+    assert(multi == Set(("c.a->a", 4L, 1L), ("c.b->b", 4L, 1L)))
+  }
+
   test("xv5: every declared relationship of the fixture is intact") {
     val rows = Scans.xv5.fn(spark, sf).collect()
     assert(rows.length == 7)
