@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A BM25 lexical index persisted as a lake layout — the serving-side
+  * counterpart of the xs7 retrieval query, mirroring AnnIndex's
+  * contract for the dense arm:
+  *
+  *  - `build`: one term_counts pass over the corpus writes the SCORED
+  *    postings table (term, doc_id, cu) — BM25 is additive over
+  *    postings, so the per-(term, doc) micro-unit contribution is the
+  *    entire index; queries never re-touch documents. The collection
+  *    statistics that parameterized the scores (N, avgdl, per-term df)
+  *    are persisted next to it as the frozen model of record.
+  *  - `probeBatch`: a query batch (query_id, text) tokenizes to its
+  *    distinct terms (map_keys of the fused term_counts kernel — no
+  *    explode+distinct), broadcasts against the standing postings on
+  *    the term key (size-gated; the corpus-sized side never shuffles),
+  *    and per-query sums partial-aggregate into the bounded TopK —
+  *    identical ranks to the batch query by construction
+  *    (Bm25ServeSpec asserts equality with xs7 on the same split).
+  *  - `append`: incremental maintenance under FROZEN collection
+  *    statistics — new documents' postings are scored with the stored
+  *    (N, avgdl, df), exactly xs5's assign-only fold-in honesty: the
+  *    index stays serveable and existing postings stay valid, at the
+  *    cost of statistics drift that a periodic `build` re-baseline
+  *    clears. Terms unseen at build time enter with df = 1 (the
+  *    appending document defines them) and are recorded so later
+  *    appends reuse the same df.
+  *  - `serve`: foreachBatch over a query stream; every micro-batch
+  *    writes an idempotent `batch=<id>` directory (replays rewrite
+  *    identical bytes — AnnIndex.serve's contract).
+  *
+  * At 100 TB the postings table is the sharded inverted index
+  * (corpus-linear, narrow rows); probes are query-batch-broadcast
+  * joins; WAND/max-score candidate pruning composes in front of the
+  * probe join as documented on xs7.
+  */
+object Bm25Index {
+
+  /** The xs7 contribution expression, verbatim (k1 = 1.2, b = 0.75):
+    * identical floats, micro-unit BIGINT quantization before any sum.
+    */
+  private def cuCol = expr(
+    "CAST(round(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * " +
+      "((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) * 1e6) AS BIGINT)")
+
+  private def tfOf(s: SparkSession, docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(graft.queries.Llm.termCounts(s, col("text"))).as(Seq("term", "tfi")))
+      .select(col("doc_id"), col("term"), col("tfi").cast("long").as("tf"))
+
+  def build(s: SparkSession, docs: DataFrame, path: String): Unit = {
+    val tf = tfOf(s, docs).persist()
+    try {
+      val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+      val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val stats = dl.agg(count(lit(1)).as("n"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+      tf.join(graft.queries.Scale.maybeBroadcast(dfT), "term")
+        .join(graft.queries.Scale.maybeBroadcast(dl), "doc_id")
+        .crossJoin(broadcast(stats))
+        .select(col("term"), col("doc_id"), cuCol.as("cu"))
+        .write.mode("overwrite").parquet(s"$path/postings")
+      dfT.write.mode("overwrite").parquet(s"$path/df")
+      stats.write.mode("overwrite").parquet(s"$path/stats")
+    } finally tf.unpersist(blocking = false)
+  }
+
+  /** Fold new documents in against the FROZEN statistics (df rows for
+    * genuinely new terms are appended with df = 1 so later appends and
+    * probes stay consistent; duplicate df rows from concurrent appends
+    * collapse via max on read).
+    */
+  def append(s: SparkSession, docs: DataFrame, path: String): Unit = {
+    val tf = tfOf(s, docs).persist()
+    try {
+      val frozenDf = s.read.parquet(s"$path/df")
+        .groupBy("term").agg(max(col("df")).as("df"))
+      val stats = s.read.parquet(s"$path/stats")
+      val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+      val newTerms = tf.select("term").distinct()
+        .join(frozenDf, Seq("term"), "left_anti")
+        .select(col("term"), lit(1L).as("df"))
+      tf.join(graft.queries.Scale.maybeBroadcast(
+          frozenDf.unionByName(newTerms)), "term")
+        .join(graft.queries.Scale.maybeBroadcast(dl), "doc_id")
+        .crossJoin(broadcast(stats))
+        .select(col("term"), col("doc_id"), cuCol.as("cu"))
+        .write.mode("append").parquet(s"$path/postings")
+      newTerms.write.mode("append").parquet(s"$path/df")
+    } finally tf.unpersist(blocking = false)
+  }
+
+  /** Top-k BM25 per query of the batch against the standing postings.
+    * Output: (query_id, doc_id, rank, score_micro).
+    */
+  def probeBatch(s: SparkSession, path: String, queries: DataFrame,
+      k: Int): DataFrame = {
+    val topk = udaf(new graft.functions.TopK(k),
+      org.apache.spark.sql.Encoders.product[graft.functions.Scored])
+    val qt = queries.select(col("query_id"),
+      explode(map_keys(graft.queries.Llm.termCounts(s, col("text")))).as("term"))
+    s.read.parquet(s"$path/postings")
+      .join(graft.queries.Scale.maybeBroadcast(qt), "term")
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("cu")).as("score_micro"))
+      .groupBy("query_id")
+      .agg(topk(col("score_micro").cast("double"), col("doc_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("p", "t")))
+      .select(col("query_id"), col("t.id").as("doc_id"),
+        (col("p") + 1).cast("int").as("rank"),
+        col("t.score").cast("long").as("score_micro"))
+  }
+
+  /** Streaming serving loop: micro-batches of (query_id, text) probe
+    * the standing index; `batch=<id>` output dirs are idempotent under
+    * replay.
+    */
+  def serve(queries: DataFrame, indexPath: String, outPath: String,
+      checkpoint: String, k: Int)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        probeBatch(df.sparkSession, indexPath, df, k)
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+}
