@@ -362,6 +362,84 @@ object Scans {
           .as("orphan_rate"))
   }
 
+  /** xv6: per-column table profile — row count, null count, exact
+    * distinct cardinality, lexical min/max — the `describe()`-at-scale
+    * primitive run on every new ingest before rules (xv2) or FK audits
+    * (xv5) are even written: it is how you LEARN which rules to
+    * declare (a column that is 40% null or has 3 distinct values
+    * tells you what it is).
+    *
+    * Two cheap passes over the spread scan, NOT a joint multi-column
+    * COUNT(DISTINCT): Spark rewrites N distinct aggregates into an
+    * N-way expand whose blown-up intermediate made the first cut 11 s
+    * at sf0.1. Instead: (a) the null/min/max pass is one ordinary
+    * aggregate on the TYPED columns (numeric min is not lexical min —
+    * types must survive until after the aggregate); (b) exact distinct
+    * cardinalities come from a narrow (col_idx, xxhash64(value))
+    * unpivot — per-column hash equality is value equality up to 64-bit
+    * collisions (~n²/2⁶⁴ ≈ 1e-9 here; xd11's documented trade, with
+    * the oracle hash-compare as the standing guard), and 8-byte longs
+    * partial-aggregate far faster than rendered strings — two bounded
+    * exchanges of at most Σ per-column distincts. Both passes read a
+    * spread projection (the fixture is one row group; see Ctx.spread).
+    * Min/max are rendered AS STRINGS from types whose text form is
+    * engine-identical (ints, dates, strings — never raw doubles,
+    * whose shortest-roundtrip formatting differs between engines).
+    */
+  val xv6 = GQuery(
+    "xv6_column_profile",
+    (s, d) => reap {
+      val c = Ctx(s, d)
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+        "l_linenumber", "l_returnflag", "l_linestatus")
+      val all = cols :+ "l_shipdt"
+      val l = c.spread(c.lineitem
+        .withColumn("l_shipdt", col("l_shipdate").cast("date"))
+        .select(all.map(col): _*))
+      val aggs = all.flatMap { cn =>
+        Seq(count(col(cn)).as(s"nn_$cn"),
+          min(col(cn)).cast("string").as(s"mn_$cn"),
+          max(col(cn)).cast("string").as(s"mx_$cn"))
+      }
+      val out = all.zipWithIndex.map { case (cn, i) =>
+        val label = if (cn == "l_shipdt") "l_shipdate" else cn
+        struct(lit(label).as("col_name"), lit(i).as("idx"), col("n_rows"),
+          (col("n_rows") - col(s"nn_$cn")).as("n_null"),
+          col(s"mn_$cn").as("min_str"), col(s"mx_$cn").as("max_str"))
+      }
+      val base = l.agg(count(lit(1)).as("n_rows"), aggs: _*)
+        .select(explode(array(out: _*)).as("r"))
+        .select("r.*")
+      val nd = l
+        .select(posexplode(array(all.map(cn =>
+          when(col(cn).isNull, lit(null)).otherwise(xxhash64(col(cn)))): _*))
+          .as(Seq("idx", "h")))
+        .groupBy("idx", "h").agg(count(lit(1)).as("cnt"))
+        .groupBy("idx").agg(count(col("h")).as("n_distinct"))
+      val prof = own(base.join(nd, "idx")
+        .select(col("col_name"), col("n_rows"), col("n_null"),
+          col("n_distinct"), col("min_str"), col("max_str"))
+        .persist())
+      canonBy(prof, "col_name")
+    },
+    Some {
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+        "l_linenumber", "l_returnflag", "l_linestatus", "l_shipdt")
+      val aggs = cols.flatMap { cn =>
+        Seq(s"COUNT($cn) AS nn_$cn", s"COUNT(DISTINCT $cn) AS nd_$cn",
+          s"CAST(MIN($cn) AS VARCHAR) AS mn_$cn",
+          s"CAST(MAX($cn) AS VARCHAR) AS mx_$cn")
+      }.mkString(", ")
+      val arms = cols.map { cn =>
+        val label = if (cn == "l_shipdt") "l_shipdate" else cn
+        s"""SELECT '$label' AS col_name, n_rows, n_rows - nn_$cn AS n_null,
+           |  nd_$cn AS n_distinct, mn_$cn AS min_str, mx_$cn AS max_str FROM a""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH l AS (SELECT *, CAST(l_shipdate AS DATE) AS l_shipdt FROM lineitem),
+         |a AS (SELECT COUNT(*) AS n_rows, $aggs FROM l)
+         |$arms""".stripMargin + orderAll("col_name")
+    })
+
   /** ALL of one child table's FK relationships audited in a SINGLE
     * child scan: chained LEFT joins against each parent's (unique)
     * key column — row count is invariant under every join, so one
@@ -449,5 +527,5 @@ object Scans {
            |FROM $ct c LEFT JOIN $pt p ON c.$ck = p.$pk""".stripMargin }
       .mkString("", "\nUNION ALL\n", orderAll("fk"))))
 
-  def queries: Seq[GQuery] = Seq(q01, q02, q18, xv1, xv2, xv3, xv4, xv5)
+  def queries: Seq[GQuery] = Seq(q01, q02, q18, xv1, xv2, xv3, xv4, xv5, xv6)
 }
