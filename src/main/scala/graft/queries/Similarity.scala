@@ -529,7 +529,7 @@ object Similarity {
     *    against the presence vector so a shared-term pair whose
     *    rounded contributions sum to zero is still emitted, exactly
     *    like the join path.
-    * Both paths return identical integers (Bm25PathSpec proves it on
+    * Both paths return identical integers (RetrievalSpec proves it on
     * a >64-vocab corpus); the oracle SQL keeps the inverted form.
     *
     * Determinism (cross-engine): each per-(term, doc) contribution is
