@@ -39,17 +39,13 @@ import org.apache.spark.sql.functions._
   */
 object Bm25Index {
 
-  /** The xs7 contribution expression, verbatim (k1 = 1.2, b = 0.75):
-    * identical floats, micro-unit BIGINT quantization before any sum.
-    */
-  private def cuCol = expr(
-    "CAST(round(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * " +
-      "((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) * 1e6) AS BIGINT)")
+  // the contribution expression and tokenize projection are the batch
+  // queries' own definitions (Similarity.CuSql / tfTable) — shared so
+  // a parameter change cannot desynchronize index from query
+  private def cuCol = expr(graft.queries.Similarity.CuSql)
 
   private def tfOf(s: SparkSession, docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-        explode(graft.queries.Llm.termCounts(s, col("text"))).as(Seq("term", "tfi")))
-      .select(col("doc_id"), col("term"), col("tfi").cast("long").as("tf"))
+    graft.queries.Similarity.tfTable(s, docs)
 
   def build(s: SparkSession, docs: DataFrame, path: String): Unit = {
     val tf = tfOf(s, docs).persist()
@@ -80,16 +76,21 @@ object Bm25Index {
         .groupBy("term").agg(max(col("df")).as("df"))
       val stats = s.read.parquet(s"$path/stats")
       val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+      // computed once, consumed by BOTH writes (postings + df): the
+      // frozen-df scan and anti-join would otherwise run twice
       val newTerms = tf.select("term").distinct()
         .join(frozenDf, Seq("term"), "left_anti")
         .select(col("term"), lit(1L).as("df"))
-      tf.join(graft.queries.Scale.maybeBroadcast(
-          frozenDf.unionByName(newTerms)), "term")
-        .join(graft.queries.Scale.maybeBroadcast(dl), "doc_id")
-        .crossJoin(broadcast(stats))
-        .select(col("term"), col("doc_id"), cuCol.as("cu"))
-        .write.mode("append").parquet(s"$path/postings")
-      newTerms.write.mode("append").parquet(s"$path/df")
+        .persist()
+      try {
+        tf.join(graft.queries.Scale.maybeBroadcast(
+            frozenDf.unionByName(newTerms)), "term")
+          .join(graft.queries.Scale.maybeBroadcast(dl), "doc_id")
+          .crossJoin(broadcast(stats))
+          .select(col("term"), col("doc_id"), cuCol.as("cu"))
+          .write.mode("append").parquet(s"$path/postings")
+        newTerms.write.mode("append").parquet(s"$path/df")
+      } finally newTerms.unpersist(blocking = false)
     } finally tf.unpersist(blocking = false)
   }
 
@@ -98,20 +99,14 @@ object Bm25Index {
     */
   def probeBatch(s: SparkSession, path: String, queries: DataFrame,
       k: Int): DataFrame = {
-    val topk = udaf(new graft.functions.TopK(k),
-      org.apache.spark.sql.Encoders.product[graft.functions.Scored])
     val qt = queries.select(col("query_id"),
       explode(map_keys(graft.queries.Llm.termCounts(s, col("text")))).as("term"))
-    s.read.parquet(s"$path/postings")
-      .join(graft.queries.Scale.maybeBroadcast(qt), "term")
-      .groupBy("query_id", "doc_id")
-      .agg(sum(col("cu")).as("score_micro"))
-      .groupBy("query_id")
-      .agg(topk(col("score_micro").cast("double"), col("doc_id")).as("top"))
-      .select(col("query_id"), posexplode(col("top")).as(Seq("p", "t")))
-      .select(col("query_id"), col("t.id").as("doc_id"),
-        (col("p") + 1).cast("int").as("rank"),
-        col("t.score").cast("long").as("score_micro"))
+    graft.queries.Similarity.rankTopK(
+      s.read.parquet(s"$path/postings")
+        .join(graft.queries.Scale.maybeBroadcast(qt), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(sum(col("cu")).as("score_micro")),
+      "query_id", k)
   }
 
   /** Streaming serving loop: micro-batches of (query_id, text) probe

@@ -414,7 +414,7 @@ object Scans {
         .select(posexplode(array(all.map(cn =>
           when(col(cn).isNull, lit(null)).otherwise(xxhash64(col(cn)))): _*))
           .as(Seq("idx", "h")))
-        .groupBy("idx", "h").agg(count(lit(1)).as("cnt"))
+        .distinct() // same partial+final two-exchange shape, no dead column
         .groupBy("idx").agg(count(col("h")).as("n_distinct"))
       val prof = own(base.join(nd, "idx")
         .select(col("col_name"), col("n_rows"), col("n_null"),

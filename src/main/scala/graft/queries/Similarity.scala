@@ -545,14 +545,48 @@ object Similarity {
     bm25ScoredOn(s, c.documents, forceDense)
   }
 
-  private[queries] def bm25ScoredOn(s: org.apache.spark.sql.SparkSession,
-      documents: org.apache.spark.sql.DataFrame,
-      forceDense: Option[Boolean] = None): org.apache.spark.sql.DataFrame = {
-    val tf0 = own(documents
+  /** The Okapi BM25 contribution expression (k1 = 1.2, b = 0.75),
+    * micro-unit-quantized — the ONE definition shared by the batch
+    * queries (xs7/xs8) and the serving index
+    * (graft.operators.Bm25Index); a parameter change cannot
+    * desynchronize them.
+    */
+  private[graft] val CuSql: String =
+    "CAST(round(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * " +
+      "((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) * 1e6) AS BIGINT)"
+
+  /** One tokenize pass → (doc_id, term, tf) rows (fused term_counts
+    * kernel; shared with the serving index).
+    */
+  private[graft] def tfTable(s: org.apache.spark.sql.SparkSession,
+      documents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    documents
       .select(col("doc_id"),
         explode(Llm.termCounts(s, col("text"))).as(Seq("term", "tfi")))
       .select(col("doc_id"), col("term"), col("tfi").cast("long").as("tf"))
-      .persist())
+
+  /** Bounded top-k ranking of (keyCol, doc_id, score_micro) rows →
+    * (keyCol, doc_id, rank, score_micro) — the partial-aggregating
+    * TopK + posexplode projection shared by xs7, xs8's lexical arm,
+    * and Bm25Index.probeBatch.
+    */
+  private[graft] def rankTopK(scored: org.apache.spark.sql.DataFrame,
+      keyCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    val topk = udaf(new graft.functions.TopK(k),
+      org.apache.spark.sql.Encoders.product[graft.functions.Scored])
+    scored
+      .groupBy(keyCol)
+      .agg(topk(col("score_micro").cast("double"), col("doc_id")).as("top"))
+      .select(col(keyCol), posexplode(col("top")).as(Seq("p", "t")))
+      .select(col(keyCol), col("t.id").as("doc_id"),
+        (col("p") + 1).cast("int").as("rank"),
+        col("t.score").cast("long").as("score_micro"))
+  }
+
+  private[queries] def bm25ScoredOn(s: org.apache.spark.sql.SparkSession,
+      documents: org.apache.spark.sql.DataFrame,
+      forceDense: Option[Boolean] = None): org.apache.spark.sql.DataFrame = {
+    val tf0 = own(tfTable(s, documents).persist())
     val ctf = tf0.filter(col("doc_id") % 20 =!= 0)
     val qt = tf0.filter(col("doc_id") % 20 === 0)
       .select(col("doc_id").as("qid"), col("term"))
@@ -564,10 +598,7 @@ object Similarity {
       .join(Scale.maybeBroadcast(dfT), "term")
       .join(Scale.maybeBroadcast(dl), "doc_id")
       .crossJoin(broadcast(stats))
-      .select(col("term"), col("doc_id"),
-        expr("CAST(round(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * " +
-          "((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) * 1e6) AS BIGINT)")
-          .as("cu"))
+      .select(col("term"), col("doc_id"), expr(CuSql).as("cu"))
     // Path gate: one bounded vocabulary probe (≤65 rows collected —
     // qx2's limit-65 discipline; never the full vocabulary of a real
     // corpus). NOTE: callers must wrap in reap{} — tf0's persist is
@@ -650,19 +681,10 @@ object Similarity {
   val xs7 = GQuery(
     "xs7_bm25_topk",
     (s, d) => reap {
-      val topk = udaf(new graft.functions.TopK(10),
-        org.apache.spark.sql.Encoders.product[graft.functions.Scored])
       // persist-before-sort: canonBy's global orderBy executes its
       // child twice (range-boundary sampling); the child here is the
       // whole BM25 pipeline, so cache the queries·10-row top-k first
-      val top = own(bm25Scored(s, d)
-        .groupBy("qid")
-        .agg(topk(col("score_micro").cast("double"), col("doc_id")).as("top"))
-        .select(col("qid"), posexplode(col("top")).as(Seq("p", "t")))
-        .select(col("qid"), col("t.id").as("doc_id"),
-          (col("p") + 1).cast("int").as("rank"),
-          col("t.score").cast("long").as("score_micro"))
-        .persist())
+      val top = own(rankTopK(bm25Scored(s, d), "qid", 10).persist())
       canonBy(top, "qid", "doc_id")
     },
     Some(Bm25Sql +
@@ -701,12 +723,8 @@ object Similarity {
       VectorOps.register(s)
       val topk = udaf(new graft.functions.TopK(10),
         org.apache.spark.sql.Encoders.product[graft.functions.Scored])
-      val lexTop = bm25Scored(s, d)
-        .groupBy("qid")
-        .agg(topk(col("score_micro").cast("double"), col("doc_id")).as("top"))
-        .select(col("qid"), posexplode(col("top")).as(Seq("p", "t")))
-        .select(col("qid"), col("t.id").as("doc_id"),
-          (col("p") + 1).cast("int").as("lex_rank"))
+      val lexTop = rankTopK(bm25Scored(s, d), "qid", 10)
+        .select(col("qid"), col("doc_id"), col("rank").as("lex_rank"))
       val all = c.embeddings
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
         .withColumn("nrm", sqrt(expr("vec_dot(v, v)")))

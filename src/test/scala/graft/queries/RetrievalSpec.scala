@@ -25,6 +25,9 @@ class RetrievalSpec extends AnyFunSuite {
 
   private val sf = "/root/testdata/sf0.001"
 
+  private def tokens(text: String): Seq[String] =
+    text.toLowerCase.split("[^a-z]+").filter(_.nonEmpty).toSeq
+
   /** 200 two-letter tokens (tokenizer-safe), GeneralVocabSpec's move. */
   private val vocab: IndexedSeq[String] =
     for (i <- 0 until 200)
@@ -100,7 +103,12 @@ class RetrievalSpec extends AnyFunSuite {
   }
 
   test("bm25: fixture vocabulary routes to the dense path (gate sanity)") {
-    // 31-term fixture: the auto gate must agree with forceDense=true
+    // the gate's premise must actually hold on the fixture — without
+    // this, auto==inverted passes vacuously via the path-equality
+    // theorem even if the gate always routes inverted
+    val fixtureVocab = spark.read.parquet(s"$sf/documents.parquet")
+      .collect().flatMap(r => tokens(r.getAs[String]("text"))).distinct.length
+    assert(fixtureVocab <= 64, s"fixture vocab $fixtureVocab no longer small")
     val auto = collectScores(Det.reap {
       Similarity.bm25Scored(spark, sf)
     })
