@@ -118,6 +118,27 @@ class RetrievalSpec extends AnyFunSuite {
     assert(auto.nonEmpty && auto == inv)
   }
 
+  test("bm25 inverted probe: the query side broadcasts (postings never shuffle)") {
+    // the declared 100 TB shape: the corpus-sized postings stream
+    // through a BroadcastHashJoin whose build side is the query-term
+    // batch — if this regresses to a SortMergeJoin, the corpus pays a
+    // term-key shuffle per query batch
+    val scored = Det.reap {
+      Similarity.bm25ScoredOn(spark, docsDf, forceDense = Some(false))
+    }
+    // reap already executed the plan (eager localCheckpoint); walk the
+    // checkpointed frame's origin via a fresh build to inspect shapes
+    val probe = Similarity.bm25ScoredOn(spark, docsDf, forceDense = Some(false))
+    probe.write.format("noop").mode("overwrite").save()
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"inverted probe lost its broadcast join:\n$plan")
+    assert(scored.count() > 0)
+    // drain the un-reaped probe's persisted tf0 (no enclosing reap)
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+  }
+
   test("xs7: contiguous ranks, rank-monotone scores, query split honored") {
     val rows = Similarity.xs7.fn(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
