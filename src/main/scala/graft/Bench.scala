@@ -200,6 +200,18 @@ object Bench {
           "transform(sequence(0, 2), i -> coalesce(try_element_at(m, i), 0.0d))").as("a"))
         .groupBy("a").count()
         .write.format("noop").mode("overwrite").save()
+      // xv6's profile unpivot: null-guarded xxhash64 array posexplode
+      // into a distinct — the generated null-branch + distinct-agg
+      // classes are first-use costs its cold run otherwise pays
+      r.select(posexplode(array(
+          when(col("r_regionkey").isNull, lit(null))
+            .otherwise(xxhash64(col("r_regionkey"))),
+          when(col("r_name").isNull, lit(null))
+            .otherwise(xxhash64(col("r_name")))))
+          .as(Seq("idx", "h")))
+        .distinct()
+        .groupBy("idx").agg(count(col("h")).as("nd"))
+        .write.format("noop").mode("overwrite").save()
     }
 
     // Page-cache priming: stream every input file once. The shared
