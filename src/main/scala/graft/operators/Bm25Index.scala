@@ -34,8 +34,23 @@ import org.apache.spark.sql.functions._
   *
   * At 100 TB the postings table is the sharded inverted index
   * (corpus-linear, narrow rows); probes are query-batch-broadcast
-  * joins; WAND/max-score candidate pruning composes in front of the
-  * probe join as documented on xs7.
+  * joins. `build`/`append` persist per-term score upper bounds
+  * (`ubs`: max cu per term — the max-score statistic) next to the
+  * postings, and `probeBatch` runs the max-score PRUNED probe
+  * (Similarity.bm25TopKPruned): exact top-k, strictly fewer postings
+  * rows than full scoring. Appends under frozen stats can raise a
+  * term's bound (higher tf, shorter dl), so each append writes its
+  * batch's per-term max and readers collapse via max — ub stays a
+  * true upper bound across incremental maintenance.
+  *
+  * Publish is directory-granular (plain parquet overwrite/append),
+  * not an atomic manifest swap: a probe that lists `postings` while
+  * an `append` is mid-commit can transiently score an in-flight
+  * document from a subset of its postings (torn read). Documents
+  * already present stay exact — appends only add files — so the
+  * window only affects the appending batch; serialize appends with
+  * probes (or front with etl.Snapshot's manifest layout) where that
+  * transient matters.
   */
 object Bm25Index {
 
@@ -61,6 +76,10 @@ object Bm25Index {
         .write.mode("overwrite").parquet(s"$path/postings")
       dfT.write.mode("overwrite").parquet(s"$path/df")
       stats.write.mode("overwrite").parquet(s"$path/stats")
+      // per-term max cu — the max-score pruning statistic; computed
+      // from the narrow written postings (one scan, vocabulary-sized)
+      graft.queries.Similarity.termUbs(s.read.parquet(s"$path/postings"))
+        .write.mode("overwrite").parquet(s"$path/ubs")
     } finally tf.unpersist(blocking = false)
   }
 
@@ -82,31 +101,40 @@ object Bm25Index {
         .join(frozenDf, Seq("term"), "left_anti")
         .select(col("term"), lit(1L).as("df"))
         .persist()
+      val scored = tf.join(graft.queries.Scale.maybeBroadcast(
+          frozenDf.unionByName(newTerms)), "term")
+        .join(graft.queries.Scale.maybeBroadcast(dl), "doc_id")
+        .crossJoin(broadcast(stats))
+        .select(col("term"), col("doc_id"), cuCol.as("cu"))
+        .persist()
       try {
-        tf.join(graft.queries.Scale.maybeBroadcast(
-            frozenDf.unionByName(newTerms)), "term")
-          .join(graft.queries.Scale.maybeBroadcast(dl), "doc_id")
-          .crossJoin(broadcast(stats))
-          .select(col("term"), col("doc_id"), cuCol.as("cu"))
-          .write.mode("append").parquet(s"$path/postings")
+        scored.write.mode("append").parquet(s"$path/postings")
         newTerms.write.mode("append").parquet(s"$path/df")
-      } finally newTerms.unpersist(blocking = false)
+        // this batch's per-term max keeps ubs a true upper bound:
+        // frozen-stats scoring can exceed the build-time bound
+        graft.queries.Similarity.termUbs(scored)
+          .write.mode("append").parquet(s"$path/ubs")
+      } finally {
+        scored.unpersist(blocking = false)
+        newTerms.unpersist(blocking = false)
+      }
     } finally tf.unpersist(blocking = false)
   }
 
-  /** Top-k BM25 per query of the batch against the standing postings.
+  /** Top-k BM25 per query of the batch against the standing postings,
+    * via the max-score PRUNED probe (exact top-k; common terms' huge
+    * posting lists are read only for surviving candidates). Duplicate
+    * ub rows from appends collapse via max on read.
     * Output: (query_id, doc_id, rank, score_micro).
     */
   def probeBatch(s: SparkSession, path: String, queries: DataFrame,
       k: Int): DataFrame = {
     val qt = queries.select(col("query_id"),
       explode(map_keys(graft.queries.Llm.termCounts(s, col("text")))).as("term"))
-    graft.queries.Similarity.rankTopK(
-      s.read.parquet(s"$path/postings")
-        .join(graft.queries.Scale.maybeBroadcast(qt), "term")
-        .groupBy("query_id", "doc_id")
-        .agg(sum(col("cu")).as("score_micro")),
-      "query_id", k)
+    val ubs = s.read.parquet(s"$path/ubs")
+      .groupBy("term").agg(max(col("ub")).as("ub"))
+    graft.queries.Similarity.bm25TopKPruned(
+      s.read.parquet(s"$path/postings"), ubs, qt, "query_id", k)
   }
 
   /** Streaming serving loop: micro-batches of (query_id, text) probe

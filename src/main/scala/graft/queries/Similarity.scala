@@ -510,11 +510,12 @@ object Similarity {
     *    batch broadcasts against the postings on the term key, so the
     *    corpus-sized side never shuffles; per-(query, doc) scores
     *    partial-aggregate inside the probe stage before their
-    *    query-batch-bounded exchange. At 100 TB the declared
-    *    refinement is impact-ordered early exit (WAND/max-score:
-    *    prune postings whose idf·(k1+1) upper bound cannot reach the
-    *    running top-k floor) — a candidate-pruning overlay on this
-    *    same join, exact for the emitted top-k.
+    *    query-batch-bounded exchange. Top-k consumers (xs7, xs8's
+    *    lexical arm, Bm25Index.probeBatch) run the max-score PRUNED
+    *    form of this probe — `bm25TopKPruned` below — which reads
+    *    strictly fewer postings rows for the identical top-k; this
+    *    unpruned full-scoring form remains the oracle contract and
+    *    the equality baseline (RetrievalSpec).
     *  - vocabulary ≤ 64 terms (this synthetic fixture: 31, with 30 of
     *    them in over half the corpus): the inverted probe degenerates
     *    — every query shares its stopword-dense terms with nearly
@@ -583,9 +584,16 @@ object Similarity {
         col("t.score").cast("long").as("score_micro"))
   }
 
-  private[queries] def bm25ScoredOn(s: org.apache.spark.sql.SparkSession,
-      documents: org.apache.spark.sql.DataFrame,
-      forceDense: Option[Boolean] = None): org.apache.spark.sql.DataFrame = {
+  /** The shared BM25 probe inputs: scored postings (term, doc_id, cu),
+    * the query-term table (qid, term), and the per-term df frame (the
+    * vocabulary). One tf pass backs all three. NOTE: callers must wrap
+    * in reap{} — the tf persist is own()'d into the caller's dynamic
+    * scope.
+    */
+  private[queries] def bm25Parts(s: org.apache.spark.sql.SparkSession,
+      documents: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+         org.apache.spark.sql.DataFrame) = {
     val tf0 = own(tfTable(s, documents).persist())
     val ctf = tf0.filter(col("doc_id") % 20 =!= 0)
     val qt = tf0.filter(col("doc_id") % 20 === 0)
@@ -599,6 +607,134 @@ object Similarity {
       .join(Scale.maybeBroadcast(dl), "doc_id")
       .crossJoin(broadcast(stats))
       .select(col("term"), col("doc_id"), expr(CuSql).as("cu"))
+    (postings, qt, dfT)
+  }
+
+  /** Per-term score upper bounds: ub(t) = max cu over t's postings —
+    * the max-score statistic (Turtle & Flood 1995) behind the pruned
+    * top-k probe. Every cu is ≥ 0 (Okapi idf is ln of a value > 1 and
+    * the tf part is positive), which is what makes partial sums lower
+    * bounds and ub sums upper bounds below.
+    */
+  private[graft] def termUbs(postings: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    postings.groupBy("term").agg(max(col("cu")).as("ub"))
+
+  /** Exact top-k BM25 via two-phase max-score pruning — the executed
+    * form of the 100 TB overlay the xs7 docstring declares. Candidate
+    * generation never touches the full query×postings fan-out:
+    *
+    * Phase 1 (floor): each query's terms are ranked by ub descending
+    * with suffix sums sufx(i) = Σ_{j≥i} ub_j. The two highest-ub terms
+    * (the rarest, shortest posting lists) seed per-doc partial scores —
+    * LOWER bounds of full scores since cu ≥ 0 — and the k-th best seed
+    * score is the query's floor θ (0 when fewer than k docs seed, which
+    * disables pruning and degrades exactly to the unpruned probe).
+    *
+    * Phase 2 (prune + verify): a term is NON-essential iff sufx < θ —
+    * a document containing only such terms scores at most that suffix
+    * sum, strictly below θ, so it cannot displace the k-th result even
+    * on ties (rank order breaks ties by doc_id, but a strictly smaller
+    * score never wins). Only essential terms' postings join; matched
+    * docs keep a partial score p and survive iff p + Σ_{non-ess} ub ≥ θ
+    * (their full score is at most that). Survivors — WAND's candidate
+    * set — are materialized (query-batch-bounded) and their
+    * non-essential contributions are fetched doc-keyed, so the common
+    * terms' huge posting lists are read only for candidates, never for
+    * the whole corpus. Full scores are exact integer sums of the same
+    * micro-unit contributions, so the emitted top-k is bit-identical to
+    * the unpruned probe (RetrievalSpec proves equality and strictly
+    * fewer probed postings rows on a >64-vocab corpus).
+    *
+    * The two optional Observations meter the postings rows entering the
+    * scoring stage (essential fan-out; candidate-restricted rest).
+    */
+  private[graft] def bm25TopKPruned(
+      postings: org.apache.spark.sql.DataFrame,
+      ubs: org.apache.spark.sql.DataFrame,
+      qt: org.apache.spark.sql.DataFrame,
+      keyCol: String,
+      k: Int,
+      essObs: Option[org.apache.spark.sql.Observation] = None,
+      neObs: Option[org.apache.spark.sql.Observation] = None)
+      : org.apache.spark.sql.DataFrame = {
+    val wq = Window.partitionBy(keyCol).orderBy(col("ub").desc, col("term").asc)
+    val qts = qt.join(Scale.maybeBroadcast(ubs), "term")
+      .withColumn("sufx", sum(col("ub")).over(
+        wq.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .withColumn("pos", row_number().over(wq))
+    val seed = qts.filter(col("pos") <= 2).select(keyCol, "term")
+    val lb = postings.join(Scale.maybeBroadcast(seed), "term")
+      .groupBy(keyCol, "doc_id").agg(sum(col("cu")).as("lb"))
+    val wk = Window.partitionBy(keyCol).orderBy(col("lb").desc, col("doc_id").asc)
+    val theta = lb.withColumn("rn", row_number().over(wk))
+      .filter(col("rn") === k).select(col(keyCol), col("lb").as("theta"))
+    // query-batch-sized term geometry, materialized once (phase
+    // boundary) so its three consumers don't re-run the seed scan;
+    // localCheckpoint blocks are reclaimed by the ContextCleaner
+    val qmeta = qts.join(theta, Seq(keyCol), "left")
+      .withColumn("theta", coalesce(col("theta"), lit(0L)))
+      .localCheckpoint(true)
+    val essential = qmeta.filter(col("sufx") >= col("theta")).select(keyCol, "term")
+    val neTerms = qmeta.filter(col("sufx") < col("theta")).select(keyCol, "term")
+    // suffix sums decrease down the ub order, so the largest
+    // non-essential sufx IS the whole non-essential ub sum
+    val bound = qmeta.groupBy(keyCol).agg(
+      max(when(col("sufx") < col("theta"), col("sufx")).otherwise(lit(0L))).as("ne_sum"),
+      first(col("theta")).as("theta"))
+    val essRows0 = postings.join(Scale.maybeBroadcast(essential), "term")
+    val essRows = essObs.map(o => essRows0.observe(o, count(lit(1)).as("rows")))
+      .getOrElse(essRows0)
+    // candidates: query-batch-bounded by construction (essential terms
+    // are the rare ones); materialized so the union + doc-key join
+    // below read it instead of duplicating the essential scan
+    val cand = essRows.groupBy(keyCol, "doc_id").agg(sum(col("cu")).as("p"))
+      .join(Scale.maybeBroadcast(bound), keyCol)
+      .filter(col("p") + col("ne_sum") >= col("theta"))
+      .select(col(keyCol), col("doc_id"), col("p"))
+      .localCheckpoint(true)
+    val candDocs = cand.select("doc_id").distinct()
+    val neRows0 = postings.join(Scale.maybeBroadcast(candDocs), "doc_id")
+      .join(Scale.maybeBroadcast(neTerms), "term")
+      .join(Scale.maybeBroadcast(cand.select(col(keyCol), col("doc_id"))),
+        Seq(keyCol, "doc_id"), "left_semi")
+    val neRows = neObs.map(o => neRows0.observe(o, count(lit(1)).as("rows")))
+      .getOrElse(neRows0)
+    val full = cand.select(col(keyCol), col("doc_id"), col("p").as("cu"))
+      .unionByName(neRows.select(col(keyCol), col("doc_id"), col("cu")))
+      .groupBy(keyCol, "doc_id").agg(sum(col("cu")).as("score_micro"))
+    rankTopK(full, keyCol, k)
+  }
+
+  /** Top-k BM25 of the query split against the corpus split — the
+    * production retrieval entry (xs7, xs8's lexical arm). Path choice
+    * mirrors bm25ScoredOn's measured gate, but the inverted branch runs
+    * the max-score PRUNED probe (exact top-k, strictly fewer postings
+    * rows) instead of scoring every posting of every query term.
+    */
+  private[queries] def bm25TopKOn(s: org.apache.spark.sql.SparkSession,
+      documents: org.apache.spark.sql.DataFrame, k: Int,
+      forceDense: Option[Boolean] = None): org.apache.spark.sql.DataFrame = {
+    val (postings, qt, dfT) = bm25Parts(s, documents)
+    val vocabProbe = dfT.select("term").limit(65).collect().map(_.getString(0))
+    val dense = forceDense.getOrElse(vocabProbe.length <= 64)
+    if (!dense) bm25TopKPruned(postings, termUbs(postings), qt, "qid", k)
+    else {
+      val vocabAll =
+        if (vocabProbe.length > 64) dfT.select("term").collect().map(_.getString(0))
+        else vocabProbe
+      rankTopK(denseScored(s, postings, qt, vocabAll), "qid", k)
+    }
+  }
+
+  private[queries] def bm25TopK(s: org.apache.spark.sql.SparkSession,
+      d: String, k: Int): org.apache.spark.sql.DataFrame =
+    bm25TopKOn(s, Ctx(s, d).documents, k)
+
+  private[queries] def bm25ScoredOn(s: org.apache.spark.sql.SparkSession,
+      documents: org.apache.spark.sql.DataFrame,
+      forceDense: Option[Boolean] = None): org.apache.spark.sql.DataFrame = {
+    val (postings, qt, dfT) = bm25Parts(s, documents)
     // Path gate: one bounded vocabulary probe (≤65 rows collected —
     // qx2's limit-65 discipline; never the full vocabulary of a real
     // corpus). NOTE: callers must wrap in reap{} — tf0's persist is
@@ -620,7 +756,15 @@ object Similarity {
       postings.join(Scale.maybeBroadcast(qt), "term")
         .groupBy("qid", "doc_id")
         .agg(sum(col("cu")).as("score_micro"))
-    } else {
+    } else denseScored(s, postings, qt, vocabAll)
+  }
+
+  /** Dense small-vocabulary pivot (see bm25ScoredOn's gate). */
+  private def denseScored(s: org.apache.spark.sql.SparkSession,
+      postings: org.apache.spark.sql.DataFrame,
+      qt: org.apache.spark.sql.DataFrame,
+      vocabAll: Array[String]): org.apache.spark.sql.DataFrame = {
+    {
       // Dense small-vocabulary pivot: term → position in the sorted
       // vocabulary (IDs only index vectors; they never reach the
       // output). Micro-unit integers ride as doubles — exact below
@@ -683,8 +827,11 @@ object Similarity {
     (s, d) => reap {
       // persist-before-sort: canonBy's global orderBy executes its
       // child twice (range-boundary sampling); the child here is the
-      // whole BM25 pipeline, so cache the queries·10-row top-k first
-      val top = own(rankTopK(bm25Scored(s, d), "qid", 10).persist())
+      // whole BM25 pipeline, so cache the queries·10-row top-k first.
+      // bm25TopK routes >64-term vocabularies through the max-score
+      // PRUNED inverted probe (exact top-k, strictly fewer postings
+      // rows — RetrievalSpec), the executed 100 TB path.
+      val top = own(bm25TopK(s, d, 10).persist())
       canonBy(top, "qid", "doc_id")
     },
     Some(Bm25Sql +
@@ -723,7 +870,7 @@ object Similarity {
       VectorOps.register(s)
       val topk = udaf(new graft.functions.TopK(10),
         org.apache.spark.sql.Encoders.product[graft.functions.Scored])
-      val lexTop = rankTopK(bm25Scored(s, d), "qid", 10)
+      val lexTop = bm25TopK(s, d, 10)
         .select(col("qid"), col("doc_id"), col("rank").as("lex_rank"))
       val all = c.embeddings
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))

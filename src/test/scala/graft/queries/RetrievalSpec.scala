@@ -120,23 +120,100 @@ class RetrievalSpec extends AnyFunSuite {
 
   test("bm25 inverted probe: the query side broadcasts (postings never shuffle)") {
     // the declared 100 TB shape: the corpus-sized postings stream
-    // through a BroadcastHashJoin whose build side is the query-term
-    // batch — if this regresses to a SortMergeJoin, the corpus pays a
-    // term-key shuffle per query batch
-    val scored = Det.reap {
-      Similarity.bm25ScoredOn(spark, docsDf, forceDense = Some(false))
+    // through BroadcastHashJoins only — if ANY join in the probe plan
+    // regresses to a SortMergeJoin, the corpus pays a key shuffle per
+    // query batch. Asserting zero SMJs (not just "some broadcast join
+    // exists") pins the probe join itself, not merely the df/dl stat
+    // joins that are broadcast anyway. Plan inspection happens INSIDE
+    // the reap scope so tf0's own()'d persist is reaped normally — no
+    // session-wide persistent-RDD drain.
+    Det.reap {
+      val probe = Similarity.bm25ScoredOn(spark, docsDf, forceDense = Some(false))
+      probe.write.format("noop").mode("overwrite").save()
+      val plan = probe.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"inverted probe lost its broadcast join:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"a probe-plan join regressed to SortMergeJoin:\n$plan")
+      probe
     }
-    // reap already executed the plan (eager localCheckpoint); walk the
-    // checkpointed frame's origin via a fresh build to inspect shapes
-    val probe = Similarity.bm25ScoredOn(spark, docsDf, forceDense = Some(false))
-    probe.write.format("noop").mode("overwrite").save()
-    val plan = probe.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"),
-      s"inverted probe lost its broadcast join:\n$plan")
-    assert(scored.count() > 0)
-    // drain the un-reaped probe's persisted tf0 (no enclosing reap)
-    spark.sparkContext.getPersistentRDDs.values
-      .foreach(_.unpersist(blocking = false))
+  }
+
+  /** Max-score pruning fixture: 10 stopwords in EVERY corpus doc
+    * (df ≈ n → tiny idf → tiny ub) + 60 rare terms in ~3 docs each
+    * (large ub) = a 70-term vocabulary, above the dense gate. The
+    * stopwords' posting lists carry most of the probe's row volume,
+    * which is exactly what the pruned probe must skip. Ids 0/20/40
+    * are the query split; all index arithmetic, no RNG.
+    */
+  private val pruneCorpus: Seq[(Long, Seq[String])] = {
+    // letter-only tokens — the tokenizer splits on [^a-z]+, so digits
+    // in a token would collapse the whole vocabulary
+    val stop = (0 until 10).map(j => s"y${('a' + j).toChar}")
+    val rare = (0 until 60).map(j =>
+      s"z${('a' + j / 26).toChar}${('a' + j % 26).toChar}")
+    (0 until 60).map { i =>
+      val sw = stop.zipWithIndex.flatMap { case (s, j) =>
+        Seq.fill(1 + (i + j) % 2)(s)
+      }
+      val rr = (0 until 3).map(k => rare((i * 7 + k) % 60))
+      (i.toLong, sw ++ rr)
+    }
+  }
+
+  private def pruneDocsDf = {
+    import spark.implicits._
+    pruneCorpus.map { case (id, toks) => (id, toks.mkString(" ")) }
+      .toDF("doc_id", "text")
+  }
+
+  private def topKSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int, Long)] =
+    df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+
+  test("bm25 pruned probe: identical top-k, strictly fewer postings rows") {
+    val docs = pruneDocsDf
+    // count TOKENIZED terms, not raw strings — this is what the gate sees
+    assert(pruneCorpus.flatMap(_._2.flatMap(tokens)).distinct.size > 64)
+    val k = 3
+    val expected = topKSet(Det.reap {
+      Similarity.rankTopK(
+        Similarity.bm25ScoredOn(spark, docs, forceDense = Some(false)), "qid", k)
+    })
+    // rows the UNPRUNED probe feeds its scoring stage: the full
+    // postings × query-terms fan-out
+    val unprunedRows = Det.reap {
+      val (postings, qt, _) = Similarity.bm25Parts(spark, docs)
+      postings.join(Scale.maybeBroadcast(qt), "term").groupBy().count()
+    }.head().getLong(0)
+    val essObs = org.apache.spark.sql.Observation()
+    val neObs = org.apache.spark.sql.Observation()
+    val pruned = topKSet(Det.reap {
+      val (postings, qt, _) = Similarity.bm25Parts(spark, docs)
+      Similarity.bm25TopKPruned(postings, Similarity.termUbs(postings), qt,
+        "qid", k, Some(essObs), Some(neObs))
+    })
+    val prunedRows = essObs.get("rows").asInstanceOf[Long] +
+      neObs.get("rows").asInstanceOf[Long]
+    assert(expected.nonEmpty && pruned == expected)
+    assert(prunedRows < unprunedRows,
+      s"pruned probe read $prunedRows postings rows, unpruned $unprunedRows")
+  }
+
+  test("bm25 pruned probe == unpruned top-k on the 200-term corpus") {
+    // the general fixture: every term is middling-frequency, so the
+    // floor may prune little — equality must hold even then
+    val docs = docsDf
+    val k = 5
+    val expected = topKSet(Det.reap {
+      Similarity.rankTopK(
+        Similarity.bm25ScoredOn(spark, docs, forceDense = Some(false)), "qid", k)
+    })
+    val pruned = topKSet(Det.reap {
+      val (postings, qt, _) = Similarity.bm25Parts(spark, docs)
+      Similarity.bm25TopKPruned(postings, Similarity.termUbs(postings), qt, "qid", k)
+    })
+    assert(expected.nonEmpty && pruned == expected)
   }
 
   test("xs7: contiguous ranks, rank-monotone scores, query split honored") {
