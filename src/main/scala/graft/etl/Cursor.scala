@@ -72,19 +72,46 @@ final class JdbcCursor(url: String) extends CursorStore {
     try f(c) finally c.close()
   }
 
-  // mirror of the Alembic migration, created on first contact
-  withConn { c =>
-    val rs = c.getMetaData.getTables(null, null, "ETL_CURSOR", null)
-    val exists = try rs.next() finally rs.close()
-    if (!exists) {
+  // Versioned DDL (the Alembic-parity story, migration 6278201ba186 /
+  // env.py upgrade): a one-row etl_schema_version high-water table +
+  // an ordered migration list. On every connect, migrations above the
+  // recorded version run IN ORDER and the version row advances — each
+  // migration is itself idempotent (existence-checked DDL), so a
+  // pre-versioning database (etl_cursor present, no version table)
+  // upgrades in place without disturbing its cursor row, and a crash
+  // between DDL and version-write just re-runs a no-op next connect.
+  JdbcCursor.upgrade(this)
+
+  private[etl] def schemaVersion(): Int = withConn { c =>
+    val st = c.createStatement()
+    try {
+      val rs = st.executeQuery("SELECT version FROM etl_schema_version")
+      try { if (rs.next()) rs.getInt(1) else 0 } finally rs.close()
+    } finally st.close()
+  }
+
+  private[etl] def runUpgrade(): Unit = withConn { c =>
+    if (!JdbcCursor.tableExists(c, "ETL_SCHEMA_VERSION")) {
       val st = c.createStatement()
       try st.executeUpdate(
-        """CREATE TABLE etl_cursor (
-          |  id INT PRIMARY KEY,
-          |  block_number BIGINT NOT NULL,
-          |  created_at TIMESTAMP NOT NULL,
-          |  updated_at TIMESTAMP NOT NULL)""".stripMargin)
+        "CREATE TABLE etl_schema_version (version INT NOT NULL)")
       finally st.close()
+      val ins = c.createStatement()
+      try ins.executeUpdate(
+        "INSERT INTO etl_schema_version (version) VALUES (0)")
+      finally ins.close()
+    }
+    val current = {
+      val st = c.createStatement()
+      try {
+        val rs = st.executeQuery("SELECT version FROM etl_schema_version")
+        try { if (rs.next()) rs.getInt(1) else 0 } finally rs.close()
+      } finally st.close()
+    }
+    JdbcCursor.Migrations.filter(_._1 > current).foreach { case (v, _, ddl) =>
+      ddl(c)
+      val up = c.prepareStatement("UPDATE etl_schema_version SET version = ?")
+      try { up.setInt(1, v); up.executeUpdate() } finally up.close()
     }
   }
 
@@ -121,4 +148,35 @@ final class JdbcCursor(url: String) extends CursorStore {
       case e: Throwable => c.rollback(); throw e
     }
   }
+}
+
+object JdbcCursor {
+  import java.sql.Connection
+
+  private def tableExists(c: Connection, name: String): Boolean = {
+    val rs = c.getMetaData.getTables(null, null, name, null)
+    try rs.next() finally rs.close()
+  }
+
+  /** Ordered migrations: (version, description, idempotent DDL).
+    * Version 1 mirrors the reference's only migration
+    * (6278201ba186_create_the_etl_cursor_table.py:19-27). New schema
+    * changes append here with the next version number; existing
+    * entries are immutable, Alembic-style.
+    */
+  private val Migrations: Seq[(Int, String, Connection => Unit)] = Seq(
+    (1, "create the etl_cursor table", { c =>
+      if (!tableExists(c, "ETL_CURSOR")) {
+        val st = c.createStatement()
+        try st.executeUpdate(
+          """CREATE TABLE etl_cursor (
+            |  id INT PRIMARY KEY,
+            |  block_number BIGINT NOT NULL,
+            |  created_at TIMESTAMP NOT NULL,
+            |  updated_at TIMESTAMP NOT NULL)""".stripMargin)
+        finally st.close()
+      }
+    }))
+
+  private def upgrade(cur: JdbcCursor): Unit = cur.runUpgrade()
 }

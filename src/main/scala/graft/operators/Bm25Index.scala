@@ -83,12 +83,30 @@ object Bm25Index {
     } finally tf.unpersist(blocking = false)
   }
 
+  /** Statistics drift of one appended batch vs the FROZEN collection
+    * model — the "re-baseline now" gauge frozen-stats maintenance
+    * otherwise lacks (xs5's IVF fold-in emits mean-squared-distance
+    * drift; this is the lexical analog). All three signals are exactly
+    * 0 when the appended batch replays the build corpus and move when
+    * the vocabulary or document-length profile shifts:
+    *  - dfTvDrift: total-variation distance (0.5·L1, bounded [0,1])
+    *    between the batch's per-term df SHARE distribution and the
+    *    frozen one, over the union vocabulary — no smoothing needed.
+    *  - oovMass: fraction of the batch's df mass on terms the frozen
+    *    model has never seen.
+    *  - avgdlDrift: |batch avgdl / frozen avgdl − 1|.
+    * Appended as a row to `path/drift` so a maintenance loop can
+    * threshold the history without re-reading the corpus.
+    */
+  final case class Drift(dfTvDrift: Double, oovMass: Double,
+      avgdlDrift: Double)
+
   /** Fold new documents in against the FROZEN statistics (df rows for
     * genuinely new terms are appended with df = 1 so later appends and
     * probes stay consistent; duplicate df rows from concurrent appends
-    * collapse via max on read).
+    * collapse via max on read). Returns the batch's [[Drift]] gauge.
     */
-  def append(s: SparkSession, docs: DataFrame, path: String): Unit = {
+  def append(s: SparkSession, docs: DataFrame, path: String): Drift = {
     val tf = tfOf(s, docs).persist()
     try {
       val frozenDf = s.read.parquet(s"$path/df")
@@ -108,12 +126,45 @@ object Bm25Index {
         .select(col("term"), col("doc_id"), cuCol.as("cu"))
         .persist()
       try {
+        // drift gauge FIRST: frozenDf lazily re-reads path/df on every
+        // action, so these aggregates must run before the df append
+        // below makes this batch's new terms look "already known".
+        // Vocabulary-sized aggregates only (batch df vs frozen df
+        // shares + one avgdl scalar), never the corpus.
+        val batchDf = tf.groupBy("term").agg(count(lit(1)).as("bdf"))
+        val shares = batchDf.join(frozenDf, Seq("term"), "full_outer")
+          .agg(
+            (sum(when(col("df").isNull, col("bdf")).otherwise(lit(0L)))
+              .cast("double") / sum(coalesce(col("bdf"), lit(0L))))
+              .as("oov"),
+            sum(coalesce(col("bdf"), lit(0L))).as("btot"),
+            sum(coalesce(col("df"), lit(0L))).as("ftot"))
+          .head
+        val (oov, btot, ftot) =
+          (shares.getDouble(0), shares.getLong(1), shares.getLong(2))
+        val tv = batchDf.join(frozenDf, Seq("term"), "full_outer")
+          .select(abs(
+            coalesce(col("bdf"), lit(0L)).cast("double") / lit(btot.toDouble) -
+              coalesce(col("df"), lit(0L)).cast("double") / lit(ftot.toDouble))
+            .as("d"))
+          .agg((sum(col("d")) / 2.0).as("tv")).head.getDouble(0)
+        val frozenAvgdl = stats.select("avgdl").head.getDouble(0)
+        val batchAvgdl = dl.agg(
+          (sum(col("dl")).cast("double") / count(lit(1))).as("a"))
+          .head.getDouble(0)
+        val drift = Drift(tv, oov,
+          math.abs(batchAvgdl / frozenAvgdl - 1.0))
         scored.write.mode("append").parquet(s"$path/postings")
         newTerms.write.mode("append").parquet(s"$path/df")
         // this batch's per-term max keeps ubs a true upper bound:
         // frozen-stats scoring can exceed the build-time bound
         graft.queries.Similarity.termUbs(scored)
           .write.mode("append").parquet(s"$path/ubs")
+        import s.implicits._
+        Seq((drift.dfTvDrift, drift.oovMass, drift.avgdlDrift))
+          .toDF("df_tv_drift", "oov_mass", "avgdl_drift")
+          .write.mode("append").parquet(s"$path/drift")
+        drift
       } finally {
         scored.unpersist(blocking = false)
         newTerms.unpersist(blocking = false)

@@ -11,6 +11,14 @@ import org.apache.spark.sql.functions._
   * phases, first on (key, salt) — spreading the hot key over `buckets`
   * reducers — then re-aggregate on key. Works for any algebraic
   * aggregate expressed as (partial, merge) pairs.
+  *
+  * This division of labor is EXECUTED evidence, not folklore:
+  * SaltingSpec runs a skewed join and a skewed aggregate under AQE
+  * with skew handling on — the join's executed plan shows the skew
+  * split, the aggregate's never does (splitting a group would
+  * double-count), and the salted rewrite measurably scatters the hot
+  * key's post-shuffle row placement (4x+ smaller max reducer) while
+  * re-merging to exactly the unsalted result.
   */
 object Salting {
 

@@ -76,7 +76,8 @@ object Aggregates {
         orderAll("l_returnflag", "nd_part", "nd_supp", "n_rows")),
     headline = true)
 
-  // ⊘ approx sketch: tolerance-tested (±5% of q04 truth), not hash-matched.
+  // ⊘ approx sketch: not hash-matchable, but driver-certified by
+  // xr10_hll_cert (max rel err vs exact q04 ≤ 0.15) on every gate run.
   val q04x = GQuery(
     "q04x_approx_distinct",
     (s, d) => {
@@ -95,8 +96,15 @@ object Aggregates {
     * warehouse persists), then union the binary sketches and estimate.
     * New data means sketching only the new bucket and re-unioning
     * bucket sketches — never recounting the corpus. ⊘ tolerance-tested
-    * (SketchRecallSpec: merged estimate within 5% of exact, and
-    * bucket-merged == single-pass estimate exactly).
+    * (SketchRecallSpec: merged estimate within 5% of exact; identical
+    * bucketing replays bit-identically; a different bucketing agrees
+    * within 2%) AND driver-certified by xr11_hllmerge_cert on every
+    * gate run (tolerance + bucketing stability). Note: merged
+    * estimates are NOT promised equal to a single-pass sketch's — a
+    * lone sketch answers via the order-dependent HIP estimator, unions
+    * via the composite estimator, and per-bucket mode transitions
+    * shift union estimates ~1%; stability-within-noise is the honest
+    * datasketches contract.
     */
   val q04y = GQuery(
     "q04y_hll_merge",
@@ -350,7 +358,8 @@ object Aggregates {
 
   // ⊘ approx percentile sketch (quantile summaries): tolerance-tested
   // against the exact median/quartiles in SketchRecallSpec, rows-only
-  // for the driver (sketch internals are not oracle-matchable).
+  // for the driver — and driver-certified by xr9_percentile_cert
+  // (max rel err vs exact quantiles ≤ 0.05) on every gate run.
   val q03c = GQuery(
     "q03c_approx_percentile",
     (s, d) => {

@@ -432,5 +432,140 @@ object Recall {
     Some(reportSql("xd7_semantic_dedup", "pair_recall_vs_exact", None, 0.90,
       Some(true))))
 
-  def queries: Seq[GQuery] = Seq(xr1, xr2, xr3, xr4, xr5, xr6, xr7)
+  /** The PRODUCTION hybrid (operators.HybridRetrieval: BM25 lexical
+    * arm + ANN-index dense arm, same rrfFuse) vs the exact xs8 fusion
+    * (brute-force dense arm): fused top-5 recall over (qid, doc_id)
+    * pairs. The index is built once per (session, corpus) over the
+    * corpus split and memoized; both compared sets are queries·5 rank
+    * rows, compared via the distributed keySet/semi-join path. The
+    * lexical arm is IDENTICAL in both forms, so the measured gap is
+    * exactly the dense arm's ANN approximation as it survives fusion
+    * — measured ≈0.9 (sf0.001/0.01); floor 0.50 tracks xr2's posture
+    * (certify "still works", not a tuning target).
+    */
+  val xr8 = GQuery(
+    "xr8_hybrid_ann_recall",
+    (s, d) => reap {
+      val cols = Seq("qid", "doc_id")
+      val idx = graft.operators.HybridRetrieval.ensureCorpusIndex(s, d)
+      val exact = keySet(Similarity.xs8.fn(s, d), cols)
+      val approx = keySet(
+        graft.operators.HybridRetrieval.rrfAnn(s, d, idx), cols)
+      val floor = 0.50
+      val r = recallOf(approx, exact, cols)
+      System.err.println(f"[recall] xr8_hybrid_ann_recall measured=$r%.4f floor=$floor")
+      canon(report(s, "hybrid_rrf_ann", "fused_topk_recall_vs_exact",
+        Some(5), floor, None, r >= floor))
+    },
+    Some(reportSql("hybrid_rrf_ann", "fused_topk_recall_vs_exact",
+      Some(5), 0.50, None)))
+
+  /** q03c's approx percentiles vs the EXACT quantiles, reduced to one
+    * scalar: the max relative error over every (status, quantile)
+    * cell. percentile_approx at accuracy 1000 guarantees rank error
+    * ≤ n/1000; on this price distribution the value error measures
+    * ≈ 0.1% at sf0.01/0.1 — floor 0.05 certifies "the sketch still
+    * works", the xr-family contract. Driver state: one scalar.
+    */
+  val xr9 = GQuery(
+    "xr9_percentile_cert",
+    (s, d) => reap {
+      val c = Ctx(s, d)
+      val apx = Aggregates.q03c.fn(s, d)
+      val exact = c.orders.groupBy("o_orderstatus").agg(
+        expr("percentile(o_totalprice, 0.5)").as("ex_median"),
+        expr("percentile(o_totalprice, 0.25)").as("ex_q1"),
+        expr("percentile(o_totalprice, 0.75)").as("ex_q3"))
+      val err = apx.join(exact, "o_orderstatus")
+        .select(greatest(
+          abs(col("apx_median") - col("ex_median")) / col("ex_median"),
+          abs(col("apx_q1") - col("ex_q1")) / col("ex_q1"),
+          abs(col("apx_q3") - col("ex_q3")) / col("ex_q3")).as("e"))
+        .agg(max(col("e"))).head.getDouble(0)
+      val floor = 0.05
+      System.err.println(f"[recall] xr9_percentile_cert measured=$err%.6f tol=$floor")
+      canon(report(s, "q03c_approx_percentile", "quantile_max_rel_err",
+        None, floor, None, err <= floor))
+    },
+    Some(reportSql("q03c_approx_percentile", "quantile_max_rel_err",
+      None, 0.05, None)))
+
+  /** q04x's HLL estimates vs exact q04 distinct counts: max relative
+    * error over every (flag, column) cell. approx_count_distinct's
+    * default rsd is 0.05; measured ≈ 1-2% at sf0.01/0.1 — floor 0.15
+    * (3× rsd) so a broken sketch fails while estimator noise passes.
+    */
+  val xr10 = GQuery(
+    "xr10_hll_cert",
+    (s, d) => reap {
+      val apx = Aggregates.q04x.fn(s, d)
+      val ex = Aggregates.q04.fn(s, d)
+      val err = apx.join(ex, "l_returnflag")
+        .select(greatest(
+          abs(col("apx_part").cast("double") - col("nd_part")) / col("nd_part"),
+          abs(col("apx_supp").cast("double") - col("nd_supp")) / col("nd_supp"))
+          .as("e"))
+        .agg(max(col("e"))).head.getDouble(0)
+      val floor = 0.15
+      System.err.println(f"[recall] xr10_hll_cert measured=$err%.6f tol=$floor")
+      canon(report(s, "q04x_approx_distinct", "estimate_max_rel_err",
+        None, floor, None, err <= floor))
+    },
+    Some(reportSql("q04x_approx_distinct", "estimate_max_rel_err",
+      None, 0.15, None)))
+
+  /** q04y's bucket-merged HLL sketches, certified on BOTH contracts:
+    * (a) the merged estimate is within tolerance of the exact distinct
+    * count (estimator quality, as xr10), and (b) the merge is
+    * BUCKETING-STABLE: re-partitioning the same stream under a
+    * completely different bucket key (l_partkey % 13 vs q04y's
+    * l_orderkey % 8) and re-merging agrees per cell within 2% — the
+    * operational property that makes the persisted partial table
+    * incrementally trustworthy. Measured: identical bucketing replays
+    * BIT-identically (the sketch pipeline is deterministic), but
+    * different bucketings differ by ~1% at sf0.01 and single-pass
+    * differs further (HIP vs composite estimator; per-bucket sketch
+    * mode transitions) — so exact equality across bucketings is NOT
+    * the datasketches contract and is not claimed. (b) rides the
+    * boolean slot: TRUE in the oracle row, so instability beyond the
+    * band fails the driver hash.
+    */
+  val xr11 = GQuery(
+    "xr11_hllmerge_cert",
+    (s, d) => reap {
+      val c = Ctx(s, d)
+      val merged = own(Aggregates.q04y.fn(s, d).persist())
+      val alt = c.lineitem
+        .withColumn("bucket", pmod(col("l_partkey"), lit(13)))
+        .groupBy("l_returnflag", "bucket")
+        .agg(expr("hll_sketch_agg(l_partkey)").as("sk_part"),
+          expr("hll_sketch_agg(l_suppkey)").as("sk_supp"))
+        .groupBy("l_returnflag")
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk_part))").as("alt_part"),
+          expr("hll_sketch_estimate(hll_union_agg(sk_supp))").as("alt_supp"))
+      val ex = Aggregates.q04.fn(s, d)
+      val err = merged.join(ex, "l_returnflag")
+        .select(greatest(
+          abs(col("apx_part").cast("double") - col("nd_part")) / col("nd_part"),
+          abs(col("apx_supp").cast("double") - col("nd_supp")) / col("nd_supp"))
+          .as("e"))
+        .agg(max(col("e"))).head.getDouble(0)
+      val drift = merged.join(alt, "l_returnflag")
+        .select(greatest(
+          abs(col("apx_part").cast("double") - col("alt_part")) / col("alt_part"),
+          abs(col("apx_supp").cast("double") - col("alt_supp")) / col("alt_supp"))
+          .as("e"))
+        .agg(max(col("e"))).head.getDouble(0)
+      val stable = drift <= 0.02
+      val floor = 0.15
+      System.err.println(
+        f"[recall] xr11_hllmerge_cert measured=$err%.6f tol=$floor bucketing_drift=$drift%.6f stable=$stable")
+      canon(report(s, "q04y_hll_merge", "merged_estimate_max_rel_err",
+        None, floor, Some(stable), err <= floor))
+    },
+    Some(reportSql("q04y_hll_merge", "merged_estimate_max_rel_err",
+      None, 0.15, Some(true))))
+
+  def queries: Seq[GQuery] =
+    Seq(xr1, xr2, xr3, xr4, xr5, xr6, xr7, xr8, xr9, xr10, xr11)
 }

@@ -416,9 +416,13 @@ object Scans {
           .as(Seq("idx", "h")))
         .distinct() // same partial+final two-exchange shape, no dead column
         .groupBy("idx").agg(count(col("h")).as("n_distinct"))
-      val prof = own(base.join(nd, "idx")
+      // LEFT join + coalesce: on an empty table nd is empty but the
+      // profile must still emit one row per column with n_distinct = 0
+      // (the oracle's scalar aggregate always produces its row)
+      val prof = own(base.join(nd, Seq("idx"), "left")
         .select(col("col_name"), col("n_rows"), col("n_null"),
-          col("n_distinct"), col("min_str"), col("max_str"))
+          coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+          col("min_str"), col("max_str"))
         .persist())
       canonBy(prof, "col_name")
     },

@@ -727,9 +727,31 @@ object Similarity {
     }
   }
 
-  private[queries] def bm25TopK(s: org.apache.spark.sql.SparkSession,
+  private[graft] def bm25TopK(s: org.apache.spark.sql.SparkSession,
       d: String, k: Int): org.apache.spark.sql.DataFrame =
     bm25TopKOn(s, Ctx(s, d).documents, k)
+
+  /** RRF(k = 60) fusion of a lexical and a dense rank list + per-query
+    * top-N re-rank — ONE definition shared by xs8 (brute-force dense
+    * arm, the oracle contract) and the production hybrid over the
+    * persisted ANN index (operators.HybridRetrieval), so the fusion
+    * arithmetic cannot desynchronize between them. Inputs are bounded
+    * rank lists (queries·k rows), so the full-outer join and the
+    * re-rank window are query-set-sized at any corpus scale.
+    */
+  private[graft] def rrfFuse(lexTop: org.apache.spark.sql.DataFrame,
+      vecTop: org.apache.spark.sql.DataFrame, topN: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val fused = lexTop.join(vecTop, Seq("qid", "doc_id"), "full_outer")
+      .select(col("qid"), col("doc_id"), col("lex_rank"), col("vec_rank"),
+        (coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("vec_rank")), lit(0.0))).as("rrf"))
+    val w = Window.partitionBy("qid").orderBy(col("rrf").desc, col("doc_id").asc)
+    fused.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topN)
+      .select(col("qid"), col("doc_id"), col("lex_rank"), col("vec_rank"),
+        round(col("rrf"), 6).as("rrf"))
+  }
 
   private[queries] def bm25ScoredOn(s: org.apache.spark.sql.SparkSession,
       documents: org.apache.spark.sql.DataFrame,
@@ -887,19 +909,9 @@ object Similarity {
         .select(col("qid"), posexplode(col("top")).as(Seq("p", "t")))
         .select(col("qid"), col("t.id").as("doc_id"),
           (col("p") + 1).cast("int").as("vec_rank"))
-      val fused = lexTop.join(vecTop, Seq("qid", "doc_id"), "full_outer")
-        .select(col("qid"), col("doc_id"), col("lex_rank"), col("vec_rank"),
-          (coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
-            coalesce(lit(1.0) / (lit(60) + col("vec_rank")), lit(0.0))).as("rrf"))
-      val w = Window.partitionBy("qid").orderBy(col("rrf").desc, col("doc_id").asc)
       // persist-before-sort: both retrieval arms sit under canonBy's
       // double-executing orderBy — cache the queries·5-row result first
-      val ranked = own(fused
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 5)
-        .select(col("qid"), col("doc_id"), col("lex_rank"), col("vec_rank"),
-          round(col("rrf"), 6).as("rrf"))
-        .persist())
+      val ranked = own(rrfFuse(lexTop, vecTop, 5).persist())
       canonBy(ranked, "qid", "doc_id")
     },
     Some(Bm25Sql +

@@ -46,6 +46,44 @@ class JdbcCursorSpec extends AnyFunSuite {
     } finally conn.close()
   }
 
+  test("fresh database lands at schema version 1; reconnect is a no-op") {
+    val url = freshUrl()
+    val c1 = new JdbcCursor(url)
+    assert(c1.schemaVersion() == 1)
+    c1.write(7L)
+    // reconnecting re-runs the (idempotent) upgrade path
+    val c2 = new JdbcCursor(url)
+    assert(c2.schemaVersion() == 1)
+    assert(c2.read().contains(7L))
+  }
+
+  test("upgrade-from-v0: pre-versioning database adopts version tracking in place") {
+    // simulate a deploy from before etl_schema_version existed: the
+    // cursor table is already there WITH a live row, no version table
+    val url = freshUrl()
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate(
+        """CREATE TABLE etl_cursor (
+          |  id INT PRIMARY KEY,
+          |  block_number BIGINT NOT NULL,
+          |  created_at TIMESTAMP NOT NULL,
+          |  updated_at TIMESTAMP NOT NULL)""".stripMargin)
+      st.executeUpdate(
+        """INSERT INTO etl_cursor VALUES
+          |  (1, 42, CURRENT_TIMESTAMP, CURRENT_TIMESTAMP)""".stripMargin)
+      st.close()
+    } finally conn.close()
+    val c = new JdbcCursor(url)
+    // the idempotent migration must NOT recreate the table or lose the
+    // row; the version row must land at the current high-water
+    assert(c.schemaVersion() == 1)
+    assert(c.read().contains(42L))
+    c.write(43L)
+    assert(c.read().contains(43L))
+  }
+
   test("EtlJob cycle advances the JDBC cursor; failed cycle leaves it unmoved") {
     val root = Files.createTempDirectory("etl-jdbc")
     val chain = root.resolve("chain")

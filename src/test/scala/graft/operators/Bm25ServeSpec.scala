@@ -119,4 +119,37 @@ class Bm25ServeSpec extends AnyFunSuite {
       .head().getLong(2)
     assert(cu10 == cu(2, 1))
   }
+
+  test("append drift gauge: zero under replay, moves under vocabulary shift") {
+    val s = spark.newSession()
+    import s.implicits._
+    val path = Files.createTempDirectory("bm25drift").toString + "/idx"
+    val base = Seq(
+      (1L, "alpha beta gamma alpha"),
+      (2L, "beta gamma delta"),
+      (3L, "alpha delta delta")).toDF("doc_id", "text")
+    Bm25Index.build(s, base, path)
+
+    // replaying the build corpus: df shares, vocabulary, and avgdl all
+    // match the frozen model exactly — every signal is 0
+    val replay = Bm25Index.append(s, base, path)
+    assert(replay.dfTvDrift == 0.0, s"tv=${replay.dfTvDrift}")
+    assert(replay.oovMass == 0.0, s"oov=${replay.oovMass}")
+    assert(replay.avgdlDrift == 0.0, s"avgdl=${replay.avgdlDrift}")
+
+    // a vocabulary-shifted, longer-doc batch: all three signals move
+    val shifted = Bm25Index.append(s,
+      Seq((20L, "omega sigma sigma tau tau tau omega kappa"),
+        (21L, "omega kappa kappa sigma rho rho rho rho")).toDF("doc_id", "text"),
+      path)
+    assert(shifted.dfTvDrift > 0.3, s"tv=${shifted.dfTvDrift}")
+    assert(shifted.oovMass > 0.9, s"oov=${shifted.oovMass}")
+    assert(shifted.avgdlDrift > 0.5, s"avgdl=${shifted.avgdlDrift}")
+
+    // the gauge history is persisted next to the index for thresholding
+    val hist = s.read.parquet(s"$path/drift")
+    assert(hist.count() == 2L)
+    assert(hist.columns.toSet ==
+      Set("df_tv_drift", "oov_mass", "avgdl_drift"))
+  }
 }

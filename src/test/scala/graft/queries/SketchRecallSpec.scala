@@ -112,15 +112,30 @@ class SketchRecallSpec extends AnyFunSuite {
       assert(math.abs(ap - p).toDouble / p <= 0.05, s"$k part estimate off")
       assert(math.abs(as - su).toDouble / su <= 0.05, s"$k supp estimate off")
     }
-    // merging per-bucket sketches must equal sketching in one pass —
-    // the property that makes the partial table incrementally correct
+    // the merge must be DETERMINISTIC under the same bucketing (bit-
+    // identical replay) and BUCKETING-STABLE under a different one
+    // (within estimator noise). Deliberately NOT exact equality across
+    // bucketings or vs single-pass: a lone sketch answers via the
+    // order-dependent HIP estimator, unions via the composite
+    // estimator, and per-bucket sketch-mode transitions shift union
+    // estimates ~1% — measured at sf0.01; xr11 certifies the stability
+    // band at the gate.
     import org.apache.spark.sql.functions._
     val c = Ctx(spark, sf)
-    val onePass = c.lineitem.groupBy("l_returnflag")
-      .agg(expr("hll_sketch_estimate(hll_sketch_agg(l_partkey))").as("e"))
+    def rebucketed(bucket: org.apache.spark.sql.Column, n: Int) = c.lineitem
+      .withColumn("bucket", pmod(bucket, lit(n)))
+      .groupBy("l_returnflag", "bucket")
+      .agg(expr("hll_sketch_agg(l_partkey)").as("sk"))
+      .groupBy("l_returnflag")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("e"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    for ((k, (ap, _)) <- merged) assert(onePass(k) == ap,
-      s"$k: bucket-merged $ap != one-pass ${onePass(k)}")
+    val replay = rebucketed(col("l_orderkey"), 8) // q04y's own bucketing
+    for ((k, (ap, _)) <- merged) assert(replay(k) == ap,
+      s"$k: identical bucketing must replay identically")
+    val alt = rebucketed(col("l_partkey"), 13)
+    for ((k, (ap, _)) <- merged)
+      assert(math.abs(alt(k) - ap).toDouble / ap <= 0.02,
+        s"$k: bucket-merged $ap vs re-bucketed ${alt(k)} drifted > 2%")
   }
 
   test("approx_percentile within 2% of the exact median (q03c vs q03b)") {

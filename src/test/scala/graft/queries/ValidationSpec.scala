@@ -44,4 +44,20 @@ class ValidationSpec extends AnyFunSuite {
     Seq("orders_pk_unique", "orders_fk_customer", "lineitem_fk_orders")
       .foreach(chk => assert(out(chk)._1 == 0L, chk))
   }
+
+  test("xv6 survives an empty table: one row per column, zero counts") {
+    // the DuckDB oracle's scalar aggregate always emits its row, so an
+    // empty lineitem must profile as 7 rows with n_rows = n_distinct = 0
+    // (left join + coalesce, not the inner join that returned 0 rows)
+    val tmp = java.nio.file.Files.createTempDirectory("xv6empty").toString
+    Ctx(spark, sf).lineitem.limit(0)
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val rows = Scans.xv6.fn(spark, tmp).collect()
+    assert(rows.length == 7)
+    rows.foreach { r =>
+      assert(r.getLong(1) == 0L, "n_rows")
+      assert(r.getLong(2) == 0L, "n_null")
+      assert(r.getLong(3) == 0L, "n_distinct")
+    }
+  }
 }

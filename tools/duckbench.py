@@ -32,7 +32,8 @@ SKIP = {"xd5_dedup_clusters",
         # counterpart.
         "xr1_lsh_recall", "xr2_ivf_recall", "xr3_quant_recall",
         "xr4_query_recall", "xr5_minhash_recall", "xr6_simhash_precision",
-        "xr7_semdup_recall"}
+        "xr7_semdup_recall", "xr8_hybrid_ann_recall", "xr9_percentile_cert",
+        "xr10_hll_cert", "xr11_hllmerge_cert"}
 
 # Known-slow oracles timed ONCE instead of warm-up + median-of-3:
 # xd9's 518k banded pairs each run DuckDB's full O(len^2) levenshtein
