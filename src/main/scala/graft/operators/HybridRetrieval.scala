@@ -56,10 +56,14 @@ object HybridRetrieval {
     * own()'d into the caller's scope).
     */
   def rrfAnn(s: SparkSession, d: String, indexPath: String, k: Int = 10,
-      nprobe: Int = 8, topN: Int = 5): DataFrame = {
+      nprobe: Int = 8, topN: Int = 5,
+      lex: Option[DataFrame] = None): DataFrame = {
     val c = graft.queries.Ctx(s, d)
-    val lexTop = graft.queries.Similarity.bm25TopK(s, d, k)
-      .select(col("qid"), col("doc_id"), col("rank").as("lex_rank"))
+    // `lex` lets a caller that ALSO computes the exact fusion (xr8)
+    // feed one persisted lexical arm to both — the arm is identical
+    // in both forms by construction
+    val lexTop = lex.getOrElse(
+      graft.queries.Similarity.lexTopRanks(s, d, k))
     val q = c.embeddings.filter(col("vec_id") % 20 === 0)
       .select(col("vec_id").as("query_id"), col("embedding"))
     // probeBatch already emits exactly the per-query top-k under the

@@ -448,9 +448,16 @@ object Recall {
     (s, d) => reap {
       val cols = Seq("qid", "doc_id")
       val idx = graft.operators.HybridRetrieval.ensureCorpusIndex(s, d)
-      val exact = keySet(Similarity.xs8.fn(s, d), cols)
+      // the lexical arm is IDENTICAL in both fusion forms — compute
+      // and persist it once, feed it to both (the BM25 pipeline was
+      // the audit's dominant duplicated cost)
+      val lexTop = own(Similarity.lexTopRanks(s, d, 10).persist())
+      val exact = keySet(
+        Similarity.rrfFuse(lexTop, Similarity.denseTopKRanks(s, d, 10), 5),
+        cols)
       val approx = keySet(
-        graft.operators.HybridRetrieval.rrfAnn(s, d, idx), cols)
+        graft.operators.HybridRetrieval.rrfAnn(s, d, idx, lex = Some(lexTop)),
+        cols)
       val floor = 0.50
       val r = recallOf(approx, exact, cols)
       System.err.println(f"[recall] xr8_hybrid_ann_recall measured=$r%.4f floor=$floor")

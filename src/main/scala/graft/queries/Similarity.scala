@@ -885,33 +885,49 @@ object Similarity {
     * with id tie-break), and the fused value 1/(60+r_lex) + 1/(60+r_vec)
     * is the same fixed two-term double expression in both engines.
     */
+  /** xs8's lexical arm as (qid, doc_id, lex_rank) — shared with the
+    * xr8 certification so it is computed once there.
+    */
+  private[graft] def lexTopRanks(s: org.apache.spark.sql.SparkSession,
+      d: String, k: Int): org.apache.spark.sql.DataFrame =
+    bm25TopK(s, d, k)
+      .select(col("qid"), col("doc_id"), col("rank").as("lex_rank"))
+
+  /** xs8's EXACT dense arm: brute-force round-4 cosine top-k of the
+    * query split vs the corpus split, as (qid, doc_id, vec_rank) —
+    * the baseline the ANN-armed production hybrid is certified
+    * against (xr8).
+    */
+  private[graft] def denseTopKRanks(s: org.apache.spark.sql.SparkSession,
+      d: String, k: Int): org.apache.spark.sql.DataFrame = {
+    val c = Ctx(s, d)
+    VectorOps.register(s)
+    val topk = udaf(new graft.functions.TopK(k),
+      org.apache.spark.sql.Encoders.product[graft.functions.Scored])
+    val all = c.embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(expr("vec_dot(v, v)")))
+    val qs = all.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("qid"), col("v").as("va"), col("nrm").as("na"))
+    val corpus = all.filter(col("vec_id") % 20 =!= 0)
+      .select(col("vec_id").as("doc_id"), col("v").as("vb"), col("nrm").as("nb"))
+    qs.crossJoin(Scale.maybeBroadcast(corpus))
+      .select(col("qid"), col("doc_id"),
+        round4(expr("vec_dot(va, vb)") / (col("na") * col("nb"))).as("score"))
+      .groupBy("qid")
+      .agg(topk(col("score"), col("doc_id")).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("p", "t")))
+      .select(col("qid"), col("t.id").as("doc_id"),
+        (col("p") + 1).cast("int").as("vec_rank"))
+  }
+
   val xs8 = GQuery(
     "xs8_hybrid_rrf",
     (s, d) => reap {
-      val c = Ctx(s, d)
-      VectorOps.register(s)
-      val topk = udaf(new graft.functions.TopK(10),
-        org.apache.spark.sql.Encoders.product[graft.functions.Scored])
-      val lexTop = bm25TopK(s, d, 10)
-        .select(col("qid"), col("doc_id"), col("rank").as("lex_rank"))
-      val all = c.embeddings
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        .withColumn("nrm", sqrt(expr("vec_dot(v, v)")))
-      val qs = all.filter(col("vec_id") % 20 === 0)
-        .select(col("vec_id").as("qid"), col("v").as("va"), col("nrm").as("na"))
-      val corpus = all.filter(col("vec_id") % 20 =!= 0)
-        .select(col("vec_id").as("doc_id"), col("v").as("vb"), col("nrm").as("nb"))
-      val vecTop = qs.crossJoin(Scale.maybeBroadcast(corpus))
-        .select(col("qid"), col("doc_id"),
-          round4(expr("vec_dot(va, vb)") / (col("na") * col("nb"))).as("score"))
-        .groupBy("qid")
-        .agg(topk(col("score"), col("doc_id")).as("top"))
-        .select(col("qid"), posexplode(col("top")).as(Seq("p", "t")))
-        .select(col("qid"), col("t.id").as("doc_id"),
-          (col("p") + 1).cast("int").as("vec_rank"))
       // persist-before-sort: both retrieval arms sit under canonBy's
       // double-executing orderBy — cache the queries·5-row result first
-      val ranked = own(rrfFuse(lexTop, vecTop, 5).persist())
+      val ranked = own(
+        rrfFuse(lexTopRanks(s, d, 10), denseTopKRanks(s, d, 10), 5).persist())
       canonBy(ranked, "qid", "doc_id")
     },
     Some(Bm25Sql +
