@@ -200,17 +200,38 @@ object Bench {
           "transform(sequence(0, 2), i -> coalesce(try_element_at(m, i), 0.0d))").as("a"))
         .groupBy("a").count()
         .write.format("noop").mode("overwrite").save()
-      // xv6's profile unpivot: null-guarded xxhash64 array posexplode
-      // into a distinct — the generated null-branch + distinct-agg
-      // classes are first-use costs its cold run otherwise pays
-      r.select(posexplode(array(
-          when(col("r_regionkey").isNull, lit(null))
-            .otherwise(xxhash64(col("r_regionkey"))),
-          when(col("r_name").isNull, lit(null))
-            .otherwise(xxhash64(col("r_name")))))
+      // xv6's full first-use surface, mirrored shape-for-shape on the
+      // 5-row region table (r9's unpivot-only warm recovered part of
+      // the 2.9 s cold graze; the wide typed-agg codegen, the
+      // array-of-structs profile explode, and the 7-row left-join +
+      // coalesce stitch were still first-use):
+      val pcols = Seq("c0", "c1", "c2")
+      val pr = r.select(col("r_regionkey").as("c0"), col("r_name").as("c1"),
+        date_add(to_date(lit("2020-01-01")),
+          col("r_regionkey").cast("int")).as("c2"))
+      val paggs = pcols.flatMap { cn =>
+        Seq(count(col(cn)).as(s"nn_$cn"),
+          min(col(cn)).cast("string").as(s"mn_$cn"),
+          max(col(cn)).cast("string").as(s"mx_$cn"))
+      }
+      val pout = pcols.zipWithIndex.map { case (cn, i) =>
+        struct(lit(cn).as("col_name"), lit(i).as("idx"), col("n_rows"),
+          (col("n_rows") - col(s"nn_$cn")).as("n_null"),
+          col(s"mn_$cn").as("min_str"), col(s"mx_$cn").as("max_str"))
+      }
+      val pbase = pr.agg(count(lit(1)).as("n_rows"), paggs: _*)
+        .select(explode(array(pout: _*)).as("pw"))
+        .select("pw.*")
+      val pnd = pr
+        .select(posexplode(array(pcols.map(cn =>
+          when(col(cn).isNull, lit(null)).otherwise(xxhash64(col(cn)))): _*))
           .as(Seq("idx", "h")))
         .distinct()
-        .groupBy("idx").agg(count(col("h")).as("nd"))
+        .groupBy("idx").agg(count(col("h")).as("n_distinct"))
+      pbase.join(pnd, Seq("idx"), "left")
+        .select(col("col_name"), col("n_rows"), col("n_null"),
+          coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+          col("min_str"), col("max_str"))
         .write.format("noop").mode("overwrite").save()
     }
 

@@ -38,32 +38,73 @@ object AnnIndex {
       .withColumn("nrm", sqrt(expr("vec_dot(v, v)")))
       .filter(col("nrm") > 0)
 
+  /** Assignment-quality drift of one appended batch vs the BUILD-time
+    * baseline — the "re-baseline now" gauge for assign-only
+    * maintenance (Bm25Index.Drift's dense sibling, and the persisted
+    * form of xs5's fold-in signal): msdDrift = |batch mean squared
+    * distance to the assigned (frozen) centroid / build-time mean − 1|.
+    * Exactly 0 when the appended batch replays the build corpus;
+    * grows as new vectors land far from every frozen centroid — the
+    * signal that the frozen partitioning no longer fits the data and
+    * a retrain-rebuild is due. History appends to `path/drift`.
+    */
+  final case class Drift(msdDrift: Double)
+
+  private def msdOf(ranked: DataFrame): Option[Double] =
+    ranked.agg(avg(col("dist") + col("nrm") * col("nrm")).as("msd"))
+      .head() match {
+        case r if r.isNullAt(0) => None
+        case r => Some(r.getDouble(0))
+      }
+
   /** Train centroids on `embeddings` and write the full index. */
   def build(spark: SparkSession, embeddings: DataFrame, path: String): Unit = {
     graft.functions.VectorOps.register(spark)
     val e = normalized(embeddings)
     val centroids = graft.queries.Similarity.trainCentroids(e)
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
-    val assigned = graft.queries.Similarity.rankAgainst(e, centroids)
+    val ranked = graft.queries.Similarity.rankAgainst(e, centroids)
       .filter(col("rn") === 1)
-      .select(col("cid"), col("vec_id"), col("v"), col("nrm"))
-    assigned.write.mode("overwrite").partitionBy("cid")
-      .parquet(s"$path/cells")
+      .persist()
+    try {
+      ranked.select(col("cid"), col("vec_id"), col("v"), col("nrm"))
+        .write.mode("overwrite").partitionBy("cid")
+        .parquet(s"$path/cells")
+      // build-time assignment-quality baseline for append drift
+      import spark.implicits._
+      Seq(msdOf(ranked).getOrElse(0.0)).toDF("msd")
+        .write.mode("overwrite").parquet(s"$path/msd")
+    } finally ranked.unpersist(blocking = false)
   }
 
   /** Assign-only fold-in of new vectors against the FROZEN centroid
     * table (xs5's maintenance semantics): new files append inside
-    * their cells' directories; no existing file is touched.
+    * their cells' directories; no existing file is touched. Returns
+    * the batch's [[Drift]] gauge.
     */
-  def append(spark: SparkSession, embeddings: DataFrame, path: String): Unit = {
+  def append(spark: SparkSession, embeddings: DataFrame, path: String): Drift = {
     graft.functions.VectorOps.register(spark)
     val centroids = broadcast(spark.read.parquet(s"$path/centroids"))
-    val assigned = graft.queries.Similarity
+    val ranked = graft.queries.Similarity
       .rankAgainst(normalized(embeddings), centroids)
       .filter(col("rn") === 1)
-      .select(col("cid"), col("vec_id"), col("v"), col("nrm"))
-    assigned.write.mode("append").partitionBy("cid")
-      .parquet(s"$path/cells")
+      .persist()
+    try {
+      ranked.select(col("cid"), col("vec_id"), col("v"), col("nrm"))
+        .write.mode("append").partitionBy("cid")
+        .parquet(s"$path/cells")
+      val buildMsd = spark.read.parquet(s"$path/msd").head().getDouble(0)
+      val drift = msdOf(ranked) match {
+        case None => Drift(0.0) // empty batch: nothing to signal
+        case Some(b) if buildMsd == 0.0 =>
+          Drift(if (b == 0.0) 0.0 else Double.PositiveInfinity)
+        case Some(b) => Drift(math.abs(b / buildMsd - 1.0))
+      }
+      import spark.implicits._
+      Seq(drift.msdDrift).toDF("msd_drift")
+        .write.mode("append").parquet(s"$path/drift")
+      drift
+    } finally ranked.unpersist(blocking = false)
   }
 
   /** The `nprobe` nearest cell ids to a query vector — K driver-side

@@ -112,10 +112,29 @@ class DedupIngestSpec extends AnyFunSuite {
     val victims = parquetsUnder(new java.io.File(lake))
     assert(victims.nonEmpty, "fixture: expected committed data files")
     victims.foreach(v => assert(v.delete()))
-    intercept[Exception] {
-      DedupIngest.ingestBatch(
-        Seq((10L, aNear)).toDF("doc_id", "text"), 1L, "s4", lake, quar)
-    }
+    // The planted failure makes Spark's OWN ObservationManager listener
+    // log one expected ExecutionListenerBus ERROR: once any Observation
+    // has ever registered on a session, its session-lifetime listener's
+    // onFailure forces the failed query's executedPlan (observedMetrics)
+    // and rethrows the planted AnalysisException inside the bus. There
+    // is nothing to unregister at our level (the manager listener is a
+    // singleton), so scope the expected noise OUT of the log — a real
+    // listener error elsewhere in the suite still prints.
+    val lbLogger = "org.apache.spark.sql.util.ExecutionListenerBus"
+    val prev = org.apache.logging.log4j.LogManager.getLogger(lbLogger).getLevel
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      lbLogger, org.apache.logging.log4j.Level.FATAL)
+    try {
+      intercept[Exception] {
+        DedupIngest.ingestBatch(
+          Seq((10L, aNear)).toDF("doc_id", "text"), 1L, "s4", lake, quar)
+      }
+      // the listener bus delivers asynchronously — give the queue a
+      // moment to drain before restoring the level, or the ERROR lands
+      // after the restore anyway (the drain API is private[spark])
+      Thread.sleep(2000)
+    } finally org.apache.logging.log4j.core.config.Configurator.setLevel(
+      lbLogger, prev)
     assert(Snapshot.lastCommittedBatch(lake, "s4").contains(0L),
       "the failed batch must not have committed")
   }

@@ -111,6 +111,25 @@ class AnnIndexSpec extends AnyFunSuite {
       AnnIndex.probe(spark, path, Array(0.0, 0.0, 0.0, 0.0), 5, 2))
   }
 
+  test("append drift gauge: zero under replay, moves when vectors outgrow centroids") {
+    val path = Files.createTempDirectory("anndrift").toString + "/idx"
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    AnnIndex.build(spark, emb, path)
+    // replaying the build corpus: same vectors, same frozen centroids,
+    // same assignment — the mean squared distance matches the baseline
+    val replay = AnnIndex.append(spark, emb, path)
+    assert(replay.msdDrift < 1e-12, s"replay drift=${replay.msdDrift}")
+    // vectors pushed far from every frozen centroid: the gauge moves
+    val shifted = emb.select(
+      (col("vec_id") + lit(1000000L)).as("vec_id"),
+      expr("transform(CAST(embedding AS ARRAY<DOUBLE>), x -> x * 5.0d + 3.0d)")
+        .as("embedding"))
+    val moved = AnnIndex.append(spark, shifted, path)
+    assert(moved.msdDrift > 0.5, s"shifted drift=${moved.msdDrift}")
+    // history persisted for thresholding
+    assert(spark.read.parquet(s"$path/drift").count() == 2L)
+  }
+
   test("append folds new vectors into existing cells, probe sees them") {
     val path = Files.createTempDirectory("annidx2").toString + "/idx"
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
