@@ -104,6 +104,89 @@ object Dedup {
     },
     None)
 
+  /** xd1b: the MinHash+LSH pipeline driver-hash-checked END-TO-END.
+    * xd1's banding rides on xxhash64, which no other engine computes —
+    * hence its ⊘ contract (recall certified separately by xr5). This
+    * variant swaps ONLY the signature family for one both engines
+    * evaluate bit-identically in exact BIGINT arithmetic:
+    *
+    *   h      = md5-60bit(token) mod p          (p = 2^31 − 1; md5 is
+    *                                             the cross-engine hash,
+    *                                             xv1's discipline)
+    *   mh_i   = (a_i·h + b_i) mod p             (universal family;
+    *             a_i = (i·1103515245 + 12345) mod p,
+    *             b_i = (i·69069 + 1) mod p — plan-time-constant LCG
+    *             mixes; every product < 2^62, no ANSI overflow)
+    *   band b = 'b:mh_{4b},…,mh_{4b+3}' as a string key
+    *
+    * so the CANDIDATE SET — which pairs collide in ≥1 of the 16 bands —
+    * is deterministic and identical across engines, and after exact
+    * verification the qualifying pairs hash-match DuckDB computing the
+    * same sketch in SQL. This certifies the LSH mechanics themselves
+    * (banding, candidate join, verify) against an independent engine;
+    * xd1 remains the production form (xxhash64 is cheaper and 64-bit).
+    * Mod-p reduction costs hash width (31 bits), which only affects
+    * candidate RECALL, never output correctness — verification reads
+    * the real token arrays either way.
+    */
+  val xd1b = GQuery(
+    "xd1b_minhash_md5",
+    (s, d) => reap {
+      val c = Ctx(s, d)
+      graft.functions.Md5Hash60.register(s)
+      val groups = setGroups(c.documents).filter(col("sz") > 0)
+      val qualifying = verifyCandidates(groups, bandedMd5(groups), 0.8)
+      val pairs = intraPairs(groups, lit(1.0), "jaccard")
+        .unionByName(expandPairs(qualifying, "jaccard"))
+      canonBy(pairs, "doc_a", "doc_b")
+    },
+    Some(s"""WITH tok AS (
+      |  SELECT DISTINCT doc_id, t.token FROM documents,
+      |    UNNEST(list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS t(token)),
+      |h AS (
+      |  SELECT doc_id, CAST(('0x' || substring(md5(token), 1, 15)) AS BIGINT) % 2147483647 AS h
+      |  FROM tok),
+      |mins AS (
+      |  SELECT doc_id, i,
+      |    MIN(((((i * 1103515245) + 12345) % 2147483647) * h + (((i * 69069) + 1) % 2147483647)) % 2147483647) AS mh
+      |  FROM h CROSS JOIN range(${NumPerms}) AS r(i) GROUP BY doc_id, i),
+      |bands AS (
+      |  SELECT doc_id,
+      |    CAST(band AS VARCHAR) || ':' || string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS band_key
+      |  FROM (SELECT doc_id, i, mh, i // ${BandRows} AS band FROM mins) GROUP BY doc_id, band),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      |  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+      |sz AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY 1),
+      |inter AS (
+      |  SELECT c.da, c.db, COUNT(*) AS inter
+      |  FROM cand c JOIN tok a ON a.doc_id = c.da JOIN tok b ON b.doc_id = c.db AND b.token = a.token
+      |  GROUP BY 1, 2)
+      |SELECT da AS doc_a, db AS doc_b,
+      |  ROUND(inter / (sa.sz + sb.sz - inter), 4) AS jaccard
+      |FROM inter JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
+      |WHERE inter / (sa.sz + sb.sz - inter) >= 0.8""".stripMargin +
+      orderAll("doc_a", "doc_b")))
+
+  /** xd1b's banded (band_key, gid) rows under the cross-engine
+    * md5/universal-LCG family documented on xd1b.
+    */
+  private def bandedMd5(groups: DataFrame): DataFrame = {
+    val p = 2147483647L
+    groups
+      .withColumn("h31", expr(
+        s"transform(toks, t -> md5_60(cast(t as binary)) % $p)"))
+      .withColumn("sig", expr(
+        s"""transform(sequence(0, ${NumPerms - 1}),
+           |  i -> array_min(transform(h31,
+           |    h -> ((((i * 1103515245L) + 12345L) % $p) * h + (((i * 69069L) + 1L) % $p)) % $p)))""".stripMargin))
+      .select(col("gid"), explode(expr(
+        s"""transform(sequence(0, ${NumPerms / BandRows - 1}),
+           |  b -> concat(cast(b as string), ':',
+           |    array_join(transform(slice(sig, b * $BandRows + 1, $BandRows),
+           |      x -> cast(x as string)), ',')))""".stripMargin)).as("band_key"))
+  }
+
   /** MinHash + banded LSH over distinct token-set groups, verified
     * EXACTLY against the real token arrays (so output pairs are true
     * J >= threshold pairs at any vocabulary; only recall depends on the
@@ -120,7 +203,6 @@ object Dedup {
     * multi-million-row expanded pair set.
     */
   private[queries] def minhashQualifying(groups: DataFrame, threshold: Double): DataFrame = {
-    graft.functions.ArrayOps.register(groups.sparkSession)
     // Permutation i's min-hash re-hashes each pre-hashed 8-byte long
     // (htoks), not the token string. The HOF runs once per DISTINCT
     // set over the persisted groups, already spread across partitions
@@ -130,7 +212,8 @@ object Dedup {
     // family — h·aᵢ+bᵢ with plan-time constants — was also tried:
     // ANSI mode turns the intended mod-2⁶⁴ wrap into ARITHMETIC_
     // OVERFLOW, and a custom wrap expression isn't worth ~0.5 s on
-    // this query; xxhash64 stays.)
+    // this query; xxhash64 stays. xd1b runs the same pipeline under a
+    // cross-engine md5/universal family instead — see bandedMd5.)
     val sigs = groups
       .withColumn("sig", expr(
         s"""transform(sequence(0, ${NumPerms - 1}),
@@ -143,6 +226,18 @@ object Dedup {
           s"transform(sequence(0, ${NumPerms / BandRows - 1}), " +
             s"b -> xxhash64(b, slice(sig, b * $BandRows + 1, $BandRows)))"))
           .as("band_key"))
+    verifyCandidates(groups, banded, threshold)
+  }
+
+  /** LSH candidate generation + exact verification, shared by every
+    * banding family: join banded (band_key, gid) rows with themselves,
+    * then verify surviving group pairs against the real (hashed) token
+    * arrays — output pairs are true J >= threshold pairs regardless of
+    * which signature family proposed them.
+    */
+  private def verifyCandidates(groups: DataFrame, banded: DataFrame,
+      threshold: Double): DataFrame = {
+    graft.functions.ArrayOps.register(groups.sparkSession)
     // persist(): the narrow (gid_a, gid_b) pairs are materialized once,
     // keeping the band self-join + distinct out of the verify stage's
     // plan (on near-dup-dense corpora candidates ≫ groups, so
@@ -174,8 +269,9 @@ object Dedup {
       .withColumn("uni", (col("sz_a") + col("sz_b")).cast("double") - col("inter"))
       .withColumn("jaccard", round(col("inter") / col("uni"), 4))
       .filter(col("inter") / col("uni") >= threshold)
-    // ⊘ rows-only contract: no canonical sort — ordering a ~3M-pair
-    // output would dominate the query's own cost.
+    // no canonical sort here: xd1's ⊘ rows-only contract skips it
+    // (ordering a ~3M-pair output would dominate the query's own
+    // cost); oracle-matched callers (xd1b) sort after expansion.
     qualifying
   }
 
@@ -1064,5 +1160,5 @@ object Dedup {
         orderAll("doc_id", "bench_id", "n_shared", "contaminated_frac")))
 
   def queries: Seq[GQuery] =
-    Seq(xd1, xd2, xd3, xd4, xd6, xd9, xd10, xd11, xd12)
+    Seq(xd1, xd1b, xd2, xd3, xd4, xd6, xd9, xd10, xd11, xd12)
 }

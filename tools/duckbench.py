@@ -40,7 +40,10 @@ SKIP = {"xd5_dedup_clusters",
 # DP (no threshold cutoff exists there) — measured ~220 s/run at sf0.1
 # vs Spark's 1 s banded-DP plan, so the median protocol would cost 15
 # extra minutes to confirm a 200x pass margin.
-ONCE = {"xd9_edit_distance"}
+# xd1b computes 64 minhash permutations PER DOCUMENT in DuckDB (no
+# distinct-token-set compression there) — measured ~42 s/run at sf0.1
+# vs Spark's 3.5 s group-level plan.
+ONCE = {"xd9_edit_distance", "xd1b_minhash_md5"}
 
 oracle = json.load(open(ORACLE))
 out = {}
