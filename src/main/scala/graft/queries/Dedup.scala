@@ -328,6 +328,80 @@ object Dedup {
     intraPairs(groups, lit(0L), "hamming")
       .unionByName(expandPairs(simhashQualifying(groups), "hamming"))
 
+  /** xd2b: the SimHash pipeline driver-hash-checked END-TO-END —
+    * xd1b's discipline applied to the Hamming sketch. Per-token hash =
+    * md5-60bit (xv1's cross-engine hash, full width — no mod-p here:
+    * SimHash consumes BITS, not magnitudes); fingerprint bit j set iff
+    * the ±1 majority over the set's token hashes at bit j is positive
+    * (ties → 0, same strict > in both engines); banding = 4 × 15-bit
+    * slices; pairs colliding in ≥1 band emit bit_count(sim_a ^ sim_b)
+    * <= 3. Every step is exact integer arithmetic both engines share,
+    * so fingerprints, band keys, candidates, and Hamming distances are
+    * bit-identical and the output hash-matches DuckDB computing the
+    * same sketch in SQL. xd2 stays the production form (xxhash64,
+    * 64-bit sketch); precision vs true Jaccard is xr6's certificate —
+    * this row certifies the sketch MECHANICS against an independent
+    * engine.
+    */
+  val xd2b = GQuery(
+    "xd2b_simhash_md5",
+    (s, d) => reap {
+      val c = Ctx(s, d)
+      graft.functions.Md5Hash60.register(s)
+      val groups = setGroups(c.documents).filter(col("sz") > 0)
+      val sigs = groups
+        .withColumn("h60", expr("transform(toks, t -> md5_60(cast(t as binary)))"))
+        .withColumn("sim", expr(
+          """aggregate(sequence(0, 59), CAST(0 AS BIGINT),
+            |  (acc, j) -> acc + shiftleft(CAST(
+            |    aggregate(h60, 0,
+            |      (s, h) -> s + CASE WHEN (shiftright(h, j) % 2) != 0
+            |                         THEN 1 ELSE -1 END) > 0 AS BIGINT), j))""".stripMargin))
+        .select(col("gid"), col("sim"))
+      val banded = sigs.select(col("gid"), col("sim"),
+        explode(expr(
+          "transform(sequence(0, 3), b -> shiftright(sim, b * 15) % 32768 + b * 32768)"))
+          .as("band_key"))
+      val cand = banded.as("a").join(banded.as("b"), Seq("band_key"))
+        .select(col("a.gid").as("gid_a"), col("a.sim").as("sim_a"),
+          col("b.gid").as("gid_b"), col("b.sim").as("sim_b"))
+        .filter(col("gid_a") < col("gid_b"))
+        .distinct()
+        .withColumn("hamming", bit_count(expr("sim_a ^ sim_b")))
+        .filter(col("hamming") <= 3)
+      val g1 = groups.select(col("gid").as("gid_a"), col("ids").as("ids_a"))
+      val g2 = groups.select(col("gid").as("gid_b"), col("ids").as("ids_b"))
+      val qualifying = cand.join(Scale.maybeBroadcast(g1), "gid_a")
+        .join(Scale.maybeBroadcast(g2), "gid_b")
+      val pairs = intraPairs(groups, lit(0), "hamming")
+        .unionByName(expandPairs(qualifying, "hamming"))
+      canonBy(pairs, "doc_a", "doc_b")
+    },
+    Some("""WITH tok AS (
+      |  SELECT DISTINCT doc_id, t.token FROM documents,
+      |    UNNEST(list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS t(token)),
+      |h AS (
+      |  SELECT doc_id, CAST(('0x' || substring(md5(token), 1, 15)) AS BIGINT) AS h
+      |  FROM tok),
+      |bits AS (
+      |  SELECT doc_id, j,
+      |    CASE WHEN SUM(CASE WHEN (h >> j) % 2 != 0 THEN 1 ELSE -1 END) > 0
+      |         THEN 1 ELSE 0 END AS bit
+      |  FROM h CROSS JOIN range(60) AS r(j) GROUP BY doc_id, j),
+      |sig AS (
+      |  SELECT doc_id, CAST(SUM(bit * (CAST(1 AS BIGINT) << j)) AS BIGINT) AS sim
+      |  FROM bits GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, sim, ((sim >> (b * 15)) % 32768) + b * 32768 AS band_key
+      |  FROM sig CROSS JOIN range(4) AS rb(b)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db, a.sim AS sa, b.sim AS sb
+      |  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
+      |SELECT da AS doc_a, db AS doc_b,
+      |  CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+      |FROM cand WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin +
+      orderAll("doc_a", "doc_b")))
+
   /** EXACT pairwise Jaccard >= threshold at ANY vocabulary size — the
     * general path behind Llm.qx2's gated <=64-vocab mask fast path.
     *
@@ -1160,5 +1234,5 @@ object Dedup {
         orderAll("doc_id", "bench_id", "n_shared", "contaminated_frac")))
 
   def queries: Seq[GQuery] =
-    Seq(xd1, xd1b, xd2, xd3, xd4, xd6, xd9, xd10, xd11, xd12)
+    Seq(xd1, xd1b, xd2, xd2b, xd3, xd4, xd6, xd9, xd10, xd11, xd12)
 }
