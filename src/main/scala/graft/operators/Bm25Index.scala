@@ -179,7 +179,12 @@ object Bm25Index {
     * Output: (query_id, doc_id, rank, score_micro).
     */
   def probeBatch(s: SparkSession, path: String, queries: DataFrame,
-      k: Int): DataFrame = {
+      k: Int): DataFrame = graft.queries.Det.reap {
+    // reap: the pruned probe persists its query-batch-sized phase
+    // frames (qts/qmeta/cand); scoping them here frees the blocks per
+    // probe call, so the per-micro-batch `serve` loop cannot
+    // accumulate caches across batches. The reap's eager checkpoint
+    // materializes only the (queries x k)-row result.
     val qt = queries.select(col("query_id"),
       explode(map_keys(graft.queries.Llm.termCounts(s, col("text")))).as("term"))
     val ubs = s.read.parquet(s"$path/ubs")

@@ -593,8 +593,21 @@ object Similarity {
   private[queries] def bm25Parts(s: org.apache.spark.sql.SparkSession,
       documents: org.apache.spark.sql.DataFrame)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+         org.apache.spark.sql.DataFrame) =
+    bm25PartsFromTf(tfTable(s, documents))
+
+  /** bm25Parts over a caller-built (doc_id, term, tf) frame — the seam
+    * that lets xs7b derive its vocabulary-diversified terms by
+    * remapping tf rows (one expression over doc-count-sized rows)
+    * instead of rebuilding and re-tokenizing the corpus text (a second
+    * full tokenize pass, measured ~1s of xs7b's budget at sf0.1).
+    * NOTE: callers must wrap in reap{} — the tf persist is own()'d
+    * into the caller's dynamic scope.
+    */
+  private[queries] def bm25PartsFromTf(tf: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
          org.apache.spark.sql.DataFrame) = {
-    val tf0 = own(tfTable(s, documents).persist())
+    val tf0 = own(tf.persist())
     val ctf = tf0.filter(col("doc_id") % 20 =!= 0)
     val qt = tf0.filter(col("doc_id") % 20 === 0)
       .select(col("doc_id").as("qid"), col("term"))
@@ -658,51 +671,128 @@ object Similarity {
       essObs: Option[org.apache.spark.sql.Observation] = None,
       neObs: Option[org.apache.spark.sql.Observation] = None)
       : org.apache.spark.sql.DataFrame = {
-    val wq = Window.partitionBy(keyCol).orderBy(col("ub").desc, col("term").asc)
-    val qts = qt.join(Scale.maybeBroadcast(ubs), "term")
-      .withColumn("sufx", sum(col("ub")).over(
-        wq.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
-      .withColumn("pos", row_number().over(wq))
-    val seed = qts.filter(col("pos") <= 2).select(keyCol, "term")
-    val lb = postings.join(Scale.maybeBroadcast(seed), "term")
-      .groupBy(keyCol, "doc_id").agg(sum(col("cu")).as("lb"))
-    val wk = Window.partitionBy(keyCol).orderBy(col("lb").desc, col("doc_id").asc)
-    val theta = lb.withColumn("rn", row_number().over(wk))
-      .filter(col("rn") === k).select(col(keyCol), col("lb").as("theta"))
-    // query-batch-sized term geometry, materialized once (phase
-    // boundary) so its three consumers don't re-run the seed scan;
-    // localCheckpoint blocks are reclaimed by the ContextCleaner
-    val qmeta = qts.join(theta, Seq(keyCol), "left")
-      .withColumn("theta", coalesce(col("theta"), lit(0L)))
-      .localCheckpoint(true)
-    val essential = qmeta.filter(col("sufx") >= col("theta")).select(keyCol, "term")
-    val neTerms = qmeta.filter(col("sufx") < col("theta")).select(keyCol, "term")
-    // suffix sums decrease down the ub order, so the largest
-    // non-essential sufx IS the whole non-essential ub sum
-    val bound = qmeta.groupBy(keyCol).agg(
-      max(when(col("sufx") < col("theta"), col("sufx")).otherwise(lit(0L))).as("ne_sum"),
-      first(col("theta")).as("theta"))
+    val s = postings.sparkSession
+    import s.implicits._
+    // θ = k-th best seed partial score per query, via the bounded
+    // partial-aggregating TopK (rankTopK's aggregator) instead of a
+    // row_number window: map tasks reduce to ≤k candidates per query
+    // BEFORE the exchange and the full lb set is never sorted
+    val topkAgg = udaf(new graft.functions.TopK(k),
+      org.apache.spark.sql.Encoders.product[graft.functions.Scored])
+    val keyType = qt.schema(keyCol).dataType
+    // ---- query-side PLANNING (sufx geometry, seed choice, θ floor,
+    // essential/non-essential split): bounded by the QUERY BATCH, never
+    // the corpus, so under a gated cap it runs driver-side — this is
+    // per-batch query planning, the work a serving engine does per
+    // query, and doing it in ~2 bounded collects instead of a chain of
+    // window/join stages removes ~20 stage round-trips per probe call
+    // (measured ~40% of xs7b's wall at sf0.1). Over the cap (huge query
+    // batches), the identical geometry computes distributedly below.
+    val planCap = 200000
+    val head = qt.join(Scale.maybeBroadcast(ubs), "term")
+      .select(col(keyCol).cast("long"), col("term"), col("ub").cast("long"))
+      .limit(planCap + 1).collect()
+    val (essential, neTerms) = if (head.length <= planCap) {
+      // tokens are ASCII ([a-z]+ tokenizer), so JVM string order ==
+      // Spark's UTF8 binary order and the (ub desc, term asc) tie-break
+      // matches the distributed fallback exactly
+      val sortedByQ: Map[Long, Array[(String, Long)]] = head
+        .groupBy(_.getLong(0))
+        .map { case (q, rows) =>
+          q -> rows.map(r => (r.getString(1), r.getLong(2)))
+            .sortBy { case (t, ub) => (-ub, t) }
+        }
+      val seedDf = sortedByQ.toSeq
+        .flatMap { case (q, ts) => ts.take(2).map(t => (q, t._1)) }
+        .toDF(keyCol, "term")
+      val thetaMap = postings.join(broadcast(seedDf), "term")
+        .groupBy(col(keyCol), col("doc_id")).agg(sum(col("cu")).as("lb"))
+        .groupBy(col(keyCol))
+        .agg(topkAgg(col("lb").cast("double"), col("doc_id")).as("top"))
+        .filter(size(col("top")) === k)
+        .select(col(keyCol),
+          element_at(col("top"), k).getField("score").cast("long"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val essB = Seq.newBuilder[(Long, String, Long, Long)]
+      val neB = Seq.newBuilder[(Long, String)]
+      for ((q, ts) <- sortedByQ) {
+        val theta = thetaMap.getOrElse(q, 0L)
+        val suf = new Array[Long](ts.length)
+        var acc = 0L
+        for (i <- ts.indices.reverse) { acc += ts(i)._2; suf(i) = acc }
+        // suffix sums decrease down the ub order, so the FIRST
+        // non-essential sufx is the whole non-essential ub sum
+        val neSum = suf.find(_ < theta).getOrElse(0L)
+        for (i <- ts.indices)
+          if (suf(i) >= theta) essB += ((q, ts(i)._1, theta, neSum))
+          else neB += ((q, ts(i)._1))
+      }
+      (essB.result().toDF(keyCol, "term", "theta", "ne_sum")
+         .withColumn(keyCol, col(keyCol).cast(keyType)),
+       neB.result().toDF(keyCol, "term")
+         .withColumn(keyCol, col(keyCol).cast(keyType)))
+    } else {
+      val wq = Window.partitionBy(keyCol).orderBy(col("ub").desc, col("term").asc)
+      // query-batch-sized term geometry, persisted (lazily) so the seed
+      // broadcast and qmeta don't each re-run the ubs join + windows
+      val qts = own(qt.join(Scale.maybeBroadcast(ubs), "term")
+        .withColumn("sufx", sum(col("ub")).over(
+          wq.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+        .withColumn("pos", row_number().over(wq))
+        .persist())
+      val seed = qts.filter(col("pos") <= 2).select(keyCol, "term")
+      val theta = postings.join(Scale.maybeBroadcast(seed), "term")
+        .groupBy(keyCol, "doc_id").agg(sum(col("cu")).as("lb"))
+        .groupBy(keyCol).agg(topkAgg(col("lb").cast("double"), col("doc_id")).as("top"))
+        .filter(size(col("top")) === k)
+        .select(col(keyCol),
+          element_at(col("top"), k).getField("score").cast("long").as("theta"))
+      // lazy persist, NOT an eager checkpoint: both consumers still
+      // compute the floor scan once via the cache, but the whole probe
+      // stays ONE action, so AQE schedules the broadcast subplans
+      // concurrently instead of behind serial phase-boundary jobs
+      val qmeta = own(qts.join(theta, Seq(keyCol), "left")
+        .withColumn("theta", coalesce(col("theta"), lit(0L)))
+        // largest non-essential sufx == whole non-essential ub sum; a
+        // sort-free partition window rides it on every term row, so the
+        // probe needs no separate per-query bound frame (and no join)
+        .withColumn("ne_sum",
+          max(when(col("sufx") < col("theta"), col("sufx")).otherwise(lit(0L)))
+            .over(Window.partitionBy(keyCol)))
+        .persist())
+      (qmeta.filter(col("sufx") >= col("theta"))
+         .select(col(keyCol), col("term"), col("theta"), col("ne_sum")),
+       qmeta.filter(col("sufx") < col("theta")).select(keyCol, "term"))
+    }
     val essRows0 = postings.join(Scale.maybeBroadcast(essential), "term")
     val essRows = essObs.map(o => essRows0.observe(o, count(lit(1)).as("rows")))
       .getOrElse(essRows0)
     // candidates: query-batch-bounded by construction (essential terms
-    // are the rare ones); materialized so the union + doc-key join
-    // below read it instead of duplicating the essential scan
-    val cand = essRows.groupBy(keyCol, "doc_id").agg(sum(col("cu")).as("p"))
-      .join(Scale.maybeBroadcast(bound), keyCol)
+    // are the rare ones); persisted so the union + doc-key join below
+    // read it instead of duplicating the essential scan. θ/ne_sum ride
+    // on the essential rows (constant per query), so the survival
+    // filter needs no bound join.
+    val cand = own(essRows.groupBy(keyCol, "doc_id")
+      .agg(sum(col("cu")).as("p"), first(col("theta")).as("theta"),
+        first(col("ne_sum")).as("ne_sum"))
       .filter(col("p") + col("ne_sum") >= col("theta"))
       .select(col(keyCol), col("doc_id"), col("p"))
-      .localCheckpoint(true)
-    val candDocs = cand.select("doc_id").distinct()
-    val neRows0 = postings.join(Scale.maybeBroadcast(candDocs), "doc_id")
+      .persist())
+    val candKeys = cand.select(col(keyCol), col("doc_id"))
+    val neRows0 = postings
+      .join(Scale.maybeBroadcast(candKeys), Seq("doc_id"), "left_semi")
       .join(Scale.maybeBroadcast(neTerms), "term")
-      .join(Scale.maybeBroadcast(cand.select(col(keyCol), col("doc_id"))),
-        Seq(keyCol, "doc_id"), "left_semi")
+      .join(Scale.maybeBroadcast(candKeys), Seq(keyCol, "doc_id"), "left_semi")
     val neRows = neObs.map(o => neRows0.observe(o, count(lit(1)).as("rows")))
       .getOrElse(neRows0)
-    val full = cand.select(col(keyCol), col("doc_id"), col("p").as("cu"))
-      .unionByName(neRows.select(col(keyCol), col("doc_id"), col("cu")))
-      .groupBy(keyCol, "doc_id").agg(sum(col("cu")).as("score_micro"))
+    // full scores: the candidate-restricted non-essential contributions
+    // aggregate to a candidate-bounded frame and broadcast-join back
+    // onto cand (every neRows key IS a candidate by the semi-join), so
+    // no union re-aggregation of the essential partial sums is needed
+    val nePart = neRows.groupBy(keyCol, "doc_id").agg(sum(col("cu")).as("ne_p"))
+    val full = cand.join(Scale.maybeBroadcast(nePart), Seq(keyCol, "doc_id"), "left")
+      .select(col(keyCol), col("doc_id"),
+        (col("p") + coalesce(col("ne_p"), lit(0L))).as("score_micro"))
     rankTopK(full, keyCol, k)
   }
 
@@ -714,8 +804,14 @@ object Similarity {
     */
   private[queries] def bm25TopKOn(s: org.apache.spark.sql.SparkSession,
       documents: org.apache.spark.sql.DataFrame, k: Int,
+      forceDense: Option[Boolean] = None): org.apache.spark.sql.DataFrame =
+    bm25TopKFromTf(s, tfTable(s, documents), k, forceDense)
+
+  /** bm25TopKOn over a caller-built tf frame (see bm25PartsFromTf). */
+  private[queries] def bm25TopKFromTf(s: org.apache.spark.sql.SparkSession,
+      tf: org.apache.spark.sql.DataFrame, k: Int,
       forceDense: Option[Boolean] = None): org.apache.spark.sql.DataFrame = {
-    val (postings, qt, dfT) = bm25Parts(s, documents)
+    val (postings, qt, dfT) = bm25PartsFromTf(tf)
     val vocabProbe = dfT.select("term").limit(65).collect().map(_.getString(0))
     val dense = forceDense.getOrElse(vocabProbe.length <= 64)
     if (!dense) {
@@ -890,16 +986,41 @@ object Similarity {
   val xs7b = GQuery(
     "xs7b_bm25_pruned",
     (s, d) => reap {
-      val docs = Ctx(s, d).documents.select(col("doc_id"),
-        array_join(expr(
-          "transform(filter(split(lower(text), '[^a-z]+'), x -> x <> ''), " +
-            "x -> concat(x, 'q', char(97 + doc_id % 7)))"), " ").as("text"))
-      val top = own(bm25TopKOn(s, docs, 10).persist())
+      // 3x corpus replication (doc_id + 10007·r, a prime offset so the
+      // replicas land on different query-split and suffix residues):
+      // WAND's cost grows sublinearly with the corpus while the
+      // oracle's full scoring grows linearly — certifying the pruned
+      // probe at the scale where pruning is the right plan, instead of
+      // at a toy size where per-stage orchestration dominates it
+      // replica tf == original tf, so the replication and the suffix
+      // both apply to the TF ROWS (term -> term+'q'+letter under the
+      // NEW doc_id; counts unchanged — the map is injective within a
+      // doc): one tokenize pass total, identical to tokenizing the
+      // replicated suffixed text
+      val tf = tfTable(s, Ctx(s, d).documents)
+        .select(explode(sequence(lit(0L), lit(2L))).as("r"),
+          col("doc_id"), col("term"), col("tf"))
+        .select((col("doc_id") + col("r") * lit(10007L)).as("doc_id"),
+          col("term"), col("tf"))
+        .withColumn("term",
+          concat(col("term"), lit("q"), expr("char(97 + doc_id % 7)")))
+      // this query IS the pruned-branch certificate: the 7x suffixing
+      // guarantees >64 vocab by construction, so it skips the measured
+      // gate's vocabulary-probe job and runs the pruned probe directly
+      // (the gate itself is exercised by xs7 and RetrievalSpec)
+      val (postings, qt, _) = bm25PartsFromTf(tf)
+      val p = own(postings.persist())
+      val top = own(bm25TopKPruned(p, termUbs(p), qt, "qid", 10).persist())
       canonBy(top, "qid", "doc_id")
     },
     Some(Bm25Sql.replace(
+      "WITH tok AS (",
+      """WITH docs AS (
+        |  SELECT doc_id + 10007 * r.r AS doc_id, text
+        |  FROM documents CROSS JOIN range(3) AS r(r)),
+        |tok AS (""".stripMargin).replace(
       "SELECT doc_id, t.term FROM documents,",
-      "SELECT doc_id, concat(t.term, 'q', chr(97 + CAST(doc_id % 7 AS INTEGER))) AS term FROM documents,") +
+      "SELECT doc_id, concat(t.term, 'q', chr(97 + CAST(doc_id % 7 AS INTEGER))) AS term FROM docs,") +
       """,
         |r AS (SELECT qid, doc_id, score_micro,
         |    row_number() OVER (PARTITION BY qid ORDER BY score_micro DESC, doc_id ASC) AS rn
