@@ -688,11 +688,25 @@ object Similarity {
     // window/join stages removes ~20 stage round-trips per probe call
     // (measured ~40% of xs7b's wall at sf0.1). Over the cap (huge query
     // batches), the identical geometry computes distributedly below.
-    val planCap = 200000
-    val head = qt.join(Scale.maybeBroadcast(ubs), "term")
-      .select(col(keyCol).cast("long"), col("term"), col("ub").cast("long"))
-      .limit(planCap + 1).collect()
-    val (essential, neTerms) = if (head.length <= planCap) {
+    // conf-tunable so a spec can force the distributed branch
+    // (RetrievalSpec sets 0) without touching broadcast planning
+    val planCap = s.conf.get("spark.graft.bm25.planCap", "200000").toInt
+    // the driver path round-trips keys through long — non-integral
+    // query keys take the distributed branch unconditionally
+    val integralKey = keyType match {
+      case _: org.apache.spark.sql.types.LongType |
+           _: org.apache.spark.sql.types.IntegerType |
+           _: org.apache.spark.sql.types.ShortType |
+           _: org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+    val head =
+      if (integralKey && planCap > 0)
+        qt.join(Scale.maybeBroadcast(ubs), "term")
+          .select(col(keyCol).cast("long"), col("term"), col("ub").cast("long"))
+          .limit(planCap + 1).collect()
+      else Array.empty[org.apache.spark.sql.Row]
+    val (essential, neTerms) = if (integralKey && planCap > 0 && head.length <= planCap) {
       // tokens are ASCII ([a-z]+ tokenizer), so JVM string order ==
       // Spark's UTF8 binary order and the (ub desc, term asc) tie-break
       // matches the distributed fallback exactly

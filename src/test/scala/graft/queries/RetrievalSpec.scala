@@ -216,6 +216,39 @@ class RetrievalSpec extends AnyFunSuite {
     assert(expected.nonEmpty && pruned == expected)
   }
 
+  test("bm25 pruned probe: distributed planning branch == driver branch") {
+    // the geometry (ub sort, suffix sums, seed pick, theta floor,
+    // essential split) computes driver-side under the plan cap and
+    // distributedly over it — both branches must emit identical top-k
+    // AND the distributed branch must still prune. Forcing via the
+    // dedicated conf leaves broadcast planning untouched.
+    val docs = pruneDocsDf
+    val k = 3
+    val expected = topKSet(Det.reap {
+      val (postings, qt, _) = Similarity.bm25Parts(spark, docs)
+      Similarity.bm25TopKPruned(postings, Similarity.termUbs(postings), qt, "qid", k)
+    })
+    val essObs = org.apache.spark.sql.Observation()
+    val neObs = org.apache.spark.sql.Observation()
+    val unprunedRows = Det.reap {
+      val (postings, qt, _) = Similarity.bm25Parts(spark, docs)
+      postings.join(Scale.maybeBroadcast(qt), "term").groupBy().count()
+    }.head().getLong(0)
+    spark.conf.set("spark.graft.bm25.planCap", "0")
+    try {
+      val dist = topKSet(Det.reap {
+        val (postings, qt, _) = Similarity.bm25Parts(spark, docs)
+        Similarity.bm25TopKPruned(postings, Similarity.termUbs(postings), qt,
+          "qid", k, Some(essObs), Some(neObs))
+      })
+      assert(expected.nonEmpty && dist == expected)
+      val distRows = essObs.get("rows").asInstanceOf[Long] +
+        neObs.get("rows").asInstanceOf[Long]
+      assert(distRows < unprunedRows,
+        s"distributed pruning read $distRows rows, unpruned $unprunedRows")
+    } finally spark.conf.unset("spark.graft.bm25.planCap")
+  }
+
   test("xs7: contiguous ranks, rank-monotone scores, query split honored") {
     val rows = Similarity.xs7.fn(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
