@@ -1,9 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{BinaryType, DataType, IntegerType, LongType}
 
 /** md5 folded straight to the 60-bit integer TableCheck sums —
   * semantically `conv(substring(md5(x), 1, 15), 16, 10)` (the first
@@ -63,4 +64,87 @@ object Md5Hash60 {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "md5_60", exprs => Md5Hash60(exprs.head), "built-in")
+}
+
+/** SimHash signature of an ARRAY<BIGINT> of per-token hashes over the
+  * low `bits` bit positions: bit j of the result is set iff the ±1
+  * majority vote of the inputs' bit j is strictly positive (ties → 0).
+  *
+  * Semantically identical to the nested higher-order form
+  * `aggregate(sequence(0, bits-1), 0L, (acc, j) -> acc +
+  *   shiftleft(CAST(aggregate(hs, 0, (s, h) ->
+  *     s + CASE WHEN shiftright(h, j) % 2 != 0 THEN 1 ELSE -1 END) > 0
+  *   AS BIGINT), j))`
+  * — including negative inputs, where `% 2 != 0` reads the same low
+  * bit as `& 1` — but computed as ONE tight pass over the token array
+  * instead of `bits` interpreted lambda walks with per-element closure
+  * dispatch (the dominant cost of the sketch queries' signature stage;
+  * HashOpsSpec pins equality against the HOF form, the xd2b gate pins
+  * the end result against DuckDB computing the same sketch in SQL).
+  *
+  * Contract: `bits` in [1, 64]; null array propagates null; null
+  * elements are not expected (token hashes are non-null by
+  * construction) and would throw on read like the HOF form would.
+  */
+case class SimHashSig(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (org.apache.spark.sql.types.ArrayType(LongType, _), IntegerType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"simhash_sig expects (ARRAY<BIGINT>, INT), got (${l.sql}, ${r.sql})")
+    }
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SimHashSig.sig(a.asInstanceOf[ArrayData], b.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.SimHashSig.sig($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SimHashSig =
+    copy(left = newLeft, right = newRight)
+}
+
+object SimHashSig {
+
+  /** One pass over the hash array: counts[j] accumulates the ±1 vote
+    * of bit j; the signature sets bit j iff counts[j] > 0. Called from
+    * generated code.
+    */
+  def sig(hs: ArrayData, bits: Int): Long = {
+    val counts = new Array[Int](bits)
+    val n = hs.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var j = 0
+      while (j < bits) {
+        if (((h >> j) & 1L) != 0L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < bits) {
+      if (counts(j) > 0) sig |= 1L << j
+      j += 1
+    }
+    sig
+  }
+
+  /** Expose as SQL function `simhash_sig(hashes, bits)`; idempotent
+    * per session.
+    */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash_sig", exprs => SimHashSig(exprs(0), exprs(1)), "built-in")
 }

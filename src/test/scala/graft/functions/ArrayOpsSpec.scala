@@ -68,6 +68,36 @@ class ArrayOpsSpec extends AnyFunSuite {
     assert(out(1L) == 11L && out(2L) == null && out(3L) == null)
   }
 
+  test("simhash_sig matches the nested-aggregate HOF form (incl. negatives)") {
+    SimHashSig.register(spark)
+    val rnd = new scala.util.Random(11)
+    // signed longs — xd2's htoks are raw xxhash64 values, so the kernel
+    // must read bit j of NEGATIVE hashes exactly like shiftright+%2
+    val rows = (1 to 300).map { i =>
+      (i.toLong, Seq.fill(1 + rnd.nextInt(30))(rnd.nextLong()))
+    }
+    val df = rows.toDF("id", "hs")
+    for (bits <- Seq(60, 64)) {
+      val cmp = df.select(
+        expr(s"simhash_sig(hs, $bits)").as("fast"),
+        expr(
+          s"""aggregate(sequence(0, ${bits - 1}), CAST(0 AS BIGINT),
+             |  (acc, j) -> acc + shiftleft(CAST(
+             |    aggregate(hs, 0,
+             |      (s, h) -> s + CASE WHEN (shiftright(h, j) % 2) != 0
+             |                         THEN 1 ELSE -1 END) > 0 AS BIGINT), j))""".stripMargin)
+          .as("ref")).collect()
+      cmp.foreach(r => assert(r.getLong(0) == r.getLong(1), s"bits=$bits"))
+      assert(cmp.map(_.getLong(0)).distinct.length > 100)
+    }
+    // null array propagates; tie votes (even count, split bits) give 0
+    val edge = Seq((1L, Some(Seq(1L, 2L))), (2L, None)).toDF("id", "hs")
+      .select(col("id"), expr("simhash_sig(hs, 2)").as("s")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    // hashes 1 (01) and 2 (10): each bit splits 1-vs-1 -> tie -> 0
+    assert(edge(1L) == 0L && edge(2L) == null)
+  }
+
   test("stays inside whole-stage codegen") {
     ArrayOps.register(spark)
     // non-literal input: a literal row would be constant-folded into a
