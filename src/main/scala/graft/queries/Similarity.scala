@@ -1000,7 +1000,7 @@ object Similarity {
   val xs7b = GQuery(
     "xs7b_bm25_pruned",
     (s, d) => reap {
-      // 3x corpus replication (doc_id + 10007·r, a prime offset so the
+      // 5x corpus replication (doc_id + 10007·r, a prime offset so the
       // replicas land on different query-split and suffix residues):
       // WAND's cost grows sublinearly with the corpus while the
       // oracle's full scoring grows linearly — certifying the pruned
@@ -1012,7 +1012,7 @@ object Similarity {
       // doc): one tokenize pass total, identical to tokenizing the
       // replicated suffixed text
       val tf = tfTable(s, Ctx(s, d).documents)
-        .select(explode(sequence(lit(0L), lit(2L))).as("r"),
+        .select(explode(sequence(lit(0L), lit(4L))).as("r"),
           col("doc_id"), col("term"), col("tf"))
         .select((col("doc_id") + col("r") * lit(10007L)).as("doc_id"),
           col("term"), col("tf"))
@@ -1031,7 +1031,7 @@ object Similarity {
       "WITH tok AS (",
       """WITH docs AS (
         |  SELECT doc_id + 10007 * r.r AS doc_id, text
-        |  FROM documents CROSS JOIN range(3) AS r(r)),
+        |  FROM documents CROSS JOIN range(5) AS r(r)),
         |tok AS (""".stripMargin).replace(
       "SELECT doc_id, t.term FROM documents,",
       "SELECT doc_id, concat(t.term, 'q', chr(97 + CAST(doc_id % 7 AS INTEGER))) AS term FROM docs,") +
