@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The external driver parses Bench's one-line JSON out of the last
+// 2000 chars of stdout. sbt's default LoggedOutput prefixes every
+// forked-run line with "[info] " — every round so far recorded
+// "parsed": null because of it. StdoutOutput passes the forked JVM's
+// stdout/stderr through raw, so the JSON line lands unprefixed.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
