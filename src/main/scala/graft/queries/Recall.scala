@@ -214,32 +214,40 @@ object Recall {
     * scale. Both compared sets are ≤ SampleK·5 pairs → driver set
     * algebra, as in topkRecall.
     */
+  /** Shared exact bipartite baseline for the query-vs-corpus sketches
+    * (xs4's IVF probe, xs9's PQ-ADC): exact top-5 of the SampleK
+    * fixed-count query sample against the full corpus, memoized per
+    * (session, sf) so xr4 and xr12 pay the brute force once.
+    */
+  private def exactBipartiteSample(s: SparkSession, d: String)
+      : Array[(Long, Long)] = memoized(s, d, "bipartite") {
+    graft.functions.VectorOps.register(s)
+    val c = Ctx(s, d)
+    val all = c.embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(expr("vec_dot(v, v)")))
+    val corpus = all.filter(col("vec_id") % 20 =!= 0)
+      .select(col("vec_id").as("neighbor_id"), col("v").as("vb"),
+        col("nrm").as("nb"))
+    val queries = all.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id"), col("v").as("va"), col("nrm").as("na"))
+    val sq = queries.join(broadcast(sampledQueryIds(queries)),
+      Seq("vec_id"), "left_semi")
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    sq.crossJoin(corpus)
+      .select(col("vec_id"), col("neighbor_id"),
+        round(expr("vec_dot(va, vb)") / (col("na") * col("nb")), 4).as("score"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select(col("vec_id"), col("neighbor_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+  }
+
   val xr4 = GQuery(
     "xr4_query_recall",
     (s, d) => reap {
-      graft.functions.VectorOps.register(s)
-      val c = Ctx(s, d)
-      val all = c.embeddings
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        .withColumn("nrm", sqrt(expr("vec_dot(v, v)")))
-      val corpus = all.filter(col("vec_id") % 20 =!= 0)
-        .select(col("vec_id").as("neighbor_id"), col("v").as("vb"),
-          col("nrm").as("nb"))
-      val queries = all.filter(col("vec_id") % 20 === 0)
-        .select(col("vec_id"), col("v").as("va"), col("nrm").as("na"))
-      val base = memoized(s, d, "bipartite") {
-        val sq = queries.join(broadcast(sampledQueryIds(queries)),
-          Seq("vec_id"), "left_semi")
-        val w = Window.partitionBy(col("vec_id"))
-          .orderBy(col("score").desc, col("neighbor_id").asc)
-        sq.crossJoin(corpus)
-          .select(col("vec_id"), col("neighbor_id"),
-            round(expr("vec_dot(va, vb)") / (col("na") * col("nb")), 4).as("score"))
-          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
-          .select(col("vec_id"), col("neighbor_id"))
-          .collect()
-          .map(r => (r.getLong(0), r.getLong(1)))
-      }
+      val base = exactBipartiteSample(s, d)
       val qids = base.map(_._1).distinct.toSeq.sorted
       val approx = Similarity.xs4.fn(s, d)
         .filter(col("vec_id").isin(qids: _*))
@@ -258,6 +266,36 @@ object Recall {
     },
     Some(reportSql("xs4_ann_query", "bipartite_recall_vs_exact",
       Some(5), 0.50, None)))
+
+  /** xs9's PQ-ADC retrieval vs the SAME exact bipartite baseline as
+    * xr4 (shared memo — the brute force runs once per session+sf).
+    * PQ's approximation is code-bucketing error on the dot product;
+    * the PqCandFactor·k cut + exact rescore absorbs most of it, so
+    * the measured recall tracks xs3's quantize-then-rescore posture
+    * more than xs1/xs2's bucket-miss posture: measured 0.94 (sf0.001)
+    * / 0.94 (sf0.01) / 0.75 (sf0.1); floor 0.60.
+    */
+  val xr12 = GQuery(
+    "xr12_pq_recall",
+    (s, d) => reap {
+      val base = exactBipartiteSample(s, d)
+      val qids = base.map(_._1).distinct.toSeq.sorted
+      val approx = Similarity.xs9.fn(s, d)
+        .filter(col("vec_id").isin(qids: _*))
+        .select(col("vec_id"), col("neighbor_id"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .toSet
+      val floor = 0.60
+      val r =
+        if (base.isEmpty) 1.0
+        else base.count(approx.contains).toDouble / base.length
+      System.err.println(f"[recall] xr12_pq_recall measured=$r%.4f floor=$floor")
+      canon(report(s, "xs9_ann_pq", "bipartite_recall_vs_exact",
+        Some(5), floor, None, r >= floor))
+    },
+    Some(reportSql("xs9_ann_pq", "bipartite_recall_vs_exact",
+      Some(5), 0.60, None)))
 
   /** Doc-pair set comparisons computed at the GROUP-EDGE level.
     *
@@ -574,5 +612,5 @@ object Recall {
       None, 0.15, Some(true))))
 
   def queries: Seq[GQuery] =
-    Seq(xr1, xr2, xr3, xr4, xr5, xr6, xr7, xr8, xr9, xr10, xr11)
+    Seq(xr1, xr2, xr3, xr4, xr5, xr6, xr7, xr8, xr9, xr10, xr11, xr12)
 }

