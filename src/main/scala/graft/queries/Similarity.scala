@@ -429,12 +429,12 @@ object Similarity {
   // PQ rescore cut: wider than xs3's CandFactor because the ADC
   // ordering carries bucketing error on EVERY pair (xs3's int8 error
   // is rounding-only); candidates stay queries·PqCand·k — bounded.
-  private val PqCandFactor = 24
+  private[graft] val PqCandFactor = 24
 
   /** (vec_id, m, sv): vectors split into PqM contiguous subvectors.
     * Works for any dim divisible by PqM (slice is length-driven).
     */
-  private[queries] def subvectors(e: org.apache.spark.sql.DataFrame)
+  private[graft] def subvectors(e: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val sub = s"CAST(size(v) / $PqM AS INT)"
     e.select(col("vec_id"), col("v"))
@@ -449,7 +449,7 @@ object Similarity {
     * distance ties break by lowest code. Shared by the Lloyd passes
     * (training) and the corpus encode.
     */
-  private[queries] def pqAssign(sv: org.apache.spark.sql.DataFrame,
+  private[graft] def pqAssign(sv: org.apache.spark.sql.DataFrame,
       cb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     sv.join(cb, "m")
       .select(col("vec_id"), col("m"), col("code"),
