@@ -104,6 +104,12 @@ object PqIndex {
 
   /** Encode new vectors under the FROZEN codebooks, append to the
     * code file, emit the reconstruction drift gauge.
+    *
+    * Same publish caveat as Bm25Index: the code dir is plain parquet,
+    * not an atomic manifest swap — a probe listing `codes/` mid-append
+    * can see a partially committed batch. Serialize appends against
+    * probes (or front with etl.Snapshot's manifest layout) where that
+    * window matters.
     */
   def append(spark: SparkSession, embeddings: DataFrame, path: String): Drift = {
     graft.functions.VectorOps.register(spark)
