@@ -148,3 +148,76 @@ object SimHashSig {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash_sig", exprs => SimHashSig(exprs(0), exprs(1)), "built-in")
 }
+
+/** The md5 layer fused INTO the SimHash vote — semantically
+  * `simhash_sig(transform(toks, t -> md5_60(CAST(t AS BINARY))), bits)`
+  * but one JVM pass per token array: token bytes → 60-bit digest →
+  * ±1 vote, no materialized hash array and no per-element interpreted
+  * lambda dispatch (inside a higher-order `transform`, the custom
+  * md5_60 Expression evaluates interpreted per element — the remaining
+  * fixed cost of xd2b's signature stage after the vote fusion).
+  * ArrayOpsSpec pins bit-equality against the composed form.
+  */
+case class SimHashMd5Sig(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StringType, _), IntegerType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"simhash_md5_sig expects (ARRAY<STRING>, INT), got (${l.sql}, ${r.sql})")
+    }
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SimHashMd5Sig.sig(a.asInstanceOf[ArrayData], b.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.SimHashMd5Sig.sig($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SimHashMd5Sig =
+    copy(left = newLeft, right = newRight)
+}
+
+object SimHashMd5Sig {
+
+  /** One pass: md5-60 each token's UTF-8 bytes (CAST(string AS BINARY)
+    * is exactly those bytes), vote its low `bits` bits. Called from
+    * generated code.
+    */
+  def sig(toks: ArrayData, bits: Int): Long = {
+    val counts = new Array[Int](bits)
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      val h = Md5Hash60.hash60(toks.getUTF8String(i).getBytes)
+      var j = 0
+      while (j < bits) {
+        if (((h >> j) & 1L) != 0L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < bits) {
+      if (counts(j) > 0) sig |= 1L << j
+      j += 1
+    }
+    sig
+  }
+
+  /** Expose as SQL function `simhash_md5_sig(tokens, bits)`;
+    * idempotent per session.
+    */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash_md5_sig", exprs => SimHashMd5Sig(exprs(0), exprs(1)), "built-in")
+}

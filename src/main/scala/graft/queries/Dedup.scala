@@ -345,12 +345,12 @@ object Dedup {
     "xd2b_simhash_md5",
     (s, d) => reap {
       val c = Ctx(s, d)
-      graft.functions.Md5Hash60.register(s)
-      graft.functions.SimHashSig.register(s)
+      graft.functions.SimHashMd5Sig.register(s)
       val groups = setGroups(c.documents).filter(col("sz") > 0)
+      // md5 + vote in ONE codegen kernel — no per-group hash array, no
+      // interpreted per-element md5_60 dispatch inside transform()
       val sigs = groups
-        .withColumn("h60", expr("transform(toks, t -> md5_60(cast(t as binary)))"))
-        .withColumn("sim", expr("simhash_sig(h60, 60)"))
+        .withColumn("sim", expr("simhash_md5_sig(toks, 60)"))
         .select(col("gid"), col("sim"))
       val banded = sigs.select(col("gid"), col("sim"),
         explode(expr(

@@ -98,6 +98,32 @@ class ArrayOpsSpec extends AnyFunSuite {
     assert(edge(1L) == 0L && edge(2L) == null)
   }
 
+  test("simhash_md5_sig matches the composed md5_60-then-simhash_sig form") {
+    Md5Hash60.register(spark)
+    SimHashSig.register(spark)
+    SimHashMd5Sig.register(spark)
+    val rnd = new scala.util.Random(23)
+    val words = Vector("alpha", "beta", "gamma", "delta", "x", "", "émü",
+      "the", "quick", "brown", "fox", "zz9")
+    val rows = (1 to 300).map { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(25))(words(rnd.nextInt(words.size))))
+    }
+    val df = rows.toDF("id", "toks")
+    val cmp = df.select(
+      expr("simhash_md5_sig(toks, 60)").as("fast"),
+      expr("simhash_sig(transform(toks, t -> md5_60(cast(t as binary))), 60)")
+        .as("ref")).collect()
+    cmp.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    assert(cmp.map(_.getLong(0)).distinct.length > 50)
+    // empty array votes nothing -> all ties -> 0; null propagates
+    val edge = Seq((1L, Some(Seq.empty[String])), (2L, None))
+      .toDF("id", "toks")
+      .select(col("id"), expr("simhash_md5_sig(toks, 60)").as("s")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getLong(1)))
+      .toMap
+    assert(edge(1L) == 0L && edge(2L) == null)
+  }
+
   test("stays inside whole-stage codegen") {
     ArrayOps.register(spark)
     // non-literal input: a literal row would be constant-folded into a
