@@ -42,5 +42,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // JIT code cache mid-sweep; once it fills, whole-stage-codegen
   // classes run interpreted and every later query measures 4-5x slow
   // (observed on untouched TPC-H entries in the r7 cold sweep).
-  "-XX:ReservedCodeCacheSize=512m",
+  // 768m: at 174 registry queries the old 512m reserve left 2.5%
+  // guard margin (472m needed) — 768m restores >30% headroom, and
+  // CodeCacheFlushing lets the sweeper reclaim cold compiled methods
+  // if occupancy ever does approach the reserve instead of silently
+  // disabling the compiler.
+  "-XX:ReservedCodeCacheSize=768m",
+  "-XX:+UseCodeCacheFlushing",
 )

@@ -58,6 +58,31 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // Telemetry probes — r10's driver sweep recorded 10-60x outliers
+    // (xt10 51.2 s vs 0.84 s on the same-code local board) that could
+    // not be attributed from the artifact: the bench line carried only
+    // wall-clock, so host weather vs JIT/code-cache/GC pathology was
+    // undecidable. Record per-query GC-time delta, JIT-compilation-time
+    // delta, post-query code-cache occupancy and block-store bytes —
+    // all free from ManagementFactory / the public status tracker — so
+    // the verdict can name the cause of any outlier from the JSON
+    // alone (e.g. a 50 s row with gc≈0/jit≈0/flat cc is host weather;
+    // one with a multi-second jit delta or cc at the reserve is JVM
+    // pathology).
+    val gcBeans = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala
+    def gcMs: Long = gcBeans.map(b => math.max(b.getCollectionTime, 0L)).sum
+    val jitBean = Option(
+      java.lang.management.ManagementFactory.getCompilationMXBean)
+      .filter(_.isCompilationTimeMonitoringSupported)
+    def jitMs: Long = jitBean.map(_.getTotalCompilationTime).getOrElse(0L)
+    def ccUsedMb: Long = codeHeaps
+      .map(p => Option(p.getUsage).map(_.getUsed).getOrElse(0L)).sum >> 20
+    def blkUsedMb: Long = spark.sparkContext.statusTracker.getExecutorInfos
+      .map(e => e.usedOnHeapStorageMemory + e.usedOffHeapStorageMemory)
+      .sum >> 20
+    final case class QTelem(gc: Long, jit: Long, cc: Long, blk: Long)
+
     // Generic engine warm-up — touches no benchmark query: absorbs
     // first-use costs that belong to the JVM/session, not any query
     // (JIT + codegen compiler init, shuffle machinery, parquet reader
@@ -262,7 +287,8 @@ object Bench {
     val shortIds = selected.map(_.name.takeWhile(_ != '_'))
     require(shortIds.distinct.size == shortIds.size,
       s"short query ids collide: ${shortIds.diff(shortIds.distinct).distinct}")
-    val results = selected.map { q =>
+    val resultsT = selected.map { q =>
+      val (gc0, jit0) = (gcMs, jitMs)
       val t = try {
         if (cold) once(q.name)
         else {
@@ -271,6 +297,9 @@ object Bench {
           runs(1)
         }
       } catch { case _: Throwable => -1.0 }
+      // block-store sample BEFORE the cache drop below — it shows what
+      // this query accumulated, which is the eviction-pressure signal
+      val tel = QTelem(gcMs - gc0, jitMs - jit0, ccUsedMb, blkUsedMb)
       // queries persist() multi-consumer subplans; drop those cache
       // entries so accumulated blocks can't skew later measurements.
       // reap's localCheckpoint blocks live OUTSIDE the catalog cache
@@ -281,8 +310,9 @@ object Bench {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
-      q.name -> t
+      (q.name, t, tel)
     }
+    val results = resultsT.map { case (n, t, _) => n -> t }
     // The driver keeps only the LAST 2000 chars of stdout and parses the
     // JSON line out of that window. Full query names (~2300 chars for the
     // 94-query surface) overflow it — rounds 1/3/4 all recorded
@@ -303,18 +333,38 @@ object Bench {
           String.format(java.util.Locale.ROOT, s"%.${dec}f",
             Double.box(v)) }
       .mkString("{", ",", "}")
-    val qs = { val two = shortLine(2); if (two.length <= 1750) two else shortLine(1) }
+    // Sweep-level telemetry rides the stdout line (compact — ~90
+    // chars); the PER-QUERY breakdown goes in the sidecar where the
+    // 2000-char window doesn't bind. gcMs/jitMs are whole-sweep
+    // deltas; ccMb final occupancy vs ccResMb reserve; blkPeakMb the
+    // largest post-query block-store residency observed.
+    val telSummary = {
+      val gcTot = resultsT.map(_._3.gc).sum
+      val jitTot = resultsT.map(_._3.jit).sum
+      val ccFin = resultsT.lastOption.map(_._3.cc).getOrElse(ccUsedMb)
+      val blkPeak = (0L +: resultsT.map(_._3.blk)).max
+      s""""telem":{"gcMs":$gcTot,"jitMs":$jitTot,"ccMb":$ccFin,""" +
+        s""""ccResMb":${reservedCode >> 20},"blkPeakMb":$blkPeak}"""
+    }
+    // threshold lowered 1750 -> 1650: the telemetry object joined the
+    // fixed wrapper inside the same 2000-char driver window
+    val qs = { val two = shortLine(2); if (two.length <= 1650) two else shortLine(1) }
     val fullQs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    val fullTelem = resultsT
+      .map { case (k, _, t) =>
+        "\"" + k + s"""":{"gcMs":${t.gc},"jitMs":${t.jit},""" +
+          s""""ccMb":${t.cc},"blkMb":${t.blk}}""" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,$telSummary,"sf":"$sfDir"}"""
     // full-registry runs only: a focused SPARK_GRAFT_ONLY/HEADLINE run
     // must not clobber the complete map tools/results.py reads
     if (selected.size == Registry.all.size) try {
       val full =
-        f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$fullQs,"sf":"$sfDir"}"""
+        f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$fullQs,$telSummary,"telemetry":$fullTelem,"sf":"$sfDir"}"""
       // cold sweeps get their own file — a warm+cold pipeline would
       // otherwise have the second run clobber the first's full map
       val dest = if (cold) "bench/driver_cold.json" else "bench/driver_last.json"
