@@ -762,12 +762,13 @@ object Similarity {
     * NOTE: callers must wrap in reap{} — the tf persist is own()'d
     * into the caller's dynamic scope.
     */
-  private[queries] def bm25PartsFromTf(tf: org.apache.spark.sql.DataFrame)
+  private[queries] def bm25PartsFromTf(tf: org.apache.spark.sql.DataFrame,
+      qPred: org.apache.spark.sql.Column = col("doc_id") % 20 === 0)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
          org.apache.spark.sql.DataFrame) = {
     val tf0 = own(tf.persist())
-    val ctf = tf0.filter(col("doc_id") % 20 =!= 0)
-    val qt = tf0.filter(col("doc_id") % 20 === 0)
+    val ctf = tf0.filter(!qPred)
+    val qt = tf0.filter(qPred)
       .select(col("doc_id").as("qid"), col("term"))
     val dl = ctf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
     val dfT = ctf.groupBy("term").agg(count(lit(1)).as("df"))
@@ -951,10 +952,19 @@ object Similarity {
       .select(col(keyCol), col("doc_id"), col("p"))
       .persist())
     val candKeys = cand.select(col(keyCol), col("doc_id"))
+    // candidate-keyed fetch, PAIR-keyed throughout: the doc-key inner
+    // join attaches each candidate doc's queries (fan-out bounded by
+    // queries-per-candidate-doc, the quantity the θ filter bounds),
+    // then the (key, term) equi-join keeps exactly that query's
+    // non-essential terms. The r10 shape joined neTerms on term ALONE
+    // between two semi-joins — a term shared by q queries fanned every
+    // candidate doc's posting row q times before the pair filter
+    // (measured an ~85M-row intermediate on the skewed cert corpus
+    // when a weak-θ query turned one near-stopword essential);
+    // pair-keying makes the intermediate ≤ the final ne-row count.
     val neRows0 = postings
-      .join(Scale.maybeBroadcast(candKeys), Seq("doc_id"), "left_semi")
-      .join(Scale.maybeBroadcast(neTerms), "term")
-      .join(Scale.maybeBroadcast(candKeys), Seq(keyCol, "doc_id"), "left_semi")
+      .join(Scale.maybeBroadcast(candKeys), Seq("doc_id"))
+      .join(Scale.maybeBroadcast(neTerms), Seq(keyCol, "term"))
     val neRows = neObs.map(o => neRows0.observe(o, count(lit(1)).as("rows")))
       .getOrElse(neRows0)
     // full scores: the candidate-restricted non-essential contributions
@@ -1139,48 +1149,50 @@ object Similarity {
         |SELECT qid, doc_id, CAST(rn AS INT) AS rank, score_micro FROM r WHERE rn <= 10""".stripMargin +
         orderAll("qid", "doc_id")))
 
-  /** Builder variant: xs7's retrieval over a vocabulary-DIVERSIFIED
-    * view of the corpus — every token carries a per-document letter
-    * suffix (token + 'q' + chr(97 + doc_id % 7)), computed by the
-    * identical expression in both engines — which lifts the
-    * vocabulary to 7× the fixture's 31 terms, so the MEASURED gate
-    * itself routes to the inverted max-score-PRUNED probe (the
-    * production >64-vocab path). This makes the executed WAND pruning
-    * driver-hash-checked end-to-end against DuckDB's full-scoring
-    * oracle — bit-identical top-k — not only spec-proven equal.
-    * (Forcing the pruned probe on the UNtransformed degenerate corpus
-    * instead measured 11.6 s — every query shares every near-stopword
-    * term, the fan-out IS the pair space, and that is precisely the
-    * shape the gate's dense pivot exists for. The gate stays the
-    * decision-maker; this variant certifies the other branch on a
-    * corpus where that branch is the right plan.)
+  /** Builder variant: xs7's retrieval over a SKEWED-VOCABULARY view
+    * of the corpus, built so the max-score prune has the statistic it
+    * exists to exploit — idf variance. Terms starting with 's' (6 of
+    * the fixture's 31: spark/stream/small/sort/slow/scan) carry a
+    * per-document numeric suffix (term + 'q' + doc_id % 997), so each
+    * suffixed variant appears in only ~0.1% of the corpus (idf ≈ 7),
+    * while the other 25 terms stay unsuffixed near-stopwords
+    * (idf ≈ 0.26). Queries are the unreplicated doc_id % 20 == 0 docs;
+    * the corpus is everything else, replicated 5× (doc_id + 10007·r).
+    * Every query then holds ~6 rare terms whose two best seed a θ
+    * floor (~2·2.2·idf_rare micro-units) ABOVE the whole common-term
+    * suffix sum (~25·2.2·0.26), so the 25 near-stopwords — whose
+    * posting lists are ~18k docs each — are provably non-essential and
+    * are read only candidate-keyed, never corpus-wide. The full-
+    * scoring oracle pays the ~10⁸-row query×postings fan-out that the
+    * executed WAND probe skips, and the emitted top-k is still
+    * bit-identical (the prune is exact — cu ≥ 0 suffix-sum bounds).
+    * This certifies the pruned branch end-to-end, driver-hash-checked,
+    * on a corpus where that branch is the right plan — the r10 version
+    * (uniform per-doc letter suffix) had uniform idf, so the probe
+    * executed but pruned ~nothing and the cert cost ≈ the dense pivot.
     */
   val xs7b = GQuery(
     "xs7b_bm25_pruned",
     (s, d) => reap {
-      // 5x corpus replication (doc_id + 10007·r, a prime offset so the
-      // replicas land on different query-split and suffix residues):
-      // WAND's cost grows sublinearly with the corpus while the
-      // oracle's full scoring grows linearly — certifying the pruned
-      // probe at the scale where pruning is the right plan, instead of
-      // at a toy size where per-stage orchestration dominates it
       // replica tf == original tf, so the replication and the suffix
-      // both apply to the TF ROWS (term -> term+'q'+letter under the
-      // NEW doc_id; counts unchanged — the map is injective within a
-      // doc): one tokenize pass total, identical to tokenizing the
-      // replicated suffixed text
+      // both apply to the TF ROWS (term -> suffixed term under the
+      // NEW doc_id; the map is injective within a doc): one tokenize
+      // pass total, identical to tokenizing the replicated text
       val tf = tfTable(s, Ctx(s, d).documents)
         .select(explode(sequence(lit(0L), lit(4L))).as("r"),
           col("doc_id"), col("term"), col("tf"))
         .select((col("doc_id") + col("r") * lit(10007L)).as("doc_id"),
           col("term"), col("tf"))
         .withColumn("term",
-          concat(col("term"), lit("q"), expr("char(97 + doc_id % 7)")))
-      // this query IS the pruned-branch certificate: the 7x suffixing
-      // guarantees >64 vocab by construction, so it skips the measured
-      // gate's vocabulary-probe job and runs the pruned probe directly
-      // (the gate itself is exercised by xs7 and RetrievalSpec)
-      val (postings, qt, _) = bm25PartsFromTf(tf)
+          when(substring(col("term"), 1, 1) === "s",
+            concat(col("term"), lit("q"), (col("doc_id") % 997).cast("string")))
+            .otherwise(col("term")))
+      // queries = the UNreplicated %20 residue (250 at sf0.1): the
+      // cert measures probe cost per query against a 5x corpus, so
+      // replicating the query batch would only multiply both engines'
+      // work without changing what is certified
+      val (postings, qt, _) = bm25PartsFromTf(tf,
+        col("doc_id") % 20 === 0 && col("doc_id") < 10007L)
       val p = own(postings.persist())
       val top = own(bm25TopKPruned(p, termUbs(p), qt, "qid", 10).persist())
       canonBy(top, "qid", "doc_id")
@@ -1192,7 +1204,13 @@ object Similarity {
         |  FROM documents CROSS JOIN range(5) AS r(r)),
         |tok AS (""".stripMargin).replace(
       "SELECT doc_id, t.term FROM documents,",
-      "SELECT doc_id, concat(t.term, 'q', chr(97 + CAST(doc_id % 7 AS INTEGER))) AS term FROM docs,") +
+      "SELECT doc_id, CASE WHEN substr(t.term, 1, 1) = 's' " +
+        "THEN concat(t.term, 'q', CAST(doc_id % 997 AS VARCHAR)) " +
+        "ELSE t.term END AS term FROM docs,").replace(
+      "ctf AS (SELECT * FROM tf WHERE doc_id % 20 <> 0),",
+      "ctf AS (SELECT * FROM tf WHERE NOT (doc_id % 20 = 0 AND doc_id < 10007)),").replace(
+      "qt AS (SELECT doc_id AS qid, term FROM tf WHERE doc_id % 20 = 0),",
+      "qt AS (SELECT doc_id AS qid, term FROM tf WHERE doc_id % 20 = 0 AND doc_id < 10007),") +
       """,
         |r AS (SELECT qid, doc_id, score_micro,
         |    row_number() OVER (PARTITION BY qid ORDER BY score_micro DESC, doc_id ASC) AS rn
