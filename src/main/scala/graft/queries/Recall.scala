@@ -611,6 +611,112 @@ object Recall {
     Some(reportSql("q04y_hll_merge", "merged_estimate_max_rel_err",
       None, 0.15, Some(true))))
 
+  /** xd8's semantic clusters vs an INDEPENDENT driver union-find over
+    * xd4's exact cos ≥ 0.45 pairs — ClustersSpec's equality check
+    * reduced to one driver-hash-checked assertion row. Independence is
+    * two-axis: the edges come from xd4's exact all-pairs (not xd7's
+    * IVF blocking) and the closure is a path-compressed DSU (not the
+    * star-contraction / min-label machinery under certification), so
+    * agreement certifies both the blocking's recall AND the
+    * propagation's fixpoint at once. The comparison itself stays
+    * distributed (broadcast the ≤pair-population DSU labels, count
+    * mismatching rows); the boolean slot carries xd8's keep/size
+    * bookkeeping (exactly one keeper per cluster, sizes summing to
+    * the corpus). The DSU collect is gated by the same 4M-edge audit
+    * cap as the production closure's driver gate — over it the cert
+    * fails loudly rather than collecting unbounded pairs.
+    */
+  val xr13 = GQuery(
+    "xr13_cluster_cert",
+    (s, d) => reap {
+      val got = own(Clusters.xd8.fn(s, d).persist())
+      val cap = 4000000
+      val pairRows = Dedup.xd4.fn(s, d)
+        .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+        .limit(cap + 1).collect()
+      require(pairRows.length <= cap,
+        s"xr13 audit cap exceeded: > $cap exact pairs")
+      // path-compressed DSU with min-id representatives (iterative —
+      // no stack depth bound on adversarial chain shapes)
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (c != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      for (r <- pairRows) {
+        val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val refLbl = parent.keys.toSeq.map(x => (x, find(x)))
+      import s.implicits._
+      val refDf = refLbl.toDF("doc_id", "rep_ref")
+      val cmp = got.select(col("doc_id"), col("rep_id"))
+        .join(broadcast(refDf), Seq("doc_id"), "left")
+        .withColumn("rep_ref", coalesce(col("rep_ref"), col("doc_id")))
+      val mismatches = cmp.filter(col("rep_id") =!= col("rep_ref")).count()
+      val nKeep = got.filter(col("keep")).count()
+      val nReps = got.select("rep_id").distinct().count()
+      val sizeSum = got.filter(col("keep"))
+        .agg(sum(col("cluster_size"))).head.getLong(0)
+      val nDocs = got.count()
+      val booksOk = nKeep == nReps && sizeSum == nDocs
+      System.err.println(
+        s"[recall] xr13_cluster_cert mismatches=$mismatches " +
+          s"keepers=$nKeep reps=$nReps size_sum=$sizeSum docs=$nDocs")
+      canon(report(s, "xd8_semantic_clusters", "labels_equal_union_find",
+        None, 1.0, Some(booksOk), mismatches == 0L))
+    },
+    Some(reportSql("xd8_semantic_clusters", "labels_equal_union_find",
+      None, 1.0, Some(true))))
+
+  /** xs5's incremental IVF maintenance certified on its two spec'd
+    * invariants, driver-hash-checked: CONSERVATION (assigning the
+    * full corpus against the frozen centroids places every vector in
+    * exactly one cell) and ASSIGNMENT EQUIVALENCE (the incremental
+    * batch placement equals where a same-centroid full rebuild puts
+    * those vectors — assign-only placement has no cross-row coupling).
+    * Equality is a distributed vec_id join comparing cell ids; no
+    * centroid or assignment ever reaches the driver beyond the
+    * k·centroid constants trainCentroids already collects.
+    */
+  val xr14 = GQuery(
+    "xr14_ivf_incr_cert",
+    (s, d) => reap {
+      val c = Ctx(s, d)
+      graft.functions.VectorOps.register(s)
+      val all = own(c.embeddings
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", sqrt(expr("vec_dot(v, v)")))
+        .persist())
+      val base = own(all.filter(col("vec_id") % 10 =!= 0).persist())
+      val batch = all.filter(col("vec_id") % 10 === 0)
+      val cents = Similarity.trainCentroids(base)
+      def assign(e: DataFrame): DataFrame =
+        Similarity.rankAgainst(e, cents).filter(col("rn") === 1)
+          .select(col("vec_id"), col("cid"))
+      val incr = own(assign(batch).persist())
+      val full = own(assign(all).persist())
+      val nAll = all.count()
+      val conservation = full.count() == nAll &&
+        full.select("vec_id").distinct().count() == nAll
+      val nBatch = batch.count()
+      val agree = incr
+        .join(full.withColumnRenamed("cid", "cid_full"), "vec_id")
+        .filter(col("cid") === col("cid_full")).count()
+      val equiv = agree == nBatch && incr.count() == nBatch
+      System.err.println(
+        s"[recall] xr14_ivf_incr_cert conservation=$conservation " +
+          s"agree=$agree batch=$nBatch")
+      canon(report(s, "xs5_ann_incremental", "assign_equiv_and_conservation",
+        None, 1.0, Some(conservation), equiv && conservation))
+    },
+    Some(reportSql("xs5_ann_incremental", "assign_equiv_and_conservation",
+      None, 1.0, Some(true))))
+
   def queries: Seq[GQuery] =
-    Seq(xr1, xr2, xr3, xr4, xr5, xr6, xr7, xr8, xr9, xr10, xr11, xr12)
+    Seq(xr1, xr2, xr3, xr4, xr5, xr6, xr7, xr8, xr9, xr10, xr11, xr12,
+      xr13, xr14)
 }
