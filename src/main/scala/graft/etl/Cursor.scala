@@ -92,14 +92,25 @@ final class JdbcCursor(url: String) extends CursorStore {
 
   private[etl] def runUpgrade(): Unit = withConn { c =>
     if (!JdbcCursor.tableExists(c, "ETL_SCHEMA_VERSION")) {
-      val st = c.createStatement()
-      try st.executeUpdate(
-        "CREATE TABLE etl_schema_version (version INT NOT NULL)")
-      finally st.close()
-      val ins = c.createStatement()
-      try ins.executeUpdate(
-        "INSERT INTO etl_schema_version (version) VALUES (0)")
-      finally ins.close()
+      // existence-check-then-CREATE races with another instance
+      // connecting to the same database: both can pass the check and
+      // one CREATE throws. The duplicate-table SQLException IS the
+      // "someone else created it" signal (dialect-agnostic, unlike
+      // IF NOT EXISTS) — swallow it and fall through to the version
+      // re-read; any other failure still propagates.
+      try {
+        val st = c.createStatement()
+        try st.executeUpdate(
+          "CREATE TABLE etl_schema_version (version INT NOT NULL)")
+        finally st.close()
+        val ins = c.createStatement()
+        try ins.executeUpdate(
+          "INSERT INTO etl_schema_version (version) VALUES (0)")
+        finally ins.close()
+      } catch {
+        case e: java.sql.SQLException =>
+          if (!JdbcCursor.tableExists(c, "ETL_SCHEMA_VERSION")) throw e
+      }
     }
     val current = {
       val st = c.createStatement()

@@ -14,8 +14,11 @@ import org.apache.spark.sql.functions._
   * not the corpus.
   *
   * Layout under `path`:
-  *   centroids/   K rows (cid, cv, cnrm2) — the routing table, tiny
-  *   cells/cid=N/ the inverted file: (vec_id, v, nrm) of cell N
+  *   centroids/           K rows (cid, cv, cnrm2) — the routing table
+  *   cells/epoch=E/cid=N/ the inverted file: (vec_id, v, nrm) of cell
+  *                        N as of build (E=0) or append batch E, made
+  *                        visible atomically via IndexManifest
+  *   manifests/vNNNNN.txt the visible-epoch manifest (see IndexManifest)
   *
   * Build trains xs2's deterministic k-means (lowest-xxhash init,
   * fixed Lloyd iterations, rounded re-centers) and writes each
@@ -57,9 +60,17 @@ object AnnIndex {
         case r => Some(r.getDouble(0))
       }
 
-  /** Train centroids on `embeddings` and write the full index. */
+  /** Train centroids on `embeddings` and write the full index.
+    * Cells land in an `epoch=0` directory published through
+    * [[IndexManifest]] (atomic append visibility — see Bm25Index's
+    * publish note); rebuild clears prior epochs + manifest first.
+    */
   def build(spark: SparkSession, embeddings: DataFrame, path: String): Unit = {
     graft.functions.VectorOps.register(spark)
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("cells", "manifests").foreach { t =>
+      fs.delete(new org.apache.hadoop.fs.Path(hp, t), true) }
     val e = normalized(embeddings)
     val centroids = graft.queries.Similarity.trainCentroids(e)
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
@@ -69,11 +80,12 @@ object AnnIndex {
     try {
       ranked.select(col("cid"), col("vec_id"), col("v"), col("nrm"))
         .write.mode("overwrite").partitionBy("cid")
-        .parquet(s"$path/cells")
+        .parquet(IndexManifest.epochDir(path, "cells", 0))
       // build-time assignment-quality baseline for append drift
       import spark.implicits._
       Seq(msdOf(ranked).getOrElse(0.0)).toDF("msd")
         .write.mode("overwrite").parquet(s"$path/msd")
+      IndexManifest.publish(spark, path, 0)
     } finally ranked.unpersist(blocking = false)
   }
 
@@ -90,10 +102,33 @@ object AnnIndex {
       .filter(col("rn") === 1)
       .persist()
     try {
-      ranked.select(col("cid"), col("vec_id"), col("v"), col("nrm"))
-        .write.mode("append").partitionBy("cid")
-        .parquet(s"$path/cells")
-      val buildMsd = spark.read.parquet(s"$path/msd").head().getDouble(0)
+      IndexManifest.visibleEpochs(spark, path) match {
+        case Some(_) =>
+          val e = IndexManifest.nextEpoch(spark, path, Seq("cells"))
+          ranked.select(col("cid"), col("vec_id"), col("v"), col("nrm"))
+            .write.mode("errorifexists").partitionBy("cid")
+            .parquet(IndexManifest.epochDir(path, "cells", e))
+          IndexManifest.publish(spark, path, e)
+        case None =>
+          // pre-manifest layout on disk: keep raw-dir append semantics
+          ranked.select(col("cid"), col("vec_id"), col("v"), col("nrm"))
+            .write.mode("append").partitionBy("cid")
+            .parquet(s"$path/cells")
+      }
+      // an index persisted before the drift gauge existed has no msd
+      // baseline — establish it from this batch (drift 0) instead of
+      // failing the append with PATH_NOT_FOUND
+      val msdPath = new org.apache.hadoop.fs.Path(s"$path/msd")
+      val msdFs = msdPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val buildMsd =
+        if (msdFs.exists(msdPath))
+          spark.read.parquet(s"$path/msd").head().getDouble(0)
+        else {
+          val b = msdOf(ranked).getOrElse(0.0)
+          import spark.implicits._
+          Seq(b).toDF("msd").write.mode("overwrite").parquet(s"$path/msd")
+          b
+        }
       val drift = msdOf(ranked) match {
         case None => Drift(0.0) // empty batch: nothing to signal
         case Some(b) if buildMsd == 0.0 =>
@@ -164,7 +199,8 @@ object AnnIndex {
       // write a different parquet type than normal ones
       return q.select(col("query_id"), lit(0L).as("neighbor_id"),
         lit(0.0).as("score")).limit(0)
-    val cells = spark.read.parquet(s"$path/cells")
+    val cells = IndexManifest.readTable(spark, path, "cells")
+      .getOrElse(sys.error(s"no ANN index cells at $path"))
       .filter(col("cid").isin(cids.toSeq: _*) && col("nrm") > 0)
     ranked.join(cells, "cid")
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -211,7 +247,8 @@ object AnnIndex {
     // nrm > 0 also re-checked here: build/append exclude zero vectors,
     // but an index dir written by other tooling must not let a NaN
     // score outrank every real neighbor
-    val cells = spark.read.parquet(s"$path/cells")
+    val cells = IndexManifest.readTable(spark, path, "cells")
+      .getOrElse(sys.error(s"no ANN index cells at $path"))
       .filter(col("cid").isin(probed: _*) && col("nrm") > 0)
     // sort+limit plans TakeOrderedAndProject — per-partition top-k
     // then a k-row driver merge, no single-partition window

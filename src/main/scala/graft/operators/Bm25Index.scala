@@ -43,14 +43,16 @@ import org.apache.spark.sql.functions._
   * batch's per-term max and readers collapse via max — ub stays a
   * true upper bound across incremental maintenance.
   *
-  * Publish is directory-granular (plain parquet overwrite/append),
-  * not an atomic manifest swap: a probe that lists `postings` while
-  * an `append` is mid-commit can transiently score an in-flight
-  * document from a subset of its postings (torn read). Documents
-  * already present stay exact — appends only add files — so the
-  * window only affects the appending batch; serialize appends with
-  * probes (or front with etl.Snapshot's manifest layout) where that
-  * transient matters.
+  * Publish is ATOMIC at append granularity via [[IndexManifest]]:
+  * build and every append stage an immutable `epoch=N` directory for
+  * postings/df/ubs and then CAS-publish ONE manifest version listing
+  * the visible epochs — a probe resolves the manifest once and reads
+  * exactly those directories, so it sees the index entirely before or
+  * entirely after an append, never a subset of an in-flight batch and
+  * never postings without their matching ubs (IndexPublishSpec).
+  * Pre-manifest (r10) indexes on disk keep their raw-dir read/append
+  * semantics; a missing `ubs` sidecar on such an index degrades to
+  * deriving the bounds from the postings instead of failing the probe.
   */
 object Bm25Index {
 
@@ -62,24 +64,38 @@ object Bm25Index {
   private def tfOf(s: SparkSession, docs: DataFrame): DataFrame =
     graft.queries.Similarity.tfTable(s, docs)
 
+  private val Tables = Seq("postings", "df", "ubs")
+
   def build(s: SparkSession, docs: DataFrame, path: String): Unit = {
+    // rebuild contract: a build REPLACES the index (v1 semantics were
+    // a destructive overwrite too). Clear the epoch tables + manifest
+    // so stale epochs can't leak into the fresh index's view; drift
+    // history is deliberately retained.
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    (Tables :+ "manifests").foreach { t =>
+      fs.delete(new org.apache.hadoop.fs.Path(hp, t), true) }
     val tf = tfOf(s, docs).persist()
     try {
       val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
       val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val stats = dl.agg(count(lit(1)).as("n"),
         (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+      val p0 = IndexManifest.epochDir(path, "postings", 0)
       tf.join(graft.queries.Scale.maybeBroadcast(dfT), "term")
         .join(graft.queries.Scale.maybeBroadcast(dl), "doc_id")
         .crossJoin(broadcast(stats))
         .select(col("term"), col("doc_id"), cuCol.as("cu"))
-        .write.mode("overwrite").parquet(s"$path/postings")
-      dfT.write.mode("overwrite").parquet(s"$path/df")
+        .write.mode("overwrite").parquet(p0)
+      dfT.write.mode("overwrite")
+        .parquet(IndexManifest.epochDir(path, "df", 0))
       stats.write.mode("overwrite").parquet(s"$path/stats")
       // per-term max cu — the max-score pruning statistic; computed
       // from the narrow written postings (one scan, vocabulary-sized)
-      graft.queries.Similarity.termUbs(s.read.parquet(s"$path/postings"))
-        .write.mode("overwrite").parquet(s"$path/ubs")
+      graft.queries.Similarity.termUbs(s.read.parquet(p0))
+        .write.mode("overwrite")
+        .parquet(IndexManifest.epochDir(path, "ubs", 0))
+      IndexManifest.publish(s, path, 0)
     } finally tf.unpersist(blocking = false)
   }
 
@@ -109,7 +125,13 @@ object Bm25Index {
   def append(s: SparkSession, docs: DataFrame, path: String): Drift = {
     val tf = tfOf(s, docs).persist()
     try {
-      val frozenDf = s.read.parquet(s"$path/df")
+      // zero-token batch: nothing to score, nothing to publish — and
+      // the drift aggregates below would be 0/0 nulls (the NPE the
+      // r10 version had; AnnIndex/PqIndex already mapped the empty
+      // batch to a zero gauge)
+      if (tf.isEmpty) return Drift(0.0, 0.0, 0.0)
+      val frozenDf = IndexManifest.readTable(s, path, "df")
+        .getOrElse(sys.error(s"no BM25 index df table at $path"))
         .groupBy("term").agg(max(col("df")).as("df"))
       val stats = s.read.parquet(s"$path/stats")
       val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
@@ -154,12 +176,33 @@ object Bm25Index {
           .head.getDouble(0)
         val drift = Drift(tv, oov,
           math.abs(batchAvgdl / frozenAvgdl - 1.0))
-        scored.write.mode("append").parquet(s"$path/postings")
-        newTerms.write.mode("append").parquet(s"$path/df")
-        // this batch's per-term max keeps ubs a true upper bound:
-        // frozen-stats scoring can exceed the build-time bound
-        graft.queries.Similarity.termUbs(scored)
-          .write.mode("append").parquet(s"$path/ubs")
+        IndexManifest.visibleEpochs(s, path) match {
+          case Some(_) =>
+            // v2: stage an immutable epoch for all three tables, then
+            // ONE atomic publish — concurrent probes see the index
+            // before or after this batch, never a subset of it.
+            // errorIfExists on the stage dirs makes a concurrent
+            // appender fail fast instead of interleaving files.
+            val e = IndexManifest.nextEpoch(s, path, Tables)
+            scored.write.mode("errorifexists")
+              .parquet(IndexManifest.epochDir(path, "postings", e))
+            newTerms.write.mode("errorifexists")
+              .parquet(IndexManifest.epochDir(path, "df", e))
+            // this batch's per-term max keeps ubs a true upper bound:
+            // frozen-stats scoring can exceed the build-time bound
+            graft.queries.Similarity.termUbs(scored)
+              .write.mode("errorifexists")
+              .parquet(IndexManifest.epochDir(path, "ubs", e))
+            IndexManifest.publish(s, path, e)
+          case None =>
+            // pre-manifest (r10) on-disk layout: keep its raw-dir
+            // append semantics (documented torn-read window) instead
+            // of mixing layouts inside one table
+            scored.write.mode("append").parquet(s"$path/postings")
+            newTerms.write.mode("append").parquet(s"$path/df")
+            graft.queries.Similarity.termUbs(scored)
+              .write.mode("append").parquet(s"$path/ubs")
+        }
         import s.implicits._
         Seq((drift.dfTvDrift, drift.oovMass, drift.avgdlDrift))
           .toDF("df_tv_drift", "oov_mass", "avgdl_drift")
@@ -187,10 +230,20 @@ object Bm25Index {
     // materializes only the (queries x k)-row result.
     val qt = queries.select(col("query_id"),
       explode(map_keys(graft.queries.Llm.termCounts(s, col("text")))).as("term"))
-    val ubs = s.read.parquet(s"$path/ubs")
-      .groupBy("term").agg(max(col("ub")).as("ub"))
+    // one manifest resolution backs BOTH table reads, so postings and
+    // ubs always come from the same published version
+    val view = IndexManifest.visibleEpochs(s, path)
+    val postings = IndexManifest.readTableAt(s, path, "postings", view)
+      .getOrElse(sys.error(s"no BM25 index postings at $path"))
+    val ubs = IndexManifest.readTableAt(s, path, "ubs", view) match {
+      case Some(u) => u.groupBy("term").agg(max(col("ub")).as("ub"))
+      case None =>
+        // pre-ubs (r9) on-disk index: derive the bounds from the
+        // postings instead of failing the probe with PATH_NOT_FOUND
+        graft.queries.Similarity.termUbs(postings)
+    }
     graft.queries.Similarity.bm25TopKPruned(
-      s.read.parquet(s"$path/postings"), ubs, qt, "query_id", k)
+      postings, ubs, qt, "query_id", k)
   }
 
   /** Streaming serving loop: micro-batches of (query_id, text) probe

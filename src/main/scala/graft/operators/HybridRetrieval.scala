@@ -34,18 +34,57 @@ object HybridRetrieval {
   private val indexMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 
+  private def deleteIndexDir(idxPath: String): Unit =
+    try {
+      // idxPath is <tempRoot>/idx — remove the whole temp root
+      val root = java.nio.file.Paths.get(idxPath).getParent
+      if (root != null && java.nio.file.Files.exists(root))
+        java.nio.file.Files.walk(root)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+    } catch { case _: Throwable => () } // cleanup is best-effort
+
+  // every dir this JVM ever created is removed at exit — long-lived
+  // processes cycling sessions/corpora no longer leak disk
+  private val createdDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      createdDirs.forEach(d => deleteIndexDir(d))))
+  }
+
   def ensureCorpusIndex(s: SparkSession, d: String): String = {
     val key = (s, d)
     val hit = indexMemo.get(key)
     if (hit != null) return hit
-    if (indexMemo.size > 16) indexMemo.clear() // old sessions/dirs
+    // eviction is PER-KEY and only for entries whose session is gone —
+    // a blanket clear() evicted live sessions' entries and left their
+    // directories orphaned on disk
+    if (indexMemo.size > 16) {
+      val it = indexMemo.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey._1.sparkContext.isStopped) {
+          it.remove()
+          deleteIndexDir(e.getValue)
+          createdDirs.remove(e.getValue)
+        }
+      }
+    }
     val path =
       java.nio.file.Files.createTempDirectory("hybrididx").toString + "/idx"
+    createdDirs.add(path)
     val corpus = graft.queries.Ctx(s, d).embeddings
       .filter(col("vec_id") % 20 =!= 0)
     AnnIndex.build(s, corpus, path)
-    indexMemo.putIfAbsent(key, path)
-    indexMemo.get(key)
+    val prev = indexMemo.putIfAbsent(key, path)
+    if (prev != null) {
+      // lost the build race: the winner's index serves; drop ours NOW
+      // instead of leaving an orphan dir until JVM exit
+      deleteIndexDir(path)
+      createdDirs.remove(path)
+      prev
+    } else path
   }
 
   /** The fused top-`topN` per query document: lexical arm =

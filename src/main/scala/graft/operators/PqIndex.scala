@@ -14,11 +14,14 @@ import org.apache.spark.sql.functions._
   * scan reads only the codes directory.
   *
   * Layout under `path`:
-  *   codebooks/  PqM·PqCodes rows (m, code, cv, cnrm2) — tiny
-  *   codes/      (vec_id, codes: array<tinyint> ordered by m, nrm)
-  *   recon/      build-time mean squared reconstruction error (the
-  *               append-drift baseline)
-  *   drift/      one row per append: |batch_mse / build_mse − 1|
+  *   codebooks/      PqM·PqCodes rows (m, code, cv, cnrm2) — tiny
+  *   codes/epoch=E/  (vec_id, codes: array<tinyint> ordered by m, nrm)
+  *                   per build (0) / append batch, atomically visible
+  *                   via the IndexManifest epoch manifest
+  *   manifests/      the visible-epoch manifest (see IndexManifest)
+  *   recon/          build-time mean squared reconstruction error (the
+  *                   append-drift baseline)
+  *   drift/          one row per append: |batch_mse / build_mse − 1|
   *
   * Probe is ADC (asymmetric distance computation): the query builds a
   * PqM·PqCodes lookup table of subvector·centroid dots; a corpus
@@ -68,15 +71,16 @@ object PqIndex {
       .join(e.select(col("vec_id"), col("nrm")), "vec_id")
   }
 
-  /** Write codes + return the batch mse; the persisted intermediate is
-    * scoped here (the write and the error aggregate both read it).
+  /** Write codes to the given directory + return the batch mse; the
+    * persisted intermediate is scoped here (the write and the error
+    * aggregate both read it).
     */
-  private def writeCodes(enc: DataFrame, path: String,
+  private def writeCodes(enc: DataFrame, dir: String,
       mode: String): Option[Double] = {
     val persisted = enc.persist()
     try {
       persisted.select("vec_id", "codes", "nrm")
-        .write.mode(mode).parquet(s"$path/codes")
+        .write.mode(mode).parquet(dir)
       persisted.agg((avg(col("se")) / 1e6).as("mse")).head() match {
         case r if r.isNullAt(0) => None
         case r => Some(r.getDouble(0))
@@ -86,37 +90,54 @@ object PqIndex {
 
   /** Train per-subspace codebooks on `embeddings` and write the full
     * layout. The codebook train + encode collects are bounded by the
-    * PqM·PqCodes constants, never the corpus.
+    * PqM·PqCodes constants, never the corpus. Codes land in an
+    * `epoch=0` directory published through [[IndexManifest]] (atomic
+    * append visibility); rebuild clears prior epochs + manifest.
     */
   def build(spark: SparkSession, embeddings: DataFrame, path: String): Unit = {
     graft.functions.VectorOps.register(spark)
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("codes", "manifests").foreach { t =>
+      fs.delete(new org.apache.hadoop.fs.Path(hp, t), true) }
     val e = normalized(embeddings).persist()
     try {
       val cb = graft.queries.Similarity.trainPqCodebooks(
         graft.queries.Similarity.subvectors(e))
       cb.write.mode("overwrite").parquet(s"$path/codebooks")
-      val mse = writeCodes(encoded(e, cb), path, "overwrite")
+      val mse = writeCodes(encoded(e, cb),
+        IndexManifest.epochDir(path, "codes", 0), "overwrite")
       import spark.implicits._
       Seq(mse.getOrElse(0.0)).toDF("mse")
         .write.mode("overwrite").parquet(s"$path/recon")
+      IndexManifest.publish(spark, path, 0)
     } finally e.unpersist(blocking = false)
   }
 
   /** Encode new vectors under the FROZEN codebooks, append to the
     * code file, emit the reconstruction drift gauge.
     *
-    * Same publish caveat as Bm25Index: the code dir is plain parquet,
-    * not an atomic manifest swap — a probe listing `codes/` mid-append
-    * can see a partially committed batch. Serialize appends against
-    * probes (or front with etl.Snapshot's manifest layout) where that
-    * window matters.
+    * Publish is atomic via [[IndexManifest]] (Bm25Index's note): the
+    * batch stages an immutable `codes/epoch=N` directory and one
+    * manifest CAS makes it visible — a concurrent probe sees the code
+    * file before or after the batch, never partially. A pre-manifest
+    * on-disk layout keeps its raw-dir append semantics.
     */
   def append(spark: SparkSession, embeddings: DataFrame, path: String): Drift = {
     graft.functions.VectorOps.register(spark)
     val cb = broadcast(spark.read.parquet(s"$path/codebooks"))
     val e = normalized(embeddings).persist()
     try {
-      val mse = writeCodes(encoded(e, cb), path, "append")
+      val mse = IndexManifest.visibleEpochs(spark, path) match {
+        case Some(_) =>
+          val ep = IndexManifest.nextEpoch(spark, path, Seq("codes"))
+          val m = writeCodes(encoded(e, cb),
+            IndexManifest.epochDir(path, "codes", ep), "errorifexists")
+          IndexManifest.publish(spark, path, ep)
+          m
+        case None =>
+          writeCodes(encoded(e, cb), s"$path/codes", "append")
+      }
       val buildMse = spark.read.parquet(s"$path/recon").head().getDouble(0)
       val drift = mse match {
         case None => Drift(0.0)
@@ -155,7 +176,8 @@ object PqIndex {
     val qtable = qsv.join(cb, "m")
       .select(col("vec_id").as("query_id"), col("m"), col("code"),
         (round(expr("vec_dot(sv, cv)"), 6) * 1e6).cast("long").as("t"))
-    val codes = spark.read.parquet(s"$path/codes")
+    val codes = IndexManifest.readTable(spark, path, "codes")
+      .getOrElse(sys.error(s"no PQ code file at $path"))
       .select(col("vec_id"), col("nrm"),
         posexplode(col("codes")).as(Seq("m", "code")))
       .select(col("vec_id"), col("nrm"), col("m"), col("code").cast("int").as("code"))

@@ -436,12 +436,20 @@ object Similarity {
     */
   private[graft] def subvectors(e: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
+    // fail FAST on an indivisible dimension instead of silently
+    // slicing only PqM·floor(dim/PqM) elements — PQ codes that
+    // quietly ignore tail dimensions would corrupt every downstream
+    // ADC score. raise_error rides the slice's start operand, so the
+    // valid path pays one integer mod per row and nothing else.
     val sub = s"CAST(size(v) / $PqM AS INT)"
+    val start = s"CASE WHEN size(v) % $PqM != 0 THEN " +
+      s"CAST(raise_error(concat('PQ requires dim divisible by $PqM, got ', " +
+      s"CAST(size(v) AS STRING))) AS INT) ELSE m * $sub + 1 END"
     e.select(col("vec_id"), col("v"))
       .select(col("vec_id"),
         explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("v"))
       .select(col("vec_id"), col("m"),
-        expr(s"slice(v, m * $sub + 1, $sub)").as("sv"))
+        expr(s"slice(v, $start, $sub)").as("sv"))
   }
 
   /** Nearest-code assignment of subvectors against a codebook table:

@@ -44,8 +44,9 @@ class AnnIndexSpec extends AnyFunSuite {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     AnnIndex.build(spark, emb, path)
 
-    // (1) every vector lands in exactly one cell
-    val cells = spark.read.parquet(s"$path/cells")
+    // (1) every vector lands in exactly one cell (cells now live in
+    // manifest-published epoch dirs — read through the manifest)
+    val cells = IndexManifest.readTable(spark, path, "cells").get
     assert(cells.count() == emb.count())
     assert(cells.select("vec_id").distinct().count() == emb.count())
     val nCells = cells.select("cid").distinct().count()
@@ -75,7 +76,7 @@ class AnnIndexSpec extends AnyFunSuite {
 
     // (3) the executed probe scan planned ONLY the probed dirs' files
     val probedFiles =
-      probed.flatMap(c => parquetFilesUnder(s"$path/cells/cid=$c")).size
+      probed.flatMap(c => parquetFilesUnder(s"$path/cells/epoch=0/cid=$c")).size
     val allFiles = parquetFilesUnder(s"$path/cells").size
     val planned = scanNumFiles(AnnIndex.probe(spark, path, q, 5, 3))
     assert(planned == probedFiles.toLong,

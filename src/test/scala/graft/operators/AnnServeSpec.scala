@@ -83,7 +83,7 @@ class AnnServeSpec extends AnyFunSuite {
       .flatMap { case (_, v) => AnnIndex.probedCells(spark, path, v, 3) }
       .distinct
     val expectFiles = probedUnion
-      .map(c => parquetFilesUnder(s"$path/cells/cid=$c")).sum
+      .map(c => parquetFilesUnder(s"$path/cells/epoch=0/cid=$c")).sum
     val planned = cellScanFiles(
       AnnIndex.probeBatch(spark, path, batch, 5, 3))
     assert(planned == expectFiles.toLong,

@@ -83,7 +83,7 @@ class HybridRetrievalSpec extends AnyFunSuite {
     assert(scans.nonEmpty, "expected a parquet scan in the probe plan")
     val planned = scans.map(_.metrics("numFiles").value).sum
     val probedFiles =
-      probed.flatMap(c => parquetFilesUnder(s"$idx/cells/cid=$c")).length
+      probed.flatMap(c => parquetFilesUnder(s"$idx/cells/epoch=0/cid=$c")).length
     val allFiles = parquetFilesUnder(s"$idx/cells").size
     assert(planned == probedFiles.toLong,
       s"planned $planned files, probed dirs hold $probedFiles")
