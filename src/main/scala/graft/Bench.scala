@@ -29,6 +29,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // SPARK_GRAFT_CONF=k=v[,k=v] — session-conf overrides for focused
+    // measurement runs (e.g. spark.graft.bm25.planCap=0 forces the
+    // distributed WAND planning branch so the 100 TB serving path gets
+    // its own timing row in bench/SCALING.md)
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").filter(_.nonEmpty)
+      .foreach { kv =>
+        val i = kv.indexOf('=')
+        require(i > 0, s"bad SPARK_GRAFT_CONF entry: $kv")
+        spark.conf.set(kv.take(i), kv.drop(i + 1))
+      })
 
     // JIT code-cache headroom guard. A full sweep compiles one or more
     // whole-stage-codegen classes PER QUERY into one JVM; at 155

@@ -51,7 +51,23 @@ object AnnIndex {
     * signal that the frozen partitioning no longer fits the data and
     * a retrain-rebuild is due. History appends to `path/drift`.
     */
-  final case class Drift(msdDrift: Double)
+  final case class Drift(msdDrift: Double) {
+    /** The maintenance loop's decision: re-baseline (retrain-rebuild)
+      * when the batch's assignment quality has left the frozen
+      * centroids' regime. Threshold 0.25 splits the measured
+      * separation — replay of the build corpus drifts < 1e-12 while a
+      * scaled+offset distribution shift measures > 0.5 (AnnIndexSpec)
+      * — with 2× margin on either side.
+      */
+    def needsRebaseline: Boolean = msdDrift > AnnIndex.RebaselineThreshold
+  }
+
+  /** See [[Drift.needsRebaseline]]; the loop itself is
+    * `if (append(...).needsRebaseline) build(...)` — append keeps the
+    * index serveable meanwhile (frozen centroids stay valid), so the
+    * rebuild is a background republish, not an outage.
+    */
+  val RebaselineThreshold = 0.25
 
   private def msdOf(ranked: DataFrame): Option[Double] =
     ranked.agg(avg(col("dist") + col("nrm") * col("nrm")).as("msd"))

@@ -115,7 +115,18 @@ object Bm25Index {
     * threshold the history without re-reading the corpus.
     */
   final case class Drift(dfTvDrift: Double, oovMass: Double,
-      avgdlDrift: Double)
+      avgdlDrift: Double) {
+    /** Re-baseline (full `build`) when ANY signal leaves the frozen
+      * model's regime. Per-signal thresholds split the measured
+      * separations (Bm25ServeSpec: replay = 0 on all three; a
+      * disjoint-vocabulary batch measures tv > 0.3, oov > 0.9,
+      * avgdl > 0.5) with ≥2× margin: tv 0.15, oov 0.10, avgdl 0.25.
+      * Loop shape: `if (append(...).needsRebaseline) build(...)` —
+      * appends keep serving under the frozen stats meanwhile.
+      */
+    def needsRebaseline: Boolean =
+      dfTvDrift > 0.15 || oovMass > 0.10 || avgdlDrift > 0.25
+  }
 
   /** Fold new documents in against the FROZEN statistics (df rows for
     * genuinely new terms are appended with df = 1 so later appends and

@@ -46,7 +46,19 @@ object PqIndex {
       .withColumn("nrm", sqrt(expr("vec_dot(v, v)")))
       .filter(col("nrm") > 0)
 
-  final case class Drift(mseDrift: Double)
+  final case class Drift(mseDrift: Double) {
+    /** Re-baseline (retrain codebooks + re-encode) when appended
+      * vectors stop being representable by the frozen codebooks.
+      * Threshold 0.25 splits the measured separation — replay drifts
+      * exactly 0 (micro-unit integer error arithmetic) while a
+      * scaled+offset batch measures > 0.5 (PqIndexSpec) — with 2×
+      * margin on either side. Same loop shape as AnnIndex:
+      * `if (append(...).needsRebaseline) build(...)`.
+      */
+    def needsRebaseline: Boolean = mseDrift > PqIndex.RebaselineThreshold
+  }
+
+  val RebaselineThreshold = 0.25
 
   /** (vec_id, codes, nrm) of `e` under the given codebooks, plus the
     * batch's mean squared reconstruction error (per-subspace errors

@@ -120,6 +120,7 @@ class AnnIndexSpec extends AnyFunSuite {
     // same assignment — the mean squared distance matches the baseline
     val replay = AnnIndex.append(spark, emb, path)
     assert(replay.msdDrift < 1e-12, s"replay drift=${replay.msdDrift}")
+    assert(!replay.needsRebaseline)
     // vectors pushed far from every frozen centroid: the gauge moves
     val shifted = emb.select(
       (col("vec_id") + lit(1000000L)).as("vec_id"),
@@ -127,6 +128,8 @@ class AnnIndexSpec extends AnyFunSuite {
         .as("embedding"))
     val moved = AnnIndex.append(spark, shifted, path)
     assert(moved.msdDrift > 0.5, s"shifted drift=${moved.msdDrift}")
+    // the declared re-baseline threshold separates the two regimes
+    assert(moved.needsRebaseline)
     // history persisted for thresholding
     assert(spark.read.parquet(s"$path/drift").count() == 2L)
   }

@@ -136,6 +136,7 @@ class Bm25ServeSpec extends AnyFunSuite {
     assert(replay.dfTvDrift == 0.0, s"tv=${replay.dfTvDrift}")
     assert(replay.oovMass == 0.0, s"oov=${replay.oovMass}")
     assert(replay.avgdlDrift == 0.0, s"avgdl=${replay.avgdlDrift}")
+    assert(!replay.needsRebaseline)
 
     // a vocabulary-shifted, longer-doc batch: all three signals move
     val shifted = Bm25Index.append(s,
@@ -145,6 +146,8 @@ class Bm25ServeSpec extends AnyFunSuite {
     assert(shifted.dfTvDrift > 0.3, s"tv=${shifted.dfTvDrift}")
     assert(shifted.oovMass > 0.9, s"oov=${shifted.oovMass}")
     assert(shifted.avgdlDrift > 0.5, s"avgdl=${shifted.avgdlDrift}")
+    // the declared re-baseline threshold separates the two regimes
+    assert(shifted.needsRebaseline)
 
     // the gauge history is persisted next to the index for thresholding
     val hist = s.read.parquet(s"$path/drift")

@@ -99,6 +99,7 @@ class PqIndexSpec extends AnyFunSuite {
       emb.withColumn("vec_id", col("vec_id") + 100000), path)
     assert(replay.mseDrift == 0.0,
       s"replaying the build corpus must not drift (got ${replay.mseDrift})")
+    assert(!replay.needsRebaseline)
     // a shifted batch: vectors scaled + offset far from every codebook
     val shifted = emb
       .withColumn("vec_id", col("vec_id") + 200000)
@@ -107,6 +108,8 @@ class PqIndexSpec extends AnyFunSuite {
     val moved = PqIndex.append(spark, shifted, path)
     assert(moved.mseDrift > 0.5,
       s"a shifted batch must move the drift gauge (got ${moved.mseDrift})")
+    // the declared re-baseline threshold separates the two regimes
+    assert(moved.needsRebaseline)
     // drift history: one row per append
     assert(spark.read.parquet(s"$path/drift").count() == 2)
     // appended codes are probeable alongside the originals

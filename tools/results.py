@@ -89,6 +89,34 @@ with open(out_path, "w") as f:
                 "while Spark's ABSOLUTE budgeted total improves every round "
                 "(r6 ~94s, r7 84.5s, r8 70.6s). Per-query comparisons are "
                 "the stable signal; the aggregate is host-weather.\n\n")
+    # Overhead-class fixed-cost trend: for queries where the 2.0s floor
+    # (not the 2x ratio) is the binding budget, the warm median tracks
+    # per-query fixed-cost creep that the pass/fail columns hide. The
+    # history lives in bench/overhead_trend.json; >25% growth over the
+    # previous full-registry entry is flagged here.
+    import os as _os
+    overhead = sorted(r[2] for r in rows
+                      if r[1] is not None and 2 * r[1] < 2.0 and r[2] >= 0)
+    if overhead:
+        med = overhead[len(overhead) // 2]
+        trend_path = _os.path.join(_os.path.dirname(out_path) or ".",
+                                   "overhead_trend.json")
+        hist = []
+        if _os.path.exists(trend_path):
+            with open(trend_path) as tf:
+                hist = json.load(tf)
+        warn = ""
+        if hist and med > 1.25 * hist[-1]["median"]:
+            warn = (f" **ALERT: +{(med / hist[-1]['median'] - 1) * 100:.0f}%"
+                    f" vs previous {hist[-1]['median']:.2f}s — per-query"
+                    f" fixed cost is creeping**")
+        hist.append({"median": round(med, 3), "n": len(overhead)})
+        with open(trend_path, "w") as tf:
+            json.dump(hist[-20:], tf)
+        f.write(f"Overhead-class median (floor-bound queries, n="
+                f"{len(overhead)}): **{med:.2f}s**"
+                + (f" (prev {hist[-2]['median']:.2f}s)" if len(hist) > 1
+                   else "") + f".{warn}\n\n")
     if cold:
         if cold_risks:
             f.write("Cold-run budget risks (cold > warm budget; verdicts "
