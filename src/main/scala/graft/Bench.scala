@@ -235,6 +235,33 @@ object Bench {
           "transform(sequence(0, 2), i -> coalesce(try_element_at(m, i), 0.0d))").as("a"))
         .groupBy("a").count()
         .write.format("noop").mode("overwrite").save()
+      // The SimHash vote kernels (xd2/xd2b) are custom codegen
+      // Expressions whose generated classes nothing else loads —
+      // xd2b's fused md5 kernel measured 4.4 s cold vs ~1.9 s warm in
+      // the r11 focused cold probe, almost entirely this first use.
+      // xd6's incremental-dedup shapes (filter() lambdas over arrays,
+      // element_at, lexicographic max(struct(...)) aggregate) are
+      // likewise first-use-only classes.
+      graft.functions.SimHashSig.register(spark)
+      graft.functions.SimHashMd5Sig.register(spark)
+      r.select(
+          expr("simhash_md5_sig(split(r_name, ''), 16)").as("s1"),
+          expr("simhash_sig(transform(split(r_name, ''), x -> xxhash64(x)), 16)")
+            .as("s2"))
+        .groupBy("s1", "s2").count()
+        .write.format("noop").mode("overwrite").save()
+      r.select(col("r_regionkey"),
+          expr("filter(sequence(1, 5), i -> i % 2 = 0)").as("fa"),
+          expr("filter(sequence(1, 5), i -> i % 2 = 1)").as("fb"))
+        .filter(size(col("fa")) > 0)
+        .select(col("r_regionkey"), element_at(col("fa"), 1).as("mn"),
+          col("fb"))
+        .groupBy("mn")
+        .agg(max(struct(col("r_regionkey").cast("double").as("j"),
+          (-col("mn")).as("neg"))).as("best"))
+        .select(col("best.j").as("j"), (-col("best.neg")).as("m"))
+        .groupBy("j").count()
+        .write.format("noop").mode("overwrite").save()
       // xv6's full first-use surface, mirrored shape-for-shape on the
       // 5-row region table (r9's unpivot-only warm recovered part of
       // the 2.9 s cold graze; the wide typed-agg codegen, the

@@ -28,7 +28,9 @@ def load_line(path):
 
 spark = load_line(spark_path)
 duck = json.load(open(duck_path))
-cold = load_line(cold_path)["queries"] if os.path.exists(cold_path) else {}
+cold_doc = load_line(cold_path) if os.path.exists(cold_path) else {}
+cold = cold_doc.get("queries", {})
+cold_tel = cold_doc.get("telemetry", {})
 etl = load_line(etl_path) if os.path.exists(etl_path) else None
 
 rows = []
@@ -119,9 +121,20 @@ with open(out_path, "w") as f:
                    else "") + f".{warn}\n\n")
     if cold:
         if cold_risks:
+            def attr(n):
+                t = cold_tel.get(n)
+                if not t:
+                    return ""
+                # attribution from the bench telemetry: a breach with
+                # ~zero GC+JIT delta is host weather / real data cost;
+                # a large jit delta is this query's own codegen compile
+                return (f"; gc {t['gcMs'] / 1000:.1f}s"
+                        f" jit {t['jitMs'] / 1000:.1f}s")
             f.write("Cold-run budget risks (cold > warm budget; verdicts "
-                    "stay warm-based per protocol): "
-                    + ", ".join(f"{n} ({c:.2f}s vs {b:.2f}s)"
+                    "stay warm-based per protocol; per-row gc/jit deltas "
+                    "from the cold sweep's telemetry attribute each "
+                    "breach): "
+                    + ", ".join(f"{n} ({c:.2f}s vs {b:.2f}s{attr(n)})"
                                 for n, c, b in cold_risks) + ".\n\n")
         else:
             f.write("Cold sweep: every budgeted query under its budget "
