@@ -158,6 +158,27 @@ object AnnIndex {
     } finally ranked.unpersist(blocking = false)
   }
 
+  /** Compact the cell table's visible epochs into one fresh epoch
+    * (Bm25Index.compact's contract): every append lands small files
+    * inside per-epoch cell dirs, so compaction both collapses the
+    * epoch fan-out AND re-clusters each cell's vectors into full-size
+    * files. Atomic flip via publishReplacing; [[vacuum]] reclaims the
+    * superseded dirs.
+    */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val view = IndexManifest.visibleEpochs(spark, path)
+    require(view.isDefined, s"compact requires the epoch layout: $path")
+    if (view.get.size <= 1) return
+    val e = IndexManifest.nextEpoch(spark, path, Seq("cells"))
+    IndexManifest.readTableAt(spark, path, "cells", view).get
+      .write.mode("errorifexists").partitionBy("cid")
+      .parquet(IndexManifest.epochDir(path, "cells", e))
+    IndexManifest.publishReplacing(spark, path, e)
+  }
+
+  def vacuum(spark: SparkSession, path: String): Int =
+    IndexManifest.vacuum(spark, path, Seq("cells"))
+
   /** The `nprobe` nearest cell ids to a query vector — K driver-side
     * rows of routing math (bounded by the constant K, never the
     * corpus), the same argmin arithmetic the build used.

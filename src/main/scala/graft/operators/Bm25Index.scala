@@ -226,6 +226,42 @@ object Bm25Index {
     } finally tf.unpersist(blocking = false)
   }
 
+  /** Epoch maintenance: every append adds an epoch directory, so a
+    * long-lived index's reads fan out over one dir per batch. Compact
+    * rewrites the CURRENT view into one fresh epoch — postings as-is,
+    * df/ubs with their cross-epoch max collapse MATERIALIZED (probes
+    * after compaction skip the collapse aggregate entirely) — and
+    * publishes it as the sole visible epoch in one manifest CAS;
+    * concurrent probes flip atomically, readers pinned to the old view
+    * keep working off the superseded dirs until [[vacuum]] removes
+    * them. Same single-maintainer contract as append.
+    */
+  def compact(s: SparkSession, path: String): Unit = {
+    val view = IndexManifest.visibleEpochs(s, path)
+    require(view.isDefined, s"compact requires the epoch layout: $path")
+    if (view.get.size <= 1) return // nothing to merge
+    val e = IndexManifest.nextEpoch(s, path, Tables)
+    IndexManifest.readTableAt(s, path, "postings", view).get
+      .write.mode("errorifexists")
+      .parquet(IndexManifest.epochDir(path, "postings", e))
+    IndexManifest.readTableAt(s, path, "df", view).get
+      .groupBy("term").agg(max(col("df")).as("df"))
+      .write.mode("errorifexists")
+      .parquet(IndexManifest.epochDir(path, "df", e))
+    IndexManifest.readTableAt(s, path, "ubs", view).get
+      .groupBy("term").agg(max(col("ub")).as("ub"))
+      .write.mode("errorifexists")
+      .parquet(IndexManifest.epochDir(path, "ubs", e))
+    IndexManifest.publishReplacing(s, path, e)
+  }
+
+  /** Remove epoch directories no longer reachable from the current
+    * manifest (compaction garbage, crashed-append orphans). Returns
+    * the deleted directory count.
+    */
+  def vacuum(s: SparkSession, path: String): Int =
+    IndexManifest.vacuum(s, path, Tables)
+
   /** Top-k BM25 per query of the batch against the standing postings,
     * via the max-score PRUNED probe (exact top-k; common terms' huge
     * posting lists are read only for surviving candidates). Duplicate

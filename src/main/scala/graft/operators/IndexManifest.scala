@@ -119,6 +119,63 @@ object IndexManifest {
     }
   }
 
+  /** Atomically REPLACE the visible set with exactly `epoch` — the
+    * compaction publish: a rewritten epoch holding the whole table
+    * supersedes every prior one in a single manifest CAS, so probes
+    * flip from the many-epoch view to the one-epoch view atomically.
+    * The superseded dirs stay on disk (readers pinned to an older
+    * view keep working) until [[vacuum]] removes them.
+    */
+  def publishReplacing(spark: SparkSession, path: String, epoch: Int): Unit = {
+    val (fs, root) = resolve(spark, path)
+    fs.mkdirs(manifestDir(root))
+    var done = false
+    var attempts = 0
+    while (!done) {
+      attempts += 1
+      require(attempts <= 50, s"manifest publish contention at $path")
+      val vs = fs.listStatus(manifestDir(root)).map(_.getPath.getName)
+        .collect { case n if n.startsWith("v") && n.endsWith(".txt") =>
+          n.stripPrefix("v").stripSuffix(".txt").toLong }
+      val v = if (vs.isEmpty) 0L else vs.max + 1L
+      val tmp = new Path(manifestDir(root),
+        s".v$v-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+      val out = fs.create(tmp, false)
+      try out.write((epoch.toString + "\n").getBytes("UTF-8"))
+      finally out.close()
+      done = fs.rename(tmp, vFile(root, v))
+      if (!done) fs.delete(tmp, false)
+    }
+  }
+
+  /** Delete epoch directories no longer reachable from the CURRENT
+    * manifest — compaction's garbage, and crashed appends' orphans.
+    * The highest-numbered unreferenced dir per table is SPARED: it may
+    * be an in-flight append staged but not yet published (nextEpoch
+    * allocates above everything on disk, so only the newest orphan can
+    * still be racing toward a publish; anything below it can never be
+    * published again). Returns the deleted directory count.
+    */
+  def vacuum(spark: SparkSession, path: String, tables: Seq[String]): Int = {
+    val (fs, root) = resolve(spark, path)
+    val vis = visibleEpochs(spark, path).getOrElse(return 0).toSet
+    var deleted = 0
+    for (t <- tables) {
+      val td = new Path(root, t)
+      if (fs.exists(td)) {
+        val staged = fs.listStatus(td).map(_.getPath.getName)
+          .collect { case n if n.startsWith("epoch=") =>
+            n.stripPrefix("epoch=").toInt }
+        val dead = staged.filterNot(vis.contains)
+        val spare = if (dead.isEmpty) -1 else dead.max
+        for (e <- dead if e != spare) {
+          if (fs.delete(new Path(td, s"epoch=$e"), true)) deleted += 1
+        }
+      }
+    }
+    deleted
+  }
+
   /** Read one of the index's epoch tables at the CURRENT manifest —
     * the visible epoch dirs as leaf reads — or the plain raw dir for a
     * v1 layout. Returns None when the table doesn't exist in any form

@@ -164,6 +164,26 @@ object PqIndex {
     } finally e.unpersist(blocking = false)
   }
 
+  /** Compact the code file's visible epochs into one fresh epoch
+    * (Bm25Index.compact's contract) — the PQ scan is
+    * bandwidth-bound, so collapsing per-append small files back into
+    * full-size code files is exactly the maintenance the layout's
+    * read path wants. Atomic flip; [[vacuum]] reclaims.
+    */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val view = IndexManifest.visibleEpochs(spark, path)
+    require(view.isDefined, s"compact requires the epoch layout: $path")
+    if (view.get.size <= 1) return
+    val e = IndexManifest.nextEpoch(spark, path, Seq("codes"))
+    IndexManifest.readTableAt(spark, path, "codes", view).get
+      .write.mode("errorifexists")
+      .parquet(IndexManifest.epochDir(path, "codes", e))
+    IndexManifest.publishReplacing(spark, path, e)
+  }
+
+  def vacuum(spark: SparkSession, path: String): Int =
+    IndexManifest.vacuum(spark, path, Seq("codes"))
+
   /** ADC top-k for a batch of queries (query_id, embedding). The
     * corpus-sized scan reads ONLY the code file; the per-query lookup
     * table (PqM·PqCodes rows each) and the codebooks broadcast. With

@@ -190,6 +190,73 @@ class IndexPublishSpec extends AnyFunSuite {
     assert(probed.exists(_ > 30L), "appended codes missing from ADC probe")
   }
 
+  test("compact collapses epochs with identical probes; vacuum reclaims, spares newest orphan") {
+    val path = Files.createTempDirectory("bm25cmp").toString + "/idx"
+    Bm25Index.build(spark, docsDf(corpus), path)
+    Bm25Index.append(spark,
+      docsDf(Seq(9L -> "shuffle shuffle shuffle joins shuffle")), path)
+    Bm25Index.append(spark,
+      docsDf(Seq(10L -> "columnar pruning of unused columns")), path)
+    assert(IndexManifest.visibleEpochs(spark, path).get.size == 3)
+    val before = topDocs(path)
+
+    Bm25Index.compact(spark, path)
+    val vis = IndexManifest.visibleEpochs(spark, path).get
+    assert(vis.size == 1, s"compact must leave ONE visible epoch, got $vis")
+    assert(topDocs(path) == before, "compaction changed probe results")
+    // compaction materialized the df/ubs collapse: no duplicate terms
+    val dfT = IndexManifest.readTable(spark, path, "df").get
+    assert(dfT.count() == dfT.select("term").distinct().count())
+
+    // stage an orphan (simulated in-flight append) ABOVE everything,
+    // then vacuum: the 3 superseded epochs go, the orphan survives
+    val orphan = IndexManifest.nextEpoch(spark, path,
+      Seq("postings", "df", "ubs"))
+    import spark.implicits._
+    Seq(("x", 1L, 1L)).toDF("term", "doc_id", "cu")
+      .write.parquet(IndexManifest.epochDir(path, "postings", orphan))
+    val deleted = Bm25Index.vacuum(spark, path)
+    // postings: dead {0,1,2,orphan}, newest (the orphan) spared -> 3;
+    // df/ubs: dead {0,1,2}, newest spared conservatively -> 2 each
+    assert(deleted == 7, s"expected 3+2+2 reclaimed dirs, got $deleted")
+    assert(Files.exists(Paths.get(
+      IndexManifest.epochDir(path, "postings", orphan))),
+      "vacuum must spare the newest unpublished dir (possible in-flight append)")
+    assert(topDocs(path) == before, "vacuum broke the live view")
+
+    // AnnIndex + PqIndex compact: same contract, spot-checked
+    graft.functions.VectorOps.register(spark)
+    val emb = (1L to 30L).map { i =>
+      i -> Array.tabulate(8)(j => (((i * 7 + j * 3) % 11) - 5).toDouble / 5.0)
+    }.toDF("vec_id", "embedding")
+    val ap = Files.createTempDirectory("anncmp").toString + "/idx"
+    AnnIndex.build(spark, emb, ap)
+    AnnIndex.append(spark, (31L to 35L).map { i =>
+      i -> Array.tabulate(8)(j => (((i * 5 + j) % 7) - 3).toDouble / 3.0)
+    }.toDF("vec_id", "embedding"), ap)
+    val q = emb.filter(col("vec_id") === 3L)
+      .select(col("embedding")).head.getSeq[Double](0).toArray
+    val annBefore = AnnIndex.probe(spark, ap, q, 5, 2).collect().toSeq
+    AnnIndex.compact(spark, ap)
+    assert(IndexManifest.visibleEpochs(spark, ap).get.size == 1)
+    assert(AnnIndex.probe(spark, ap, q, 5, 2).collect().toSeq == annBefore)
+    // dead {0,1}, newest dead spared conservatively -> 1 reclaimed
+    assert(AnnIndex.vacuum(spark, ap) == 1)
+
+    val pp = Files.createTempDirectory("pqcmp").toString + "/idx"
+    PqIndex.build(spark, emb, pp)
+    PqIndex.append(spark, (31L to 35L).map { i =>
+      i -> Array.tabulate(8)(j => (((i * 5 + j) % 7) - 3).toDouble / 3.0)
+    }.toDF("vec_id", "embedding"), pp)
+    val qdf = Seq(1L -> Array.tabulate(8)(j => (j + 1).toDouble / 8.0))
+      .toDF("query_id", "embedding")
+    val pqBefore = PqIndex.probeBatch(spark, pp, qdf, 10).collect().toSeq
+    PqIndex.compact(spark, pp)
+    assert(IndexManifest.visibleEpochs(spark, pp).get.size == 1)
+    assert(PqIndex.probeBatch(spark, pp, qdf, 10).collect().toSeq == pqBefore)
+    assert(PqIndex.vacuum(spark, pp) == 1)
+  }
+
   /** cells' epoch=0 contains cid=N partition dirs — move those up. */
   private def downgradeToV1WithCells(path: String): Unit = {
     val ed = Paths.get(s"$path/cells/epoch=0")
