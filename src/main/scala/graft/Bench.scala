@@ -370,22 +370,19 @@ object Bench {
           String.format(java.util.Locale.ROOT, s"%.${dec}f",
             Double.box(v)) }
       .mkString("{", ",", "}")
-    // Sweep-level telemetry rides the stdout line (compact — ~90
-    // chars); the PER-QUERY breakdown goes in the sidecar where the
-    // 2000-char window doesn't bind. gcMs/jitMs are whole-sweep
-    // deltas; ccMb final occupancy vs ccResMb reserve; blkPeakMb the
-    // largest post-query block-store residency observed.
+    // Sweep-level telemetry rides the stdout line (compact — short
+    // keys, ~60 chars); the PER-QUERY breakdown goes in the sidecar
+    // where the 2000-char window doesn't bind. gc/jit are whole-sweep
+    // ms deltas; cc final code-cache occupancy (reserve + per-query
+    // detail live in the sidecar); blk the largest post-query
+    // block-store MB observed.
     val telSummary = {
       val gcTot = resultsT.map(_._3.gc).sum
       val jitTot = resultsT.map(_._3.jit).sum
       val ccFin = resultsT.lastOption.map(_._3.cc).getOrElse(ccUsedMb)
       val blkPeak = (0L +: resultsT.map(_._3.blk)).max
-      s""""telem":{"gcMs":$gcTot,"jitMs":$jitTot,"ccMb":$ccFin,""" +
-        s""""ccResMb":${reservedCode >> 20},"blkPeakMb":$blkPeak}"""
+      s""""telem":{"gc":$gcTot,"jit":$jitTot,"cc":$ccFin,"blk":$blkPeak}"""
     }
-    // threshold lowered 1750 -> 1650: the telemetry object joined the
-    // fixed wrapper inside the same 2000-char driver window
-    val qs = { val two = shortLine(2); if (two.length <= 1650) two else shortLine(1) }
     val fullQs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
@@ -395,8 +392,24 @@ object Bench {
           s""""ccMb":${t.cc},"blkMb":${t.blk}}""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,$telSummary,"sf":"$sfDir"}"""
+    // WHOLE-LINE budget, not just the queries object: the driver keeps
+    // the last 2000 stdout chars and sbt's "[success] Total time: ..."
+    // trailer (~70 chars) lands inside the same window, clipping the
+    // JSON's HEAD if line + trailer > 2000. Measured at 174 queries:
+    // 2-decimal line = 2085 chars (over), 1-decimal + compact telem =
+    // 1911 (fits under the 1925 cap, leaving 75 for the trailer).
+    // Degrade in steps: 2 decimals -> 1 decimal -> drop the telem
+    // object (the sidecar keeps the full breakdown) -> 0 decimals.
+    def mkLine(qs: String, tel: Option[String]): String = {
+      val telPart = tel.map("," + _).getOrElse("")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$telPart,"sf":"$sfDir"}"""
+    }
+    val line = Seq(
+      mkLine(shortLine(2), Some(telSummary)),
+      mkLine(shortLine(1), Some(telSummary)),
+      mkLine(shortLine(1), None))
+      .find(_.length <= 1925)
+      .getOrElse(mkLine(shortLine(0), None))
     // full-registry runs only: a focused SPARK_GRAFT_ONLY/HEADLINE run
     // must not clobber the complete map tools/results.py reads
     if (selected.size == Registry.all.size) try {
