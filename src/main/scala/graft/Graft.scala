@@ -18,17 +18,20 @@ import org.apache.spark.sql.SparkSession
   * session): the codegen'd text kernels (`tokenize`, `term_counts`,
   * `bigram_counts`, `shingle_hash`), the vector kernels (`vec_dot`,
   * `vec_dot_i8`), the sorted-set kernel (`sorted_intersect_count`),
-  * and the hash helpers (`md5_60`). The optimizer rules
+  * the hash helpers (`md5_60`), and the SimHash vote kernels
+  * (`simhash_sig`, `simhash_md5_sig`). The optimizer rules
   * (RewriteDotProduct) install via the standard
   * `spark.sql.extensions` mechanism, which must be set BEFORE the
   * session is built — init cannot retrofit them, so it warns-by-doc
   * rather than silently half-installing.
   *
-  * Everything else is plain API: `queries.Registry` (the 159-query
-  * surface), `etl.*` (the pipeline layer and the Snapshot lake),
-  * `operators.*` (TableCheck/TableDiff/ZOrder/BloomPrune/Salting/
-  * AnnIndex), `streaming.StreamingOps` (the stateful streaming
-  * family).
+  * Everything else is plain API: `queries.Registry` (the full
+  * declared query surface — DocSyncSpec pins the count), `etl.*`
+  * (the pipeline layer and the Snapshot lake), `operators.*`
+  * (TableCheck/TableDiff/ZOrder/BloomPrune/Salting and the
+  * AnnIndex/Bm25Index/PqIndex serving layouts with their
+  * IndexManifest atomic publish), `streaming.StreamingOps` (the
+  * stateful streaming family).
   */
 object Graft {
 
@@ -38,5 +41,7 @@ object Graft {
     functions.VectorOps.register(spark)
     functions.ArrayOps.register(spark)
     functions.Md5Hash60.register(spark)
+    functions.SimHashSig.register(spark)
+    functions.SimHashMd5Sig.register(spark)
   }
 }
