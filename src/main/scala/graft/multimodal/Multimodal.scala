@@ -184,7 +184,14 @@ object Multimodal {
       // sample (IDAT stand-in) starts after sig + IHDR chunk:
       // 8 + (4 len + 4 tag + body + 4 crc), body length from the file
       val ihdrLen = rbe32(b, 8) // unsigned: in [0, 2^32)
-      ParsedHeader("png", rbe32(b, 16).toInt, rbe32(b, 20).toInt, 0L,
+      val w = rbe32(b, 16)
+      val h = rbe32(b, 20)
+      // PNG dims are 31-bit and nonzero by spec; a mutated header can
+      // carry values whose Int narrowing goes NEGATIVE — downstream
+      // features must never see a negative geometry, so out-of-spec
+      // dims classify the payload as unknown (fuzz-asserted)
+      if (w < 1 || w > Int.MaxValue || h < 1 || h > Int.MaxValue) Unknown
+      else ParsedHeader("png", w.toInt, h.toInt, 0L,
         math.min(b.length.toLong, 20L + ihdrLen).toInt)
     } else if (tag(b, 0) == "RIFF" && tag(b, 8) == "WAVE") {
       // chunk walk: byte rate from 'fmt ', declared size from 'data';

@@ -716,7 +716,86 @@ object Recall {
     Some(reportSql("xs5_ann_incremental", "assign_equiv_and_conservation",
       None, 1.0, Some(true))))
 
+  /** xm2's decode plumbing certified on driver-hash-checked
+    * invariants — the last ⊘ registry entry without a driver-visible
+    * cert. xm2's checksum/embedding halves are not SQL-expressible
+    * (CRC32 fold + a byte-statistics model stand-in), so the cert
+    * recomputes their contracts IN SPARK by independent means and
+    * reduces them to one assertion row:
+    *  - CHECKSUM: the mapPartitions CRC32 equals Spark's codegen
+    *    `crc32()` builtin over the same payload bytes — two
+    *    independent implementations agreeing on every row.
+    *  - GEOMETRY TIE: embedding dims 0-2 re-encode exactly the parsed
+    *    (width, height, duration) fields that xm5 hash-certifies
+    *    against DuckDB — the fake model fold is anchored to the
+    *    externally audited header parse, not to itself.
+    *  - CONSERVATION + SHAPE: one feature row per media row per
+    *    document; every embedding is exactly 8-dim with the byte-stat
+    *    dims (3-7, normalized byte means) inside [0,1].
+    *  - DETERMINISM: two independently planned extract runs agree
+    *    bit-identically on (checksum, embedding) for every doc — the
+    *    replay property a production backfill depends on.
+    *  - CORRUPT SAFETY: truncating every payload below the shortest
+    *    format magic still decodes (never throws) and classifies
+    *    'unknown' on every row — the decode-stage never-crash
+    *    contract.
+    * All comparisons are distributed joins/aggregates; only counts
+    * reach the driver. Only the pixel/PCM decode itself (the one
+    * piece needing codec libraries this container doesn't ship)
+    * remains outside certification, by declared contract.
+    */
+  val xr15 = GQuery(
+    "xr15_media_cert",
+    (s, d) => reap {
+      import s.implicits._
+      val mm = graft.multimodal.Multimodal
+      val media = own(mm.mediaTable(s, d).persist())
+      val feats = own(mm.extractFeatures(media).toDF().persist())
+      val nDocs = s.read.parquet(s"$d/documents.parquet").count()
+      val nMedia = media.count()
+      val nFeats = feats.count()
+      val crcMismatch = feats.select(col("doc_id"), col("checksum"))
+        .join(media.toDF().select(col("doc_id"),
+          crc32(col("content")).as("crc_sql")), "doc_id")
+        .filter(col("checksum") =!= col("crc_sql")).count()
+      // dims 0-2 are exact float re-encodes of the parsed fields
+      // (all fixture values are exact binary fractions); the 1e-6
+      // tolerance guards only float->double widening
+      val geomBad = feats.filter(
+        abs(element_at(col("embedding"), 1).cast("double") -
+          col("parsed_width").cast("double") / 4096d) > 1e-6 ||
+          abs(element_at(col("embedding"), 2).cast("double") -
+            col("parsed_height").cast("double") / 4096d) > 1e-6 ||
+          abs(element_at(col("embedding"), 3).cast("double") -
+            col("parsed_duration_ms").cast("double") / 1000d / 256d) > 1e-6)
+        .count()
+      val shapeBad = feats.filter(size(col("embedding")) =!= 8 ||
+        exists(slice(col("embedding"), 4, 5),
+          x => x < lit(0f) || x > lit(1f))).count()
+      val again = mm.extractFeatures(media).toDF()
+        .select(col("doc_id"), col("checksum").as("ck2"),
+          col("embedding").as("emb2"))
+      val nondet = feats.join(again, "doc_id")
+        .filter(col("checksum") =!= col("ck2") ||
+          col("embedding") =!= col("emb2")).count()
+      val corrupt = mm.extractFeatures(
+        media.map(r => r.copy(content = r.content.take(7)))).toDF()
+      val corruptOk = corrupt.filter(col("parsed_format") === "unknown")
+        .count() == nMedia
+      val conserved = nFeats == nMedia && nMedia == nDocs
+      val ok = crcMismatch == 0L && geomBad == 0L && shapeBad == 0L &&
+        nondet == 0L && corruptOk && conserved
+      System.err.println(
+        s"[recall] xr15_media_cert crc_mismatch=$crcMismatch " +
+          s"geom_bad=$geomBad shape_bad=$shapeBad nondet=$nondet " +
+          s"corrupt_ok=$corruptOk conserved=$conserved")
+      canon(report(s, "xm2_media_features", "decode_plumbing_invariants",
+        None, 1.0, Some(crcMismatch == 0L && nondet == 0L), ok))
+    },
+    Some(reportSql("xm2_media_features", "decode_plumbing_invariants",
+      None, 1.0, Some(true))))
+
   def queries: Seq[GQuery] =
     Seq(xr1, xr2, xr3, xr4, xr5, xr6, xr7, xr8, xr9, xr10, xr11, xr12,
-      xr13, xr14)
+      xr13, xr14, xr15)
 }

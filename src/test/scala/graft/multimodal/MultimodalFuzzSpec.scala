@@ -1,0 +1,112 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import Multimodal.{MediaMeta, MediaRow, ParsedHeader}
+
+/** Fuzz the container-header parse and the decode fold — the decode
+  * stage's never-throw / always-terminate / sane-ranges contract is
+  * load-bearing for every multimodal pipeline stage (a single corrupt
+  * payload must not kill a 100 TB backfill task). Three adversarial
+  * input families:
+  *  - arbitrary byte soup (no structure at all);
+  *  - valid builder output with single-byte mutations (the realistic
+  *    bit-rot / truncated-upload shape — magic bytes often survive,
+  *    so the size/dimension fields are what the parser must distrust);
+  *  - valid builder output truncated at every interesting length.
+  * Deterministic sampling (PropertySpec's seed discipline — the
+  * scalatestplus bridge is not in the offline cache).
+  */
+class MultimodalFuzzSpec extends AnyFunSuite {
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.apply(Gen.Parameters.default, Seed(seed))
+      .getOrElse(fail(s"generator exhausted at seed $seed"))
+
+  private val payload = "sample payload text 0123456789".getBytes("UTF-8")
+
+  private def builders: Seq[Array[Byte]] = Seq(
+    Multimodal.pngBytes(640, 480, payload),
+    Multimodal.wavBytes(12345L, payload),
+    Multimodal.mp4Bytes(98765L, payload))
+
+  /** Every parse must terminate, never throw, and keep its fields in
+    * the documented ranges whatever the bytes claim.
+    */
+  private def checkSane(b: Array[Byte]): Unit = {
+    val p = Multimodal.parseHeader(b)
+    assert(p.headerLen >= 0 && p.headerLen <= b.length,
+      s"headerLen ${p.headerLen} outside [0, ${b.length}]")
+    assert(p.durationMs >= 0L, s"negative duration ${p.durationMs}")
+    assert(p.width >= 0 && p.height >= 0,
+      s"negative geometry ${p.width}x${p.height}")
+    if (p.format == "png")
+      assert(p.width >= 1 && p.height >= 1,
+        s"png with out-of-spec dims ${p.width}x${p.height}")
+    // the decode fold downstream of the parse must also hold its
+    // contract on the same bytes: finite features, byte-stat dims in
+    // [0,1], checksum = CRC32 of exactly these bytes
+    val f = Multimodal.decode(
+      MediaRow(0L, "fuzz", b, MediaMeta("?", 0, 0, 0L)))
+    assert(f.embedding.length == 8)
+    assert(f.embedding.forall(v => !v.isNaN && !v.isInfinity))
+    (3 until 8).foreach { i =>
+      assert(f.embedding(i) >= 0f && f.embedding(i) <= 1f,
+        s"byte-stat dim $i out of [0,1]: ${f.embedding(i)}")
+    }
+    val crc = new java.util.zip.CRC32
+    crc.update(b)
+    assert(f.checksum == crc.getValue)
+    assert(f.n_bytes == b.length.toLong)
+  }
+
+  test("byte soup: arbitrary arrays parse without throwing, fields sane") {
+    val g = Gen.choose(0, 300).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue)))
+    (0 until 200).foreach(i => checkSane(sample(g, i.toLong).toArray))
+  }
+
+  test("single-byte mutations of valid headers: no throw, no negative fields") {
+    builders.foreach { valid =>
+      // mutate every header-region byte through several values — the
+      // magic usually survives a 1-byte flip elsewhere, so this drives
+      // the size/dimension field paths (the Int-narrowing trap)
+      val headerRegion = math.min(valid.length, 140)
+      (0 until headerRegion).foreach { pos =>
+        Seq(0x00, 0x7f, 0x80, 0xff).foreach { v =>
+          val m = valid.clone()
+          m(pos) = v.toByte
+          checkSane(m)
+        }
+      }
+      // and a few random multi-byte mutations
+      val g = Gen.listOfN(4,
+        Gen.zip(Gen.choose(0, valid.length - 1), Gen.choose(0, 255)))
+      (0 until 50).foreach { i =>
+        val m = valid.clone()
+        sample(g, 9000L + i).foreach { case (pos, v) => m(pos) = v.toByte }
+        checkSane(m)
+      }
+    }
+  }
+
+  test("truncations of valid payloads: every prefix parses sanely") {
+    builders.foreach { valid =>
+      (0 until math.min(valid.length, 160)).foreach(n =>
+        checkSane(valid.take(n)))
+      checkSane(valid)
+    }
+  }
+
+  test("a valid payload round-trips through mutation checks unchanged") {
+    // guard the guard: the un-mutated builders still parse to their
+    // encoded fields after the PNG dimension-sanity change
+    assert(Multimodal.parseHeader(builders(0)) ==
+      ParsedHeader("png", 640, 480, 0L, 33))
+    assert(Multimodal.parseHeader(builders(1)).format == "wav")
+    assert(Multimodal.parseHeader(builders(1)).durationMs == 12345L)
+    assert(Multimodal.parseHeader(builders(2)).format == "mp4")
+    assert(Multimodal.parseHeader(builders(2)).durationMs == 98765L)
+  }
+}
