@@ -479,6 +479,80 @@ object Curation {
         |FROM a GROUP BY lang, split""".stripMargin +
         orderAll("lang", "split", "n_rows", "checksum")))
 
+  /** xc11: sequence packing — the concat-and-chunk step every
+    * GPT-style pretraining corpus passes through LAST (Brown et al.
+    * 2020 §2.2; T5's "packing"): all documents' token streams are
+    * concatenated in one canonical order (doc_id) and cut into
+    * fixed-length training sequences (L = 256 tokens here; thousands
+    * in production — the arithmetic is identical). The per-document
+    * output is its SPAN in packed-sequence space: global token start
+    * offset, first/last sequence index, and how many sequence
+    * boundaries cross the document — the map a data loader needs to
+    * locate any document inside the packed shards, and the census
+    * boundary-crossing studies (attention-mask contamination) start
+    * from.
+    *
+    * Scale shape: a packed offset is a GLOBAL prefix sum, and the
+    * naive form — one empty-PARTITION-BY window over the corpus — is
+    * the exact single-task funnel RegistryPlanSpec bans. This runs
+    * the classic two-level distributed prefix sum instead: documents
+    * window-sum WITHIN doc_id blocks (B = 1024; partitioned shuffle,
+    * parallel), block TOTALS get the exclusive global window — n/B
+    * narrow rows (three orders of magnitude below the corpus; at
+    * 100 TB recurse once more or lift B), whitelisted as a bounded
+    * global window — and the block offset joins back size-gated
+    * broadcast. The oracle computes the same offsets with DuckDB's
+    * plain global window, so the hash match certifies the
+    * decomposition is EXACTLY the naive semantics. Token counts use
+    * xt1's cross-engine tokenizer identity.
+    */
+  val xc11 = GQuery(
+    "xc11_sequence_pack",
+    (s, d) => {
+      val c = Ctx(s, d)
+      val L = 256L
+      val B = 1024L
+      val toks = c.documents
+        .select(col("doc_id"),
+          size(Llm.tokens(s, col("text"))).cast("long").as("n_tokens"))
+        .withColumn("blk", expr(s"doc_id DIV $B"))
+      val wIn = Window.partitionBy("blk").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val inBlk = toks.withColumn("pre_in",
+        coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+      val wBlk = Window.orderBy("blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val blkPre = toks.groupBy("blk").agg(sum(col("n_tokens")).as("bt"))
+        .withColumn("pre_blk", coalesce(sum(col("bt")).over(wBlk), lit(0L)))
+        .select(col("blk"), col("pre_blk"))
+      canonBy(inBlk.join(Scale.maybeBroadcast(blkPre), "blk")
+        .withColumn("start_tok", col("pre_blk") + col("pre_in"))
+        .withColumn("start_seq", expr(s"start_tok DIV $L"))
+        .withColumn("end_seq",
+          when(col("n_tokens") === 0L, col("start_seq"))
+            .otherwise(expr(s"(start_tok + n_tokens - 1) DIV $L")))
+        .select(col("doc_id"), col("n_tokens"), col("start_tok"),
+          col("start_seq"), col("end_seq"),
+          (col("end_seq") - col("start_seq")).as("n_splits")), "doc_id")
+    },
+    Some(
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+        |  FROM t)
+        |SELECT doc_id, n_tokens, start_tok,
+        |  start_tok // 256 AS start_seq,
+        |  CASE WHEN n_tokens = 0 THEN start_tok // 256
+        |       ELSE (start_tok + n_tokens - 1) // 256 END AS end_seq,
+        |  (CASE WHEN n_tokens = 0 THEN start_tok // 256
+        |        ELSE (start_tok + n_tokens - 1) // 256 END) - (start_tok // 256) AS n_splits
+        |FROM c""".stripMargin +
+        orderAll("doc_id")))
+
   def queries: Seq[GQuery] =
-    Seq(xc1, xc2, xc3, xc4, xc5, xc6, xc7, xc8, xc9, xc10)
+    Seq(xc1, xc2, xc3, xc4, xc5, xc6, xc7, xc8, xc9, xc10, xc11)
 }

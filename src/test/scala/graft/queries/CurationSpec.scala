@@ -98,4 +98,38 @@ class CurationSpec extends AnyFunSuite {
       .toSet
     assert(got == expected)
   }
+
+  test("xc11 two-level prefix sum equals the naive global window; spans chain") {
+    import org.apache.spark.sql.expressions.Window
+    val out = Curation.xc11.fn(spark, sf)
+      .select("doc_id", "n_tokens", "start_tok", "start_seq", "end_seq",
+        "n_splits")
+      .collect().sortBy(_.getLong(0))
+    // naive single-window reference on the same tokenizer
+    val naive = Ctx(spark, sf).documents
+      .select(col("doc_id"),
+        size(Llm.tokens(spark, col("text"))).cast("long").as("t"))
+      .withColumn("pre", coalesce(sum(col("t")).over(
+        Window.orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(out.length == naive.length)
+    out.zip(naive).foreach { case (g, (id, t, pre)) =>
+      assert(g.getLong(0) == id && g.getLong(1) == t &&
+        g.getLong(2) == pre, s"offset mismatch at doc $id")
+      // span arithmetic: start/end sequence indices and split count
+      val (start, end) = (pre / 256L,
+        if (t == 0L) pre / 256L else (pre + t - 1) / 256L)
+      assert(g.getLong(3) == start && g.getLong(4) == end &&
+        g.getLong(5) == end - start)
+    }
+    // conservation: consecutive spans chain with no gap or overlap
+    out.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getLong(2) + a.getLong(1) == b.getLong(2),
+          s"packed stream gap between docs ${a.getLong(0)}/${b.getLong(0)}")
+      case _ =>
+    }
+  }
 }
