@@ -506,31 +506,43 @@ object Curation {
     * decomposition is EXACTLY the naive semantics. Token counts use
     * xt1's cross-engine tokenizer identity.
     */
+  /** The packed-span frame shared by xc11 (per-doc report) and xc12
+    * (per-sequence census): (doc_id, n_tokens, start_tok, start_seq,
+    * end_seq) under L-token sequences via the two-level prefix sum
+    * documented on xc11.
+    */
+  private[queries] def packSpans(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val c = Ctx(s, d)
+    val L = 256L
+    val B = 1024L
+    val toks = c.documents
+      .select(col("doc_id"),
+        size(Llm.tokens(s, col("text"))).cast("long").as("n_tokens"))
+      .withColumn("blk", expr(s"doc_id DIV $B"))
+    val wIn = Window.partitionBy("blk").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val inBlk = toks.withColumn("pre_in",
+      coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+    val wBlk = Window.orderBy("blk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val blkPre = toks.groupBy("blk").agg(sum(col("n_tokens")).as("bt"))
+      .withColumn("pre_blk", coalesce(sum(col("bt")).over(wBlk), lit(0L)))
+      .select(col("blk"), col("pre_blk"))
+    inBlk.join(Scale.maybeBroadcast(blkPre), "blk")
+      .withColumn("start_tok", col("pre_blk") + col("pre_in"))
+      .withColumn("start_seq", expr(s"start_tok DIV $L"))
+      .withColumn("end_seq",
+        when(col("n_tokens") === 0L, col("start_seq"))
+          .otherwise(expr(s"(start_tok + n_tokens - 1) DIV $L")))
+      .select(col("doc_id"), col("n_tokens"), col("start_tok"),
+        col("start_seq"), col("end_seq"))
+  }
+
   val xc11 = GQuery(
     "xc11_sequence_pack",
     (s, d) => {
-      val c = Ctx(s, d)
-      val L = 256L
-      val B = 1024L
-      val toks = c.documents
-        .select(col("doc_id"),
-          size(Llm.tokens(s, col("text"))).cast("long").as("n_tokens"))
-        .withColumn("blk", expr(s"doc_id DIV $B"))
-      val wIn = Window.partitionBy("blk").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val inBlk = toks.withColumn("pre_in",
-        coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
-      val wBlk = Window.orderBy("blk")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val blkPre = toks.groupBy("blk").agg(sum(col("n_tokens")).as("bt"))
-        .withColumn("pre_blk", coalesce(sum(col("bt")).over(wBlk), lit(0L)))
-        .select(col("blk"), col("pre_blk"))
-      canonBy(inBlk.join(Scale.maybeBroadcast(blkPre), "blk")
-        .withColumn("start_tok", col("pre_blk") + col("pre_in"))
-        .withColumn("start_seq", expr(s"start_tok DIV $L"))
-        .withColumn("end_seq",
-          when(col("n_tokens") === 0L, col("start_seq"))
-            .otherwise(expr(s"(start_tok + n_tokens - 1) DIV $L")))
+      canonBy(packSpans(s, d)
         .select(col("doc_id"), col("n_tokens"), col("start_tok"),
           col("start_seq"), col("end_seq"),
           (col("end_seq") - col("start_seq")).as("n_splits")), "doc_id")
@@ -553,6 +565,60 @@ object Curation {
         |FROM c""".stripMargin +
         orderAll("doc_id")))
 
+  /** xc12: packed-sequence census — xc11's inverse map: for every
+    * L-token training sequence, which documents' tokens land in it.
+    * This is the attention-contamination report packing forces you to
+    * write (a sequence spanning many documents trains cross-document
+    * attention unless the loader masks boundaries; Brown et al. 2020
+    * mask at document ends): n_docs per sequence, the first/last
+    * contributing doc, and whether the sequence is PURE (one document
+    * — no masking needed). A sequence's members are CONTIGUOUS in the
+    * canonical concatenation order by construction, so (first_doc,
+    * last_doc, n_docs) pins the full membership list (ids are dense
+    * in this corpus; with gapped ids the triple bounds the rank range).
+    *
+    * Scale shape: each document explodes into its span length
+    * (n_splits + 1 rows), so the fan-out is Σ spans = n_seqs + the
+    * boundary crossings — linear in corpus tokens / L, never
+    * quadratic; the census is one groupBy(seq_id). Output is
+    * sequence-space-sized — a data product written next to the packed
+    * shards, exactly what the loader's mask builder consumes.
+    */
+  val xc12 = GQuery(
+    "xc12_pack_census",
+    (s, d) => {
+      canonBy(packSpans(s, d)
+        .select(col("doc_id"),
+          explode(sequence(col("start_seq"), col("end_seq"))).as("seq_id"))
+        .groupBy("seq_id")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .withColumn("pure", col("n_docs") === 1L), "seq_id")
+    },
+    Some(
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+        |  FROM t),
+        |spans AS (
+        |  SELECT doc_id, start_tok // 256 AS start_seq,
+        |    CASE WHEN n_tokens = 0 THEN start_tok // 256
+        |         ELSE (start_tok + n_tokens - 1) // 256 END AS end_seq
+        |  FROM c),
+        |x AS (
+        |  SELECT doc_id, UNNEST(generate_series(start_seq, end_seq)) AS seq_id
+        |  FROM spans)
+        |SELECT seq_id, COUNT(*) AS n_docs,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+        |  COUNT(*) = 1 AS pure
+        |FROM x GROUP BY seq_id""".stripMargin +
+        orderAll("seq_id")))
+
   def queries: Seq[GQuery] =
-    Seq(xc1, xc2, xc3, xc4, xc5, xc6, xc7, xc8, xc9, xc10, xc11)
+    Seq(xc1, xc2, xc3, xc4, xc5, xc6, xc7, xc8, xc9, xc10, xc11, xc12)
 }

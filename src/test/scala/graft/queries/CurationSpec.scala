@@ -132,4 +132,27 @@ class CurationSpec extends AnyFunSuite {
       case _ =>
     }
   }
+
+  test("xc12 census inverts xc11's spans; membership ranges are contiguous") {
+    val spans = Curation.xc11.fn(spark, sf)
+      .select("doc_id", "start_seq", "end_seq").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val census = Curation.xc12.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    // every sequence from 0 to the max end_seq appears exactly once
+    val maxSeq = spans.map(_._3).max
+    assert(census.map(_._1).sorted.sameElements(0L to maxSeq),
+      "census must cover every packed sequence exactly once")
+    census.foreach { case (seq, nDocs, first, last, pure) =>
+      // membership from the spans directly (docs whose span covers seq)
+      val members = spans.filter(s => s._2 <= seq && seq <= s._3).map(_._1)
+      assert(members.length.toLong == nDocs && members.min == first &&
+        members.max == last, s"census mismatch at seq $seq")
+      // contiguity: (first, last, n_docs) is the full membership list
+      assert(last - first + 1 == nDocs,
+        s"non-contiguous doc range in sequence $seq")
+      assert(pure == (nDocs == 1L))
+    }
+  }
 }

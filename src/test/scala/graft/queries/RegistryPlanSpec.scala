@@ -43,7 +43,7 @@ class RegistryPlanSpec extends AnyFunSuite {
   private val globalWindowOk =
     Set("xi2_incremental_quantiles", "xi3_incremental_join",
       "xv4_key_skew", "q64_sql_tpch11", "xe7_peak_concurrency",
-      "xe8_hourly_anomaly", "xc11_sequence_pack")
+      "xe8_hourly_anomaly", "xc11_sequence_pack", "xc12_pack_census")
 
   test("no declared query plans a CartesianProduct or a data-sized global window") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
