@@ -333,4 +333,242 @@ object Multimodal {
     val parts = math.max(1, (total / targetBytes).toInt)
     media.repartition(parts)
   }
+
+  // ---------------------------------------------- real codecs (PNG / PCM)
+
+  /** Planted pixel rule for the REAL-codec image fixture: every channel
+    * value is a closed-form function of (x, y, doc_id), so a DuckDB
+    * oracle can recompute the exact channel sums/extrema arithmetically
+    * while the Spark side must recover them through a genuine PNG
+    * encode (java.util.zip.Deflater) -> decode (javax.imageio) round
+    * trip. All values land in [0, 255] by construction.
+    */
+  @inline def pixR(x: Int, y: Int, id: Long): Int =
+    ((x * 7 + y * 13 + id) % 256).toInt
+  @inline def pixG(x: Int, y: Int, id: Long): Int =
+    ((x * 3 + y * 5 + id * 2) % 256).toInt
+  @inline def pixB(x: Int, y: Int, id: Long): Int =
+    ((x + y + id * 3) % 256).toInt
+
+  /** Real-codec image dims — small on purpose (the codec cost per row
+    * is the point, not payload bulk): w in [8, 68], h in [8, 40].
+    */
+  @inline def encWidth(id: Long): Int = 8 + (id % 16).toInt * 4
+  @inline def encHeight(id: Long): Int = 8 + (id % 9).toInt * 4
+
+  /** Planted PCM rule: 16-bit signed samples in [-2048, 2047], again a
+    * closed form of (i, doc_id) so the oracle recomputes sums exactly.
+    */
+  @inline def pcmSample(i: Int, id: Long): Int =
+    ((id * 31 + i * 17) % 4096).toInt - 2048
+
+  /** Sample count for the real-PCM fixture: multiple of 8 so the
+    * duration the 8 kHz mono 16-bit header declares (n/8 ms) is exact.
+    */
+  @inline def encSamples(id: Long): Int = 400 + (id % 60).toInt * 40
+
+  private def chunk(tag4: String, body: Array[Byte]): Array[Byte] = {
+    val tb = ascii(tag4) ++ body
+    val crc = new java.util.zip.CRC32
+    crc.update(tb)
+    be32(body.length.toLong) ++ tb ++ be32(crc.getValue)
+  }
+
+  /** A complete, decodable PNG: IHDR + one IDAT holding the deflate of
+    * filter-0 truecolor scanlines of the planted pixel rule + IEND.
+    * Pure JDK (Deflater); PNG is lossless, so a decoder must read back
+    * the exact planted values.
+    */
+  private[multimodal] def pngEncode(id: Long): Array[Byte] = {
+    val w = encWidth(id); val h = encHeight(id)
+    val raw = new Array[Byte](h * (1 + w * 3))
+    var y = 0
+    while (y < h) {
+      val base = y * (1 + w * 3) // raw(base) = 0: filter None
+      var x = 0
+      while (x < w) {
+        val o = base + 1 + x * 3
+        raw(o) = pixR(x, y, id).toByte
+        raw(o + 1) = pixG(x, y, id).toByte
+        raw(o + 2) = pixB(x, y, id).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    val buf = new Array[Byte](8192)
+    while (!defl.finished()) out.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    val ihdr = be32(w.toLong) ++ be32(h.toLong) ++ Array[Byte](8, 2, 0, 0, 0)
+    PngSig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", out.toByteArray) ++
+      chunk("IEND", Array.empty[Byte])
+  }
+
+  /** A real PCM WAV: the standard 44-byte header (8 kHz mono 16-bit)
+    * whose declared data size exactly covers the little-endian samples
+    * of the planted rule.
+    */
+  private[multimodal] def wavEncode(id: Long): Array[Byte] = {
+    val n = encSamples(id)
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = pcmSample(i, id)
+      pcm(i * 2) = (s & 0xff).toByte
+      pcm(i * 2 + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    wavBytes(n.toLong / 8L, pcm) // 16000 B/s => n/8 ms spans n samples
+  }
+
+  /** Real-codec media table: image rows are complete deflate-compressed
+    * PNGs, audio rows real 16-bit PCM WAVs — both decodable with
+    * nothing but the JDK. Video keeps the header+payload fixture (the
+    * JDK ships no MP4/H.264 decoder; that modality's sample decode is
+    * the one stage still stubbed, by declared contract). Modality
+    * cycles doc_id % 3 exactly like mediaTable.
+    */
+  def encodedMediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        (id % 3) match {
+          case 0 =>
+            MediaRow(id, "image", pngEncode(id),
+              MediaMeta("png", encWidth(id), encHeight(id), 0L))
+          case 1 =>
+            MediaRow(id, "audio", wavEncode(id),
+              MediaMeta("wav", 0, 0, encSamples(id) / 8L))
+          case _ =>
+            val dur = 2000L + (id % 30) * 1000L
+            MediaRow(id, "video", mp4Bytes(dur, text.getBytes("UTF-8")),
+              MediaMeta("mp4", 1280, 720, dur))
+        }
+      }
+  }
+
+  /** Exact per-row sample statistics out of a REAL decode: channel
+    * sums/extrema over ImageIO-decoded pixels (image), signed-sample
+    * sums/extrema over the PCM data chunk (audio). Integer math only —
+    * the numbers a DuckDB oracle recomputes from the planted rules.
+    * s1/s2/s3 = R/G/B channel sums (audio: s1 = sample sum, s2 = abs
+    * sum); mn/mx over channel 1 (audio: over samples).
+    */
+  final case class SampleStats(doc_id: Long, media_type: String,
+      fmt: String, width: Int, height: Int, n_samples: Long,
+      s1: Long, s2: Long, s3: Long, mn: Int, mx: Int)
+
+  /** Decode one REAL payload with the JDK's own codecs. Corrupt or
+    * unsupported payloads yield fmt="unknown" with zeroed stats — a
+    * decode stage never throws.
+    */
+  private[multimodal] def decodeSamples(id: Long, mt: String,
+      content: Array[Byte]): SampleStats = {
+    val bad = SampleStats(id, mt, "unknown", 0, 0, 0L, 0L, 0L, 0L, 0, 0)
+    try {
+      val p = parseHeader(content)
+      p.format match {
+        case "png" =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(content))
+          if (img == null) bad
+          else {
+            val raster = img.getRaster
+            val w = img.getWidth; val h = img.getHeight
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var mn = 255; var mx = 0
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val r = raster.getSample(x, y, 0)
+                sr += r; sg += raster.getSample(x, y, 1)
+                sb += raster.getSample(x, y, 2)
+                if (r < mn) mn = r
+                if (r > mx) mx = r
+                x += 1
+              }
+              y += 1
+            }
+            SampleStats(id, mt, "png", w, h, w.toLong * h, sr, sg, sb, mn, mx)
+          }
+        case "wav" =>
+          // PCM region = [headerLen, headerLen + declared data size);
+          // every 2 bytes one little-endian signed 16-bit sample
+          val from = p.headerLen
+          val n = math.min(
+            (content.length - from) / 2, (p.durationMs * 16L / 2L).toInt)
+          if (n <= 0) bad
+          else {
+            var s = 0L; var sa = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
+            var i = 0
+            while (i < n) {
+              val o = from + i * 2
+              val v = ((content(o) & 0xff) | (content(o + 1) << 8)).toShort.toInt
+              s += v; sa += math.abs(v)
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+              i += 1
+            }
+            SampleStats(id, mt, "wav", 0, 0, n.toLong, s, sa, 0L, mn, mx)
+          }
+        case _ => bad
+      }
+    } catch { case _: Throwable => bad }
+  }
+
+  /** Real sample-decode stage over the encoded table: mapPartitions so
+    * codec setup (ImageIO's disk cache OFF — a temp file per decode
+    * would turn a CPU stage into an I/O one) is paid once per
+    * partition. Only image/audio rows — the decodable modalities.
+    */
+  def decodeStats(media: Dataset[MediaRow]): Dataset[SampleStats] = {
+    import media.sparkSession.implicits._
+    media.filter(r => r.media_type == "image" || r.media_type == "audio")
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map(r => decodeSamples(r.doc_id, r.media_type, r.content))
+      }
+  }
+
+  /** Feature extraction v2 — REAL decode where the JVM has a codec:
+    * image embeddings from ImageIO-decoded channel means/extrema,
+    * audio from PCM sample stats, video (no JDK codec) from the parsed
+    * header + strided byte stats over the mdat region as before. All
+    * dims in [0, 1]; dims 0-2 stay the parsed-geometry encoding xm5
+    * certifies.
+    */
+  def extractFeaturesReal(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { row =>
+        val base = decode(row) // crc + header parse + byte-stat fold
+        val st = if (row.media_type == "video") null
+          else decodeSamples(row.doc_id, row.media_type, row.content)
+        if (st == null || st.fmt == "unknown" || st.n_samples == 0L) base
+        else {
+          val emb = base.embedding.clone()
+          if (st.fmt == "png") {
+            emb(3) = st.s1.toFloat / st.n_samples / 255f
+            emb(4) = st.s2.toFloat / st.n_samples / 255f
+            emb(5) = st.s3.toFloat / st.n_samples / 255f
+            emb(6) = st.mx / 255f
+            emb(7) = st.mn / 255f
+          } else {
+            emb(3) = st.s2.toFloat / st.n_samples / 32768f
+            emb(4) = (st.mn + 32768).toFloat / 65536f
+            emb(5) = (st.mx + 32768).toFloat / 65536f
+            emb(6) = 0f
+            emb(7) = 0f
+          }
+          base.copy(embedding = emb)
+        }
+      }
+    }
+  }
 }
