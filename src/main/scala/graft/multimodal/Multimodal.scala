@@ -11,16 +11,21 @@ import org.apache.spark.sql.functions._
   * begin with a genuine format header — PNG signature + IHDR chunk
   * (CRC-valid), RIFF/WAVE fmt+data chunks, MP4 ftyp + moov/mvhd boxes
   * — built deterministically from the row's metadata, followed by the
-  * document's text bytes as the (fake) sample data. `decode` parses
-  * those headers back with a pure-JVM byte walk: the width/height/
-  * duration features come from the ACTUAL payload bytes, exactly the
-  * work a production header-sniff stage does. Only the sample-data
-  * decode (pixels, PCM frames — which would need codec libraries this
-  * container doesn't ship) remains fake: the embedding is a
-  * deterministic byte-statistics fold standing in for the model call.
-  * In production that one fold becomes the JNI/library call (or the
-  * stage moves to `mapInPandas` on PySpark with the same batch
-  * contract); nothing else changes.
+  * document's text bytes as the sample data. `decode` parses those
+  * headers back with a pure-JVM byte walk: the width/height/duration
+  * features come from the ACTUAL payload bytes, exactly the work a
+  * production header-sniff stage does.
+  *
+  * The REAL-codec path (`encodedMediaTable` / `decodeSamples` /
+  * `extractFeaturesReal`, below) goes further: image rows are complete
+  * deflate-compressed PNGs decoded back through `javax.imageio`, audio
+  * rows real 16-bit PCM WAVs decoded by the RIFF chunk walk — both
+  * with nothing but the JDK, and both hash-certified end to end
+  * against a DuckDB recompute of the planted pixel/PCM rules (xm6).
+  * Only video sample decode stays a byte-statistics fold (the JDK
+  * ships no H.264/MP4 decoder); in production that one fold becomes
+  * the JNI/library call (or the stage moves to `mapInPandas` on
+  * PySpark with the same batch contract); nothing else changes.
   *
   * Scale notes: media rows are orders of magnitude wider than text rows
   * — the media table is partitioned so a partition holds
@@ -432,8 +437,14 @@ object Multimodal {
     */
   def encodedMediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
+    // The sf fixtures are single-row-group parquet, so the scan is ONE
+    // split and the per-row encode (Deflater) would run single-threaded;
+    // spread rows across cores first. At 100 TB the scan is thousands
+    // of splits and this is a no-op-sized narrow shuffle (same remedy
+    // as Ctx.documents).
     spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text"))
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, String)]
       .map { case (id, text) =>
         (id % 3) match {

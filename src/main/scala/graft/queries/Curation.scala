@@ -495,39 +495,79 @@ object Curation {
     * Scale shape: a packed offset is a GLOBAL prefix sum, and the
     * naive form — one empty-PARTITION-BY window over the corpus — is
     * the exact single-task funnel RegistryPlanSpec bans. This runs
-    * the classic two-level distributed prefix sum instead: documents
-    * window-sum WITHIN doc_id blocks (B = 1024; partitioned shuffle,
-    * parallel), block TOTALS get the exclusive global window — n/B
-    * narrow rows (three orders of magnitude below the corpus; at
-    * 100 TB recurse once more or lift B), whitelisted as a bounded
-    * global window — and the block offset joins back size-gated
-    * broadcast. The oracle computes the same offsets with DuckDB's
-    * plain global window, so the hash match certifies the
-    * decomposition is EXACTLY the naive semantics. Token counts use
-    * xt1's cross-engine tokenizer identity.
+    * the classic distributed prefix sum instead: documents window-sum
+    * WITHIN doc_id blocks (B = 1024; partitioned shuffle, parallel),
+    * and block TOTALS recurse through [[exclusivePrefix]] — re-blocked
+    * at B per level until <= B rows remain, so the ONLY empty-
+    * PARTITION-BY window in the whole plan runs over a CONSTANT-
+    * bounded (<= 1024-row) frame at ANY corpus size (two recursion
+    * levels already cover 2^40 documents). The block offset joins
+    * back size-gated broadcast. The oracle computes the same offsets
+    * with DuckDB's plain global window, so the hash match certifies
+    * the decomposition is EXACTLY the naive semantics. Token counts
+    * use xt1's cross-engine tokenizer identity.
     */
+  /** Exclusive prefix sum of `v` over rows ordered by the NON-NEGATIVE
+    * integer column `key` (no duplicate keys), fully distributed at
+    * any size: keys block at B per level (within-block windows are
+    * partitioned and parallel), block totals recurse, and only a
+    * frame already <= B rows gets the empty-PARTITION-BY window — a
+    * constant-bounded single task, never a data-sized one. Depth is
+    * ceil(log_B n): the per-level count() that picks the base case is
+    * a distributed aggregate over a frame that shrinks 1024x per
+    * level (callers persist the input, so counts don't recompute the
+    * upstream scan). Keys need not be dense — DIV-blocking only needs
+    * their order.
+    */
+  private[queries] def exclusivePrefix(
+      df: org.apache.spark.sql.DataFrame, key: String, v: String,
+      out: String, B: Long = 1024L, lvl: Int = 0)
+      : org.apache.spark.sql.DataFrame = {
+    if (df.count() <= B) {
+      val w = Window.orderBy(col(key))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      df.withColumn(out, coalesce(sum(col(v)).over(w), lit(0L)))
+    } else {
+      val sup = s"_sup$lvl"; val preIn = s"_prein$lvl"
+      val preSup = s"_presup$lvl"; val bt = s"_bt$lvl"
+      val blocked = df.withColumn(sup, expr(s"$key DIV $B"))
+      val wIn = Window.partitionBy(sup).orderBy(key)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val withIn = blocked.withColumn(preIn,
+        coalesce(sum(col(v)).over(wIn), lit(0L)))
+      val supTotals = own(blocked.groupBy(sup).agg(sum(col(v)).as(bt))
+        .persist())
+      val supPre = exclusivePrefix(supTotals, sup, bt, preSup, B, lvl + 1)
+        .select(col(sup), col(preSup))
+      withIn.join(Scale.maybeBroadcast(supPre), sup)
+        .withColumn(out, col(preSup) + col(preIn))
+        .drop(sup, preIn, preSup)
+    }
+  }
+
   /** The packed-span frame shared by xc11 (per-doc report) and xc12
     * (per-sequence census): (doc_id, n_tokens, start_tok, start_seq,
-    * end_seq) under L-token sequences via the two-level prefix sum
-    * documented on xc11.
+    * end_seq) under L-token sequences via the recursive prefix sum
+    * documented on xc11. Callers wrap in reap{} — the tokenized frame
+    * and recursion levels persist via own().
     */
   private[queries] def packSpans(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     val c = Ctx(s, d)
     val L = 256L
     val B = 1024L
-    val toks = c.documents
+    val toks = own(c.documents
       .select(col("doc_id"),
         size(Llm.tokens(s, col("text"))).cast("long").as("n_tokens"))
       .withColumn("blk", expr(s"doc_id DIV $B"))
+      .persist())
     val wIn = Window.partitionBy("blk").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     val inBlk = toks.withColumn("pre_in",
       coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
-    val wBlk = Window.orderBy("blk")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val blkPre = toks.groupBy("blk").agg(sum(col("n_tokens")).as("bt"))
-      .withColumn("pre_blk", coalesce(sum(col("bt")).over(wBlk), lit(0L)))
+    val blkTotals = own(toks.groupBy("blk")
+      .agg(sum(col("n_tokens")).as("bt")).persist())
+    val blkPre = exclusivePrefix(blkTotals, "blk", "bt", "pre_blk", B)
       .select(col("blk"), col("pre_blk"))
     inBlk.join(Scale.maybeBroadcast(blkPre), "blk")
       .withColumn("start_tok", col("pre_blk") + col("pre_in"))
@@ -541,7 +581,7 @@ object Curation {
 
   val xc11 = GQuery(
     "xc11_sequence_pack",
-    (s, d) => {
+    (s, d) => reap {
       canonBy(packSpans(s, d)
         .select(col("doc_id"), col("n_tokens"), col("start_tok"),
           col("start_seq"), col("end_seq"),
@@ -583,11 +623,20 @@ object Curation {
     * quadratic; the census is one groupBy(seq_id). Output is
     * sequence-space-sized — a data product written next to the packed
     * shards, exactly what the loader's mask builder consumes.
+    *
+    * Membership semantics: zero-token documents contribute no tokens
+    * to any sequence, so they are NOT members — they're filtered
+    * before the explode (round-12 advice: an empty doc's degenerate
+    * [start_seq, start_seq] span would otherwise inflate n_docs /
+    * flip `pure` for a sequence it contributes nothing to, and a
+    * trailing empty doc landing exactly on an L boundary would emit a
+    * phantom seq_id past the last real sequence).
     */
   val xc12 = GQuery(
     "xc12_pack_census",
-    (s, d) => {
+    (s, d) => reap {
       canonBy(packSpans(s, d)
+        .filter(col("n_tokens") > 0L)
         .select(col("doc_id"),
           explode(sequence(col("start_seq"), col("end_seq"))).as("seq_id"))
         .groupBy("seq_id")
@@ -607,9 +656,8 @@ object Curation {
         |  FROM t),
         |spans AS (
         |  SELECT doc_id, start_tok // 256 AS start_seq,
-        |    CASE WHEN n_tokens = 0 THEN start_tok // 256
-        |         ELSE (start_tok + n_tokens - 1) // 256 END AS end_seq
-        |  FROM c),
+        |    (start_tok + n_tokens - 1) // 256 AS end_seq
+        |  FROM c WHERE n_tokens > 0),
         |x AS (
         |  SELECT doc_id, UNNEST(generate_series(start_seq, end_seq)) AS seq_id
         |  FROM spans)

@@ -35,17 +35,20 @@ object Media {
         |FROM documents GROUP BY 1""".stripMargin +
         orderAll("media_type", "n_media", "total_bytes", "max_duration_ms")))
 
-  // Decoded features (mapPartitions batch shape): header fields parsed
-  // from the REAL payload bytes, and the feature vector DERIVED from
-  // that parse — dims 0-2 re-encode the parsed geometry xm5
-  // hash-certifies, dims 3-7 are strided byte stats over the sample
-  // region after the parsed header (the model-call stand-in) — ⊘
-  // rows-only (checksum/embedding aren't SQL-expressible);
-  // MultimodalSpec ties the features to xm5's parsed fields.
+  // Decoded features (mapPartitions batch shape) over the REAL-codec
+  // table: image embeddings come from ImageIO-decoded pixel channel
+  // stats, audio from decoded PCM sample stats, video (no JDK codec)
+  // from the parsed header + strided byte stats over the mdat region.
+  // Dims 0-2 re-encode the parsed geometry (the walk xm5
+  // hash-certifies); dims 3-7 are the decoded-sample stats xm6
+  // hash-certifies against DuckDB's closed-form recompute. ⊘ rows-only
+  // (checksum/embedding aren't SQL-expressible); xr15 certifies the
+  // non-SQL halves with independent in-Spark recomputation.
   val xm2 = GQuery(
     "xm2_media_features",
     (s, d) => {
-      val feats = Multimodal.extractFeatures(Multimodal.mediaTable(s, d)).toDF()
+      val feats = Multimodal.extractFeaturesReal(
+        Multimodal.encodedMediaTable(s, d)).toDF()
       canon(feats.select(
         col("doc_id"), col("media_type"), col("n_bytes"), col("checksum"),
         round(element_at(col("embedding"), 1).cast("double"), 4).as("e0"),
@@ -118,5 +121,56 @@ object Media {
         |FROM img""".stripMargin +
         orderAll("doc_id", "width", "height")))
 
-  def queries: Seq[GQuery] = Seq(xm1, xm2, xm3, xm4, xm5)
+  // REAL codec round trip, oracle-matched end to end: image rows are
+  // complete deflate-compressed PNGs and audio rows real 16-bit PCM
+  // WAVs (Multimodal.encodedMediaTable), decoded back with nothing but
+  // the JDK (javax.imageio for pixels, the RIFF chunk walk + LE16 reads
+  // for samples). The planted pixel/PCM rules are closed forms of
+  // (x, y, doc_id) / (i, doc_id), so the DuckDB oracle recomputes the
+  // exact channel sums/extrema arithmetically — the hash passes only if
+  // encode -> compress -> decode -> aggregate recovers every planted
+  // value bit-exactly. This retires the round-12 "sample decode is
+  // fake" caveat for the two modalities the JVM ships codecs for
+  // (video/MP4 stays header-only by declared contract: no JDK H.264).
+  val xm6 = GQuery(
+    "xm6_real_decode",
+    (s, d) => {
+      val stats = Multimodal.decodeStats(Multimodal.encodedMediaTable(s, d)).toDF()
+      canon(stats)
+    },
+    Some(
+      """WITH img AS (
+        |  SELECT doc_id, 8 + (doc_id % 16) * 4 AS w, 8 + (doc_id % 9) * 4 AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |ix AS (SELECT doc_id, w, h, UNNEST(range(w)) AS x FROM img),
+        |px AS (SELECT doc_id, w, h, x, UNNEST(range(h)) AS y FROM ix),
+        |istat AS (
+        |  SELECT doc_id, 'image' AS media_type, 'png' AS fmt,
+        |    CAST(MAX(w) AS INTEGER) AS width, CAST(MAX(h) AS INTEGER) AS height,
+        |    CAST(COUNT(*) AS BIGINT) AS n_samples,
+        |    CAST(SUM((x*7 + y*13 + doc_id) % 256) AS BIGINT) AS s1,
+        |    CAST(SUM((x*3 + y*5 + doc_id*2) % 256) AS BIGINT) AS s2,
+        |    CAST(SUM((x + y + doc_id*3) % 256) AS BIGINT) AS s3,
+        |    CAST(MIN((x*7 + y*13 + doc_id) % 256) AS INTEGER) AS mn,
+        |    CAST(MAX((x*7 + y*13 + doc_id) % 256) AS INTEGER) AS mx
+        |  FROM px GROUP BY doc_id),
+        |aud AS (
+        |  SELECT doc_id, 400 + (doc_id % 60) * 40 AS n
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |smp AS (SELECT doc_id, UNNEST(range(n)) AS i FROM aud),
+        |astat AS (
+        |  SELECT doc_id, 'audio' AS media_type, 'wav' AS fmt,
+        |    CAST(0 AS INTEGER) AS width, CAST(0 AS INTEGER) AS height,
+        |    CAST(COUNT(*) AS BIGINT) AS n_samples,
+        |    CAST(SUM((doc_id*31 + i*17) % 4096 - 2048) AS BIGINT) AS s1,
+        |    CAST(SUM(ABS((doc_id*31 + i*17) % 4096 - 2048)) AS BIGINT) AS s2,
+        |    CAST(0 AS BIGINT) AS s3,
+        |    CAST(MIN((doc_id*31 + i*17) % 4096 - 2048) AS INTEGER) AS mn,
+        |    CAST(MAX((doc_id*31 + i*17) % 4096 - 2048) AS INTEGER) AS mx
+        |  FROM smp GROUP BY doc_id)
+        |SELECT * FROM istat UNION ALL SELECT * FROM astat""".stripMargin +
+        orderAll("doc_id", "media_type", "fmt", "width", "height",
+          "n_samples", "s1", "s2", "s3", "mn", "mx")))
+
+  def queries: Seq[GQuery] = Seq(xm1, xm2, xm3, xm4, xm5, xm6)
 }

@@ -716,22 +716,32 @@ object Recall {
     Some(reportSql("xs5_ann_incremental", "assign_equiv_and_conservation",
       None, 1.0, Some(true))))
 
-  /** xm2's decode plumbing certified on driver-hash-checked
-    * invariants — the last ⊘ registry entry without a driver-visible
-    * cert. xm2's checksum/embedding halves are not SQL-expressible
-    * (CRC32 fold + a byte-statistics model stand-in), so the cert
-    * recomputes their contracts IN SPARK by independent means and
-    * reduces them to one assertion row:
+  /** xm2's REAL decode certified on driver-hash-checked invariants.
+    * xm2's checksum/embedding halves are not SQL-expressible (CRC32
+    * fold + decoded-sample statistics), so the cert recomputes their
+    * contracts IN SPARK by INDEPENDENT means — closed-form arithmetic
+    * over doc_id through Spark SQL HOFs, sharing no code with the
+    * codec path — and reduces them to one assertion row:
     *  - CHECKSUM: the mapPartitions CRC32 equals Spark's codegen
     *    `crc32()` builtin over the same payload bytes — two
     *    independent implementations agreeing on every row.
-    *  - GEOMETRY TIE: embedding dims 0-2 re-encode exactly the parsed
-    *    (width, height, duration) fields that xm5 hash-certifies
-    *    against DuckDB — the fake model fold is anchored to the
-    *    externally audited header parse, not to itself.
+    *  - GEOMETRY TIE: embedding dims 0-2 equal the planted geometry
+    *    recomputed directly from doc_id (image 8+(id%16)*4 by
+    *    8+(id%9)*4; audio duration (400+(id%60)*40)/8 ms; video
+    *    1280x720, 2000+(id%30)*1000 ms) — NOT from the same row's
+    *    parsed_* fields, so the anchor is a second derivation, not a
+    *    re-encode of the decoder's own output (round-12 advice).
+    *  - PIXEL/PCM TIE: dims 3-7 equal the planted channel/sample
+    *    statistics recomputed per row with sequence/aggregate HOFs
+    *    (pure integer arithmetic over (x, y, doc_id) / (i, doc_id) —
+    *    no codec involved), i.e. the ImageIO pixel decode and the PCM
+    *    sample walk each recover every planted value through
+    *    deflate/ImageIO while the anchor never touches the payload.
+    *    Video rows keep the byte-stat fold (no JDK codec) and are
+    *    checked for shape/bounds only, by declared contract.
     *  - CONSERVATION + SHAPE: one feature row per media row per
-    *    document; every embedding is exactly 8-dim with the byte-stat
-    *    dims (3-7, normalized byte means) inside [0,1].
+    *    document; every embedding is exactly 8-dim with dims 3-7
+    *    inside [0,1].
     *  - DETERMINISM: two independently planned extract runs agree
     *    bit-identically on (checksum, embedding) for every doc — the
     *    replay property a production backfill depends on.
@@ -740,17 +750,18 @@ object Recall {
     *    'unknown' on every row — the decode-stage never-crash
     *    contract.
     * All comparisons are distributed joins/aggregates; only counts
-    * reach the driver. Only the pixel/PCM decode itself (the one
-    * piece needing codec libraries this container doesn't ship)
-    * remains outside certification, by declared contract.
+    * reach the driver; the HOF recompute is bounded per row (<= 2760
+    * elements, the planted fixture sizes). The decoded-sample sums
+    * themselves are ALSO DuckDB-hash-matched via xm6's oracle — this
+    * cert ties xm2's embedding encoding to the same ground truth.
     */
   val xr15 = GQuery(
     "xr15_media_cert",
     (s, d) => reap {
       import s.implicits._
       val mm = graft.multimodal.Multimodal
-      val media = own(mm.mediaTable(s, d).persist())
-      val feats = own(mm.extractFeatures(media).toDF().persist())
+      val media = own(mm.encodedMediaTable(s, d).persist())
+      val feats = own(mm.extractFeaturesReal(media).toDF().persist())
       val nDocs = s.read.parquet(s"$d/documents.parquet").count()
       val nMedia = media.count()
       val nFeats = feats.count()
@@ -758,41 +769,77 @@ object Recall {
         .join(media.toDF().select(col("doc_id"),
           crc32(col("content")).as("crc_sql")), "doc_id")
         .filter(col("checksum") =!= col("crc_sql")).count()
-      // dims 0-2 are exact float re-encodes of the parsed fields
-      // (all fixture values are exact binary fractions); the 1e-6
-      // tolerance guards only float->double widening
+      // independent geometry: the planted closed forms over doc_id
+      val w = expr("CASE doc_id % 3 WHEN 0 THEN 8 + (doc_id % 16) * 4 " +
+        "WHEN 1 THEN 0 ELSE 1280 END")
+      val h = expr("CASE doc_id % 3 WHEN 0 THEN 8 + (doc_id % 9) * 4 " +
+        "WHEN 1 THEN 0 ELSE 720 END")
+      val dur = expr("CASE doc_id % 3 WHEN 0 THEN 0 " +
+        "WHEN 1 THEN (400 + (doc_id % 60) * 40) / 8 " +
+        "ELSE 2000 + (doc_id % 30) * 1000 END")
+      def e(i: Int) = element_at(col("embedding"), i).cast("double")
       val geomBad = feats.filter(
-        abs(element_at(col("embedding"), 1).cast("double") -
-          col("parsed_width").cast("double") / 4096d) > 1e-6 ||
-          abs(element_at(col("embedding"), 2).cast("double") -
-            col("parsed_height").cast("double") / 4096d) > 1e-6 ||
-          abs(element_at(col("embedding"), 3).cast("double") -
-            col("parsed_duration_ms").cast("double") / 1000d / 256d) > 1e-6)
+        abs(e(1) - w.cast("double") / 4096d) > 1e-6 ||
+          abs(e(2) - h.cast("double") / 4096d) > 1e-6 ||
+          abs(e(3) - dur.cast("double") / 1000d / 256d) > 1e-6)
+        .count()
+      // independent sample stats: pure-arithmetic HOFs over the
+      // planted rules — pixel p of a w-wide image is (p % w, p DIV w)
+      val pixBad = feats.filter(col("media_type") === "image")
+        .withColumn("w", expr("8 + (doc_id % 16) * 4"))
+        .withColumn("n", expr("w * (8 + (doc_id % 9) * 4)"))
+        .withColumn("s1", expr("aggregate(sequence(0, n - 1), CAST(0 AS BIGINT), " +
+          "(a, p) -> a + ((p % w) * 7 + (p DIV w) * 13 + doc_id) % 256)"))
+        .withColumn("s2", expr("aggregate(sequence(0, n - 1), CAST(0 AS BIGINT), " +
+          "(a, p) -> a + ((p % w) * 3 + (p DIV w) * 5 + doc_id * 2) % 256)"))
+        .withColumn("s3", expr("aggregate(sequence(0, n - 1), CAST(0 AS BIGINT), " +
+          "(a, p) -> a + ((p % w) + (p DIV w) + doc_id * 3) % 256)"))
+        .withColumn("rch", expr("transform(sequence(0, n - 1), " +
+          "p -> ((p % w) * 7 + (p DIV w) * 13 + doc_id) % 256)"))
+        .filter(
+          abs(e(4) - col("s1").cast("double") / col("n") / 255d) > 1e-6 ||
+            abs(e(5) - col("s2").cast("double") / col("n") / 255d) > 1e-6 ||
+            abs(e(6) - col("s3").cast("double") / col("n") / 255d) > 1e-6 ||
+            abs(e(7) - expr("array_max(rch)").cast("double") / 255d) > 1e-6 ||
+            abs(e(8) - expr("array_min(rch)").cast("double") / 255d) > 1e-6)
+        .count()
+      val pcmBad = feats.filter(col("media_type") === "audio")
+        .withColumn("n", expr("400 + (doc_id % 60) * 40"))
+        .withColumn("sa", expr("aggregate(sequence(0, n - 1), CAST(0 AS BIGINT), " +
+          "(a, i) -> a + abs((doc_id * 31 + i * 17) % 4096 - 2048))"))
+        .withColumn("smp", expr("transform(sequence(0, n - 1), " +
+          "i -> (doc_id * 31 + i * 17) % 4096 - 2048)"))
+        .filter(
+          abs(e(4) - col("sa").cast("double") / col("n") / 32768d) > 1e-6 ||
+            abs(e(5) - (expr("array_min(smp)").cast("double") + 32768d) / 65536d) > 1e-6 ||
+            abs(e(6) - (expr("array_max(smp)").cast("double") + 32768d) / 65536d) > 1e-6)
         .count()
       val shapeBad = feats.filter(size(col("embedding")) =!= 8 ||
         exists(slice(col("embedding"), 4, 5),
           x => x < lit(0f) || x > lit(1f))).count()
-      val again = mm.extractFeatures(media).toDF()
+      val again = mm.extractFeaturesReal(media).toDF()
         .select(col("doc_id"), col("checksum").as("ck2"),
           col("embedding").as("emb2"))
       val nondet = feats.join(again, "doc_id")
         .filter(col("checksum") =!= col("ck2") ||
           col("embedding") =!= col("emb2")).count()
-      val corrupt = mm.extractFeatures(
+      val corrupt = mm.extractFeaturesReal(
         media.map(r => r.copy(content = r.content.take(7)))).toDF()
       val corruptOk = corrupt.filter(col("parsed_format") === "unknown")
         .count() == nMedia
       val conserved = nFeats == nMedia && nMedia == nDocs
-      val ok = crcMismatch == 0L && geomBad == 0L && shapeBad == 0L &&
-        nondet == 0L && corruptOk && conserved
+      val ok = crcMismatch == 0L && geomBad == 0L && pixBad == 0L &&
+        pcmBad == 0L && shapeBad == 0L && nondet == 0L && corruptOk &&
+        conserved
       System.err.println(
         s"[recall] xr15_media_cert crc_mismatch=$crcMismatch " +
-          s"geom_bad=$geomBad shape_bad=$shapeBad nondet=$nondet " +
+          s"geom_bad=$geomBad pix_bad=$pixBad pcm_bad=$pcmBad " +
+          s"shape_bad=$shapeBad nondet=$nondet " +
           s"corrupt_ok=$corruptOk conserved=$conserved")
-      canon(report(s, "xm2_media_features", "decode_plumbing_invariants",
+      canon(report(s, "xm2_media_features", "real_decode_invariants",
         None, 1.0, Some(crcMismatch == 0L && nondet == 0L), ok))
     },
-    Some(reportSql("xm2_media_features", "decode_plumbing_invariants",
+    Some(reportSql("xm2_media_features", "real_decode_invariants",
       None, 1.0, Some(true))))
 
   def queries: Seq[GQuery] =

@@ -1014,10 +1014,31 @@ object Similarity {
       bm25TopKPruned(p, termUbs(p), qt, "qid", k)
     } else {
       val vocabAll =
-        if (vocabProbe.length > 64) dfT.select("term").collect().map(_.getString(0))
+        if (vocabProbe.length > 64) vocabAllCapped(dfT)
         else vocabProbe
       rankTopK(denseScored(s, postings, qt, vocabAll), "qid", k)
     }
+  }
+
+  /** Full-vocabulary driver fetch for the SPEC-ONLY forceDense
+    * override, capped by the same broadcast-threshold + absolute-cap
+    * gate the closure fast path uses (Clusters.collectedLabels): a
+    * future caller passing forceDense=Some(true) on a real corpus
+    * fails loudly at the cap instead of collecting an unbounded
+    * vocabulary into the driver. The auto gate (vocab <= 64) never
+    * reaches here.
+    */
+  private def vocabAllCapped(
+      dfT: org.apache.spark.sql.DataFrame): Array[String] = {
+    val thr = dfT.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    val cap = if (thr > 0) math.min(thr / 32L, 4000000L).toInt else 0
+    require(cap > 0, "forceDense with broadcasting disabled: the dense " +
+      "pivot needs a driver-bounded vocabulary — use the inverted path")
+    val head = dfT.select("term").limit(cap + 1).collect()
+    require(head.length <= cap,
+      s"forceDense on a vocabulary past the dense-pivot cap ($cap terms)" +
+        " — use the inverted path (forceDense=None/Some(false))")
+    head.map(_.getString(0))
   }
 
   private[graft] def bm25TopK(s: org.apache.spark.sql.SparkSession,
@@ -1058,10 +1079,11 @@ object Similarity {
     val dense = forceDense.getOrElse(vocabProbe.length <= 64)
     // the auto gate guarantees dense ⇒ vocab ≤ 64; only the spec-only
     // forceDense override can reach dense with a larger vocabulary,
-    // where the id map needs every term (bounded by the spec corpus)
+    // where the id map needs every term — capped so a misused
+    // override fails loudly (vocabAllCapped) instead of collecting
+    // an unbounded vocabulary
     val vocabAll =
-      if (dense && vocabProbe.length > 64)
-        dfT.select("term").collect().map(_.getString(0))
+      if (dense && vocabProbe.length > 64) vocabAllCapped(dfT)
       else vocabProbe
     if (!dense) {
       // Inverted-index probe with the QUERY side broadcast

@@ -178,4 +178,74 @@ class MultimodalSpec extends AnyFunSuite {
     assert(emb(3) == 'a' / 255f && emb(4) == 'b' / 255f && emb(5) == 'c' / 255f)
     assert(emb(6) == 0f && emb(7) == 0f)
   }
+
+  test("PNG encode -> ImageIO decode recovers every planted pixel value") {
+    // the REAL-codec contract: deflate-compress the planted rule, read
+    // it back through javax.imageio, and the channel sums/extrema must
+    // equal the closed-form arithmetic — per id, exact integer math
+    Seq(0L, 3L, 9L, 42L, 123L, 498L).foreach { id =>
+      val st = Multimodal.decodeSamples(id, "image", Multimodal.pngEncode(id))
+      val w = Multimodal.encWidth(id); val h = Multimodal.encHeight(id)
+      assert(st.fmt == "png" && st.width == w && st.height == h, s"id $id")
+      assert(st.n_samples == w.toLong * h, s"id $id")
+      var s1 = 0L; var s2 = 0L; var s3 = 0L; var mn = 255; var mx = 0
+      for (y <- 0 until h; x <- 0 until w) {
+        val r = Multimodal.pixR(x, y, id)
+        s1 += r; s2 += Multimodal.pixG(x, y, id)
+        s3 += Multimodal.pixB(x, y, id)
+        mn = math.min(mn, r); mx = math.max(mx, r)
+      }
+      assert(st.s1 == s1 && st.s2 == s2 && st.s3 == s3, s"id $id sums")
+      assert(st.mn == mn && st.mx == mx, s"id $id extrema")
+    }
+  }
+
+  test("WAV encode -> PCM walk recovers every planted sample") {
+    Seq(1L, 4L, 10L, 55L, 301L).foreach { id =>
+      val st = Multimodal.decodeSamples(id, "audio", Multimodal.wavEncode(id))
+      val n = Multimodal.encSamples(id)
+      assert(st.fmt == "wav" && st.n_samples == n.toLong, s"id $id")
+      val samples = (0 until n).map(i => Multimodal.pcmSample(i, id))
+      assert(st.s1 == samples.map(_.toLong).sum, s"id $id sum")
+      assert(st.s2 == samples.map(v => math.abs(v).toLong).sum, s"id $id abs")
+      assert(st.mn == samples.min && st.mx == samples.max, s"id $id extrema")
+    }
+  }
+
+  test("real decode stage never throws on corrupt payloads") {
+    // truncations at every interesting seam of a real PNG and WAV
+    val png = Multimodal.pngEncode(7L)
+    val wav = Multimodal.wavEncode(7L)
+    Seq(0, 7, 8, 20, 33, png.length - 5).foreach { k =>
+      val st = Multimodal.decodeSamples(7L, "image", png.take(k))
+      assert(st.fmt == "unknown" || st.n_samples >= 0, s"png take($k)")
+    }
+    Seq(0, 3, 12, 20, 43).foreach { k =>
+      assert(Multimodal.decodeSamples(7L, "audio", wav.take(k)).fmt
+        == "unknown", s"wav take($k)")
+    }
+    // flipped IDAT byte: ImageIO either errors (caught -> unknown) or
+    // yields pixels — never a crash out of the stage
+    val mut = png.clone(); mut(45) = (mut(45) ^ 0x5a).toByte
+    Multimodal.decodeSamples(7L, "image", mut) // must not throw
+  }
+
+  test("extractFeaturesReal embeds decoded stats, video keeps byte fold") {
+    val feats = Multimodal.extractFeaturesReal(
+      Multimodal.encodedMediaTable(spark, sf)).collect()
+    assert(feats.length == 500)
+    feats.filter(_.media_type == "image").take(20).foreach { f =>
+      val st = Multimodal.decodeSamples(f.doc_id, "image",
+        Multimodal.pngEncode(f.doc_id))
+      assert(f.embedding(3) == st.s1.toFloat / st.n_samples / 255f,
+        s"doc ${f.doc_id} e3")
+      assert(f.embedding(6) == st.mx / 255f && f.embedding(7) == st.mn / 255f,
+        s"doc ${f.doc_id} extrema dims")
+    }
+    // video rows parse their mp4 header and keep strided byte stats
+    feats.filter(_.media_type == "video").take(5).foreach { f =>
+      assert(f.parsed_format == "mp4" && f.parsed_width == 1280)
+      assert(f.embedding.drop(3).forall(v => v >= 0f && v <= 1f))
+    }
+  }
 }

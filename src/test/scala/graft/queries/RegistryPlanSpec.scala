@@ -35,15 +35,17 @@ class RegistryPlanSpec extends AnyFunSuite {
     * run over DISTINCT HOUR BUCKETS (time-range-sized: 8.8k rows/year
     * at any corpus size), never the event stream.
     */
-  /** xc11's exclusive global window runs over BLOCK TOTALS only —
-    * n/1024 narrow rows from the two-level prefix-sum decomposition
-    * (the document stream itself never crosses a single-task window;
-    * see xc11's scaladoc for the 100 TB recursion).
+  /** xc11/xc12 no longer need whitelisting: their packed offset runs
+    * the RECURSIVE prefix sum (Curation.exclusivePrefix) whose only
+    * empty-PARTITION-BY window is over a <= 1024-row base case at any
+    * corpus size — and their reap{} checkpoint means the inspected
+    * plan here is the materialized scan anyway. ExclusivePrefixSpec
+    * pins the recursion's window discipline directly.
     */
   private val globalWindowOk =
     Set("xi2_incremental_quantiles", "xi3_incremental_join",
       "xv4_key_skew", "q64_sql_tpch11", "xe7_peak_concurrency",
-      "xe8_hourly_anomaly", "xc11_sequence_pack", "xc12_pack_census")
+      "xe8_hourly_anomaly")
 
   test("no declared query plans a CartesianProduct or a data-sized global window") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]

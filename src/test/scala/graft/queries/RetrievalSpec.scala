@@ -94,6 +94,31 @@ class RetrievalSpec extends AnyFunSuite {
     assert(a.nonEmpty && a == b)
   }
 
+  test("bm25 forceDense: vocabulary past the dense-pivot cap fails loudly") {
+    // the spec-only override must not be able to collect an unbounded
+    // vocabulary into the driver: shrink the broadcast threshold so
+    // the cap (thr/32) lands below the fixture's >64-term vocabulary
+    // and the dense path must throw instead of collecting
+    val conf = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(conf)
+    try {
+      spark.conf.set(conf, "320") // cap = 10 terms < 64 < fixture vocab
+      val e = intercept[IllegalArgumentException] {
+        Det.reap {
+          Similarity.bm25ScoredOn(spark, docsDf, forceDense = Some(true))
+        }
+      }
+      assert(e.getMessage.contains("dense-pivot cap"))
+      spark.conf.set(conf, "-1") // broadcasting disabled: also refuse
+      val e2 = intercept[IllegalArgumentException] {
+        Det.reap {
+          Similarity.bm25ScoredOn(spark, docsDf, forceDense = Some(true))
+        }
+      }
+      assert(e2.getMessage.contains("broadcasting disabled"))
+    } finally spark.conf.set(conf, saved)
+  }
+
   test("bm25: both paths match the plain-Scala Okapi replay") {
     val expected = scalaBm25
     val dense = collectScores(Det.reap {
