@@ -1225,4 +1225,91 @@ object Snapshot {
     drop.foreach(v => fs.delete(manifestFile(root, v), false))
     dead.map(_.toString).sorted.toIndexedSeq
   }
+
+  // --------------------------------------------------------------- export
+
+  /** One-way bridge OUT of the snapshot format: materialize `version`
+    * (current if None) at `outDir` as a PLAIN parquet directory —
+    * `spark.read.parquet(outDir)`, DuckDB's read_parquet, or a
+    * Delta/Iceberg bootstrap (`CONVERT TO DELTA parquet.\`dir\``,
+    * Iceberg's `add_files`) consumes it with no knowledge of this
+    * layer. The migration recipe lives in DESIGN.md.
+    *
+    * A version WITHOUT deletion vectors exports as BYTE-IDENTICAL
+    * copies of its immutable data files — the manifest's file list IS
+    * the export plan; no row is decoded. Output names are prefixed
+    * with their commit dir (`c<version>-<uuid>_part-*.parquet`) so a
+    * multi-commit version can't collide on part numbers. A
+    * merge-on-read version (`#dv=` in the header) cannot be exported
+    * by file copy without resurrecting its deleted rows, so it
+    * materializes through [[read]] at that version — one distributed
+    * scan + write.
+    *
+    * `_graft_export.json` lands next to the files (underscore prefix:
+    * parquet directory listings ignore it) recording the source
+    * table, version, mode, and per-file provenance + size — the
+    * directory-listing sidecar an external cataloger consumes.
+    *
+    * Scale shape: the copy loop is O(manifest files) driver-side
+    * metadata + per-file byte streams through the FileSystem API —
+    * the same envelope as [[vacuum]]; nothing is row-decoded. Returns
+    * the number of data files exported.
+    */
+  def exportVersion(spark: SparkSession, path: String, outDir: String,
+      version: Option[Long] = None): Int = {
+    val (fs, root) = resolve(path)
+    val v = version.orElse(versionsIn(fs, root).lastOption).getOrElse(
+      throw new IllegalStateException(s"no snapshot versions at $path"))
+    val (ofs, oroot) = resolve(outDir)
+    require(!ofs.exists(oroot) || LakeFs.listStatus(ofs, oroot).isEmpty,
+      s"export target $outDir exists and is not empty")
+    ofs.mkdirs(oroot)
+    val hdr = headerOf(fs, root, v)
+    val entries = fileEntries(fs, root, v)
+    val hasDv = dvEntries(hdr).nonEmpty
+    val conf = spark.sparkContext.hadoopConfiguration
+    val exported: Seq[(String, String, Long)] =
+      if (hasDv) {
+        // merge-on-read: materialize live rows (deletes applied)
+        read(spark, path, Some(v)).write.mode("errorifexists")
+          .parquet(new Path(oroot, "_staged").toString)
+        // flatten the staged write into outDir so the export is one
+        // plain directory (no nested dir a naive lister would skip)
+        val staged = new Path(oroot, "_staged")
+        val parts = fs.listStatus(staged)
+          .filter(_.getPath.getName.endsWith(".parquet"))
+        val moved = parts.map { p =>
+          val dst = new Path(oroot, p.getPath.getName)
+          require(ofs.rename(p.getPath, dst), s"move failed: ${p.getPath}")
+          (dst.getName, s"materialized from version $v",
+            ofs.getFileStatus(dst).getLen)
+        }.toIndexedSeq
+        ofs.delete(staged, true)
+        moved
+      } else entries.map { e =>
+        val src = resolveEntry(fs, root, e)
+        // commit-dir prefix keeps multi-commit part names unique
+        val name = s"${src.getParent.getName}_${src.getName}"
+        val dst = new Path(oroot, name)
+        org.apache.hadoop.fs.FileUtil.copy(fs, src, ofs, dst,
+          false, false, conf)
+        (name, e, ofs.getFileStatus(dst).getLen)
+      }
+    def js(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val body =
+      s"""{"source":${js(path)},"version":$v,""" +
+        s""""mode":${js(if (hasDv) "materialized" else "file_copy")},""" +
+        s""""files":[""" + exported.map { case (n, srcE, len) =>
+          s"""{"name":${js(n)},"source":${js(srcE)},"bytes":$len}"""
+        }.mkString(",") + "]}"
+    val out = ofs.create(new Path(oroot, "_graft_export.json"), false)
+    try out.write((body + "\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    exported.size
+  }
 }

@@ -190,6 +190,72 @@ class IndexPublishSpec extends AnyFunSuite {
     assert(probed.exists(_ > 30L), "appended codes missing from ADC probe")
   }
 
+  test("two-writer race: same allocated epoch — loser fails loudly, index never torn") {
+    // the Bm25Index.append comment's promise, pinned: two appenders
+    // that BOTH allocate the same next epoch (each computed nextEpoch
+    // before either staged) collide on the errorIfExists stage dir —
+    // the loser throws before any publish, and probes see either the
+    // pre-race index or the winner's complete batch, never a blend
+    val path = Files.createTempDirectory("bm25race").toString + "/idx"
+    Bm25Index.build(spark, docsDf(corpus), path)
+    val before = topDocs(path)
+    val e1 = IndexManifest.nextEpoch(spark, path, Seq("postings", "df", "ubs"))
+    val e2 = IndexManifest.nextEpoch(spark, path, Seq("postings", "df", "ubs"))
+    assert(e1 == e2, "race precondition: both writers allocated one epoch")
+    // winner stages + publishes a full append
+    val drift = Bm25Index.append(spark,
+      docsDf(Seq(9L -> "shuffle shuffle shuffle wins the race")), path)
+    assert(drift.dfTvDrift >= 0.0)
+    val afterWin = topDocs(path)
+    assert(afterWin(100L).contains(9L), "winner's batch not visible")
+    // loser tries to stage ITS batch at the same epoch id: the
+    // errorIfExists stage write must throw — before any manifest write
+    import spark.implicits._
+    val thrown = intercept[Exception] {
+      Seq(("shuffle", 66L, 9000000L)).toDF("term", "doc_id", "cu")
+        .write.mode("errorifexists")
+        .parquet(IndexManifest.epochDir(path, "postings", e2))
+    }
+    assert(thrown.getMessage != null)
+    // the failed stage changed nothing a reader can see
+    assert(topDocs(path) == afterWin, "loser's failed stage tore the index")
+    // and the loser's documented recovery — re-allocate — gets a FRESH
+    // epoch (nextEpoch scans staged dirs, so the winner's is skipped)
+    val e3 = IndexManifest.nextEpoch(spark, path, Seq("postings", "df", "ubs"))
+    assert(e3 > e2, "retry re-allocated the contended epoch")
+    assert(before.nonEmpty)
+  }
+
+  test("concurrent manifest publishes serialize: every epoch lands, versions strictly ordered") {
+    // 8 threads CAS-publishing distinct epochs through one manifest:
+    // every publish must land (the loop retries on rename-CAS loss),
+    // the final manifest must list all of them, and the version chain
+    // must be gap-free — the serialization the rename-onto-existing
+    // semantics promise
+    val path = Files.createTempDirectory("manifestrace").toString + "/idx"
+    // seed a v2 layout with epoch 0 visible
+    val (minEpoch, n) = (1, 8)
+    IndexManifest.publish(spark, path, 0)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (minEpoch until minEpoch + n).map { e =>
+      new Thread(() => {
+        try IndexManifest.publish(spark, path, e)
+        catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"publish thread failed: ${errs.peek()}")
+    val visible = IndexManifest.visibleEpochs(spark, path)
+    assert(visible.contains((0 to n).toSeq),
+      s"lost a racing publish: $visible")
+    // version chain: v00000 .. v0000{n} present with no gaps
+    val md = new java.io.File(s"$path/manifests")
+    val vs = md.listFiles().map(_.getName)
+      .filter(f => f.startsWith("v") && f.endsWith(".txt"))
+      .map(_.stripPrefix("v").stripSuffix(".txt").toInt).sorted
+    assert(vs.toSeq == (0 to n).toSeq, s"version chain has gaps: ${vs.toSeq}")
+  }
+
   test("compact collapses epochs with identical probes; vacuum reclaims, spares newest orphan") {
     val path = Files.createTempDirectory("bm25cmp").toString + "/idx"
     Bm25Index.build(spark, docsDf(corpus), path)
