@@ -1,0 +1,264 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Det._
+
+/** Byte-pair encoding for the text pipeline — the tokenizer a
+  * pretraining corpus actually ships with (Sennrich, Haddow & Birch
+  * 2016, "Neural Machine Translation of Rare Words with Subword
+  * Units"): learn the k most frequent adjacent-symbol merges from the
+  * corpus, then encode any text by applying them in rank order.
+  *
+  * MERGE-APPLICATION SEMANTICS (binding for both engines): a word is
+  * its space-separated symbol string with flanking spaces
+  * (" h e l l o "); merge rank r with pair (a, b) rewrites
+  * " a b " -> " ab " via literal REPLACE-ALL, repeated until fixpoint,
+  * before rank r+1 runs. The flanking spaces in the pattern make a
+  * match start and end at symbol boundaries (token "ba" next to "b"
+  * can never satisfy pattern " a b "), and the fixpoint pass closes
+  * the overlap-run case one replace-all misses (" a a a a " needs two
+  * passes to become " aa aa "). Replace-all is leftmost,
+  * non-overlapping, identical in the JVM and DuckDB — which is what
+  * makes the ENCODER oracle-matchable: DuckDB replays the exact
+  * fixpoint with a recursive CTE. Rank-ascending single application is
+  * complete: a merge at rank r only creates adjacencies involving its
+  * OUTPUT symbol, and every pair involving that symbol was learned
+  * after rank r, so no earlier rank can become applicable again.
+  *
+  * Scale shape: training aggregates the corpus ONCE into the
+  * (word, count) vocabulary table — everything after is
+  * vocabulary-sized (pair counting, merge application, the per-rank
+  * argmax that reaches the driver is ONE row). Encoding is a
+  * scan-stage map with the merge table a closure constant (broadcast
+  * with the task), no shuffle until the output sort.
+  */
+object Bpe {
+
+  /** The SHIPPED merge table for the oracle-matched encoder (xt15):
+    * learned once from the sf0.01 documents fixture with [[train]]'s
+    * exact semantics (k = 24, count desc / pair lex asc tie-break) and
+    * pinned as constants — a production tokenizer is trained once and
+    * shipped to every job, never re-learned per run. BpeSpec re-derives
+    * this table from the fixture to prove the constants ARE the
+    * trainer's output.
+    */
+  val ShippedMerges: Seq[(String, String)] = Seq(
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"),
+    ("m", "er"), ("a", "t"), ("l", "u"), ("a", "r"), ("p", "ar"),
+    ("j", "o"), ("jo", "in"), ("a", "s"), ("as", "h"), ("h", "ash"),
+    ("r", "ow"), ("at", "c"), ("atc", "h"), ("b", "atch"), ("a", "n"),
+    ("c", "an"), ("s", "can"), ("c", "o"), ("c", "u"))
+
+  /** Lower + word-split + char-space a whole document into ONE spaced
+    * string: word separators become runs of >= 3 spaces (so a merge
+    * pattern's single interior space can never match across words),
+    * every in-word symbol boundary exactly one space.
+    */
+  private[queries] def spacedDoc(text: String): String = {
+    val sb = new java.lang.StringBuilder(text.length * 2 + 2)
+    sb.append(' ')
+    var prevAlpha = false
+    var i = 0
+    while (i < text.length) {
+      val c = Character.toLowerCase(text.charAt(i))
+      if (c >= 'a' && c <= 'z') {
+        sb.append(c).append(' ')
+        prevAlpha = true
+      } else if (prevAlpha) {
+        sb.append("  ") // word gap: with the symbol's own trailing
+        prevAlpha = false // space this is >= 3 spaces between words
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Apply one merge to fixpoint — the binding replace-all loop. */
+  private[queries] def applyMerge(s: String, a: String, b: String): String = {
+    val pat = " " + a + " " + b + " "
+    val rep = " " + a + b + " "
+    var cur = s
+    var next = cur.replace(pat, rep)
+    while (next != cur) {
+      cur = next
+      next = cur.replace(pat, rep)
+    }
+    cur
+  }
+
+  /** Encode one document under a merge table; returns the final spaced
+    * string (symbols = its space-separated runs).
+    */
+  private[queries] def encode(text: String,
+      merges: Seq[(String, String)]): String = {
+    var s = spacedDoc(text)
+    merges.foreach { case (a, b) => s = applyMerge(s, a, b) }
+    s
+  }
+
+  private def countRuns(s: String): Int = {
+    var n = 0; var in = false; var i = 0
+    while (i < s.length) {
+      val sp = s.charAt(i) == ' '
+      if (!sp && !in) n += 1
+      in = !sp
+      i += 1
+    }
+    n
+  }
+
+  final case class BpeStats(doc_id: Long, n_words: Int, n_chars: Int,
+      n_bpe_tokens: Int, compression: Double)
+
+  /** Per-doc encode stats over the corpus — the scan-stage map. */
+  def encodeStats(s: SparkSession, d: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    import s.implicits._
+    Ctx(s, d).documents.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val spaced0 = spacedDoc(text)
+        val nChars = countRuns(spaced0) // one run per alpha char
+        val lower = text.toLowerCase(java.util.Locale.ROOT)
+        val nWords = lower.split("[^a-z]+").count(_.nonEmpty)
+        val enc = encode(text, merges)
+        val nTok = countRuns(enc)
+        val ratio = if (nTok == 0) 0.0
+          else math.floor(nChars.toDouble / nTok * 1e4 + 0.5) / 1e4
+        BpeStats(id, nWords, nChars, nTok, ratio)
+      }.toDF()
+  }
+
+  /** xt15: BPE encoding under the shipped merge table, oracle-matched
+    * END TO END: the DuckDB oracle replays the exact
+    * fixpoint-replace-per-rank semantics with a recursive CTE over
+    * (doc, spaced string, rank) — one step either applies one
+    * replace-all pass or advances the rank, and the final row per doc
+    * is its fully encoded form. The VALUES merge table in the SQL is
+    * GENERATED from [[ShippedMerges]], so the two engines cannot
+    * drift. A single wrong replacement anywhere — boundary handling,
+    * overlap runs, rank order — changes a token count and fails the
+    * hash.
+    */
+  val xt15 = GQuery(
+    "xt15_bpe_encode",
+    (s, d) => canonBy(encodeStats(s, d, ShippedMerges), "doc_id"),
+    Some {
+      val k = ShippedMerges.size
+      val values = ShippedMerges.zipWithIndex.map { case ((a, b), i) =>
+        s"(${i + 1}, ' $a $b ', ' $a$b ')"
+      }.mkString(", ")
+      s"""WITH RECURSIVE m(rank, pat, rep) AS (VALUES $values),
+        |d AS (
+        |  SELECT doc_id,
+        |    ' ' || regexp_replace(regexp_replace(lower(text), '[^a-z]+', '  ', 'g'),
+        |                          '([a-z])', '\\1 ', 'g') AS s
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, s, 1 AS rank FROM d
+        |  UNION ALL
+        |  SELECT r.doc_id,
+        |    CASE WHEN replace(r.s, m.pat, m.rep) <> r.s
+        |         THEN replace(r.s, m.pat, m.rep) ELSE r.s END,
+        |    CASE WHEN replace(r.s, m.pat, m.rep) <> r.s
+        |         THEN r.rank ELSE r.rank + 1 END
+        |  FROM r JOIN m ON m.rank = r.rank
+        |  WHERE r.rank <= $k),
+        |f AS (SELECT doc_id, s FROM r WHERE rank = $k + 1),
+        |base AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS INTEGER) AS n_words,
+        |    CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS INTEGER) AS n_chars
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_chars,
+        |  CAST(len(list_filter(string_split_regex(f.s, ' +'), x -> x <> '')) AS INTEGER) AS n_bpe_tokens,
+        |  CASE WHEN len(list_filter(string_split_regex(f.s, ' +'), x -> x <> '')) = 0 THEN 0.0
+        |       ELSE FLOOR(CAST(n_chars AS DOUBLE)
+        |              / len(list_filter(string_split_regex(f.s, ' +'), x -> x <> ''))
+        |              * 10000 + 0.5) / 10000 END AS compression
+        |FROM base JOIN f USING (doc_id)""".stripMargin +
+        orderAll("doc_id")
+    })
+
+  /** xt16 ⊘: the trainer's own merge table over THIS corpus (k = 24)
+    * — rows-only (the iterative argmax is not SQL-expressible; xr16
+    * certifies the invariants driver-visibly). One row per learned
+    * rank.
+    */
+  val xt16 = GQuery(
+    "xt16_bpe_train",
+    (s, d) => reap {
+      import s.implicits._
+      val merges = train(s, Ctx(s, d).documents, 24)
+      canonBy(merges.zipWithIndex
+        .map { case ((a, b), i) => (i + 1, a, b, a + b) }
+        .toDF("rank", "left", "right", "merged"), "rank")
+    },
+    None)
+
+  def queries: Seq[GQuery] = Seq(xt15, xt16)
+
+  /** Distributed BPE training: k merges from the corpus, each chosen
+    * as the max-count adjacent pair (ties: pair lex asc) over the
+    * persisted (spaced word, count) vocabulary table. Per rank: one
+    * vocabulary-sized pair-count aggregation whose argmax — a single
+    * row — is the only thing that reaches the driver, then the
+    * fixpoint replace applied as a column expression (re-checked with
+    * one more pass only while any row still changes — the overlap-run
+    * tail, usually zero iterations). localCheckpoint per rank keeps
+    * the lineage flat across k iterations. Wrap calls in reap{}.
+    */
+  def train(s: SparkSession, docs: DataFrame, k: Int): Seq[(String, String)] =
+    trainWithVocab(s, docs, k)._1
+
+  /** [[train]] plus the final (spaced word, count) vocabulary state —
+    * the second return feeds xr16's implementation tie (word-level
+    * column-regexp merge application vs the encoder's per-doc Scala
+    * fixpoint must agree on every token count).
+    */
+  def trainWithVocab(s: SparkSession, docs: DataFrame,
+      k: Int): (Seq[(String, String)], DataFrame) = {
+    var vocab = own(docs
+      .select(explode(Llm.tokens(s, col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .select(concat(lit(" "),
+        regexp_replace(col("w"), "(.)", "$1 ")).as("s"), col("n"))
+      .localCheckpoint(true).persist())
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var rank = 0
+    while (rank < k) {
+      val top = vocab
+        .select(col("n"), split(trim(col("s")), " ").as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("n"), explode(expr(
+          "transform(sequence(0, size(t) - 2), " +
+            "j -> struct(t[j] AS a, t[j + 1] AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (top.isEmpty) rank = k
+      else {
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        merges += ((a, b))
+        val pat = java.util.regex.Pattern.quote(s" $a $b ")
+        val rep = java.util.regex.Matcher.quoteReplacement(s" $a$b ")
+        var changed = true
+        while (changed) {
+          // one replace-all pass, materialized once; `changed` reads
+          // the materialized frame (no recompute) and is usually false
+          // on the second pass — the overlap-run tail is rare
+          val stepped = own(vocab
+            .select(col("n"), col("s"),
+              regexp_replace(col("s"), pat, rep).as("s2"))
+            .localCheckpoint(true).persist())
+          changed = stepped.filter(col("s2") =!= col("s")).head(1).nonEmpty
+          vocab = own(stepped.select(col("s2").as("s"), col("n")).persist())
+        }
+        rank += 1
+      }
+    }
+    (merges.toSeq, vocab)
+  }
+}

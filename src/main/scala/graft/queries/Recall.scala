@@ -842,7 +842,79 @@ object Recall {
     Some(reportSql("xm2_media_features", "real_decode_invariants",
       None, 1.0, Some(true))))
 
+  /** xt16's BPE trainer certified on driver-hash-checked invariants
+    * (the iterative argmax is not SQL-expressible):
+    *  - DETERMINISM: two independent train runs learn the identical
+    *    merge table — the replay property a shipped tokenizer needs.
+    *  - FIRST-MERGE ARGMAX: merge #1 equals the corpus's true
+    *    max-count adjacent char pair (count desc, pair lex asc)
+    *    recomputed by an INDEPENDENT path — substring HOFs over raw
+    *    tokens, never the trainer's spaced strings or struct pairs.
+    *  - CONSERVATION: the encoder's per-doc alpha-char totals equal a
+    *    plain SQL regexp char count of the corpus — merging reorders
+    *    symbol boundaries, never characters.
+    *  - IMPLEMENTATION TIE: total corpus token count out of the
+    *    TRAINER's final vocabulary state (word-level column
+    *    regexp_replace fixpoint, distributed actions) equals the
+    *    count out of the ENCODER (per-doc JVM String.replace
+    *    fixpoint, xt15's oracle-matched path) under the learned
+    *    merges — two implementations of the binding semantics
+    *    agreeing on every document.
+    *  - COMPRESSION: the learned merges strictly reduce the corpus
+    *    token count below its character count (the trainer did
+    *    something).
+    * All aggregates distributed; only the k-row merge tables and
+    * scalar totals reach the driver.
+    */
+  val xr16 = GQuery(
+    "xr16_bpe_cert",
+    (s, d) => reap {
+      val c = Ctx(s, d)
+      val docs = own(c.documents.persist())
+      val (m1, vocab1) = Bpe.trainWithVocab(s, docs, 24)
+      val m2 = Bpe.train(s, docs, 24)
+      val deterministic = m1 == m2 && m1.size == 24
+      val first = docs
+        .select(explode(Llm.tokens(s, col("text"))).as("w"))
+        .filter(length(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(w) - 1), " +
+            "i -> struct(substring(w, i, 1) AS a, substring(w, i + 1, 1) AS b))"))
+          .as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      val argmaxOk = first.nonEmpty && m1.headOption.contains(
+        (first(0).getString(0), first(0).getString(1)))
+      val enc = own(Bpe.encodeStats(s, d, m1).persist())
+      val tot = enc.agg(
+        sum(col("n_chars")).cast("long"),
+        sum(col("n_bpe_tokens")).cast("long")).head
+      val (chars, toks) = (tot.getLong(0), tot.getLong(1))
+      val charsSql = docs.select(
+        sum(length(regexp_replace(lower(col("text")), "[^a-z]", "")))
+          .cast("long")).head.getLong(0)
+      val trainerToks = vocab1
+        .select((col("n") *
+          size(filter(split(trim(col("s")), " +"), x => x =!= "")))
+          .cast("long").as("t"))
+        .agg(sum(col("t"))).head.getLong(0)
+      val conserved = chars == charsSql
+      val tie = trainerToks == toks
+      val compressed = toks < chars
+      val ok = deterministic && argmaxOk && conserved && tie && compressed
+      System.err.println(
+        s"[recall] xr16_bpe_cert deterministic=$deterministic " +
+          s"argmax_ok=$argmaxOk conserved=$conserved tie=$tie " +
+          s"chars=$chars toks=$toks trainer_toks=$trainerToks")
+      canon(report(s, "xt16_bpe_train", "train_invariants",
+        None, 1.0, Some(deterministic && tie), ok))
+    },
+    Some(reportSql("xt16_bpe_train", "train_invariants",
+      None, 1.0, Some(true))))
+
   def queries: Seq[GQuery] =
     Seq(xr1, xr2, xr3, xr4, xr5, xr6, xr7, xr8, xr9, xr10, xr11, xr12,
-      xr13, xr14, xr15)
+      xr13, xr14, xr15, xr16)
 }

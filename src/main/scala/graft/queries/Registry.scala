@@ -10,6 +10,7 @@ object Registry {
       Reshape.queries ++
       EventOps.queries ++ Udx.queries ++ Llm.queries ++
       Dedup.queries ++ Similarity.queries ++ TextAnalysis.queries ++
+      Bpe.queries ++
       Media.queries ++ Pipeline.queries ++ Clusters.queries ++
       Curation.queries ++ Sql.queries ++ Recall.queries
 
