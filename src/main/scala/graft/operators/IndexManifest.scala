@@ -47,6 +47,26 @@ object IndexManifest {
     (hp.getFileSystem(spark.sparkContext.hadoopConfiguration), hp)
   }
 
+  /** Per-index intra-JVM publish lock. The version-file CAS below
+    * relies on rename-onto-existing FAILING, which HDFS guarantees
+    * but POSIX rename does not (it silently replaces — two same-JVM
+    * threads that both computed version N would each rename onto
+    * vN.txt and the first writer's epoch would vanish; caught by
+    * IndexPublishSpec's 8-thread race). Publishers within one JVM —
+    * the realistic shape: one driver owns an index's maintenance
+    * loop — serialize here, so the rename CAS only ever has to
+    * arbitrate CROSS-process races, where HDFS/object-store rename
+    * semantics make it a true CAS; on a bare local FS cross-process
+    * publishing remains best-effort, the same documented posture as
+    * etl.Snapshot's publish guard.
+    */
+  private val publishLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def lockFor(fs: FileSystem, root: Path): Object =
+    publishLocks.computeIfAbsent(
+      fs.makeQualified(root).toString, _ => new Object)
+
   private def manifestDir(root: Path) = new Path(root, "manifests")
 
   private def vFile(root: Path, v: Long) =
@@ -96,6 +116,7 @@ object IndexManifest {
   def publish(spark: SparkSession, path: String, epoch: Int): Unit = {
     val (fs, root) = resolve(spark, path)
     fs.mkdirs(manifestDir(root))
+    lockFor(fs, root).synchronized {
     var done = false
     var attempts = 0
     while (!done) {
@@ -112,10 +133,12 @@ object IndexManifest {
       val out = fs.create(tmp, false)
       try out.write((next.mkString("\n") + "\n").getBytes("UTF-8"))
       finally out.close()
-      // rename-onto-existing returns false — the CAS: exactly one
-      // publisher wins version v, losers retry against the new state
+      // rename-onto-existing returns false on HDFS — the cross-
+      // process CAS; same-JVM publishers are already serialized by
+      // the enclosing lock (POSIX rename replaces, see lockFor)
       done = fs.rename(tmp, vFile(root, v))
       if (!done) fs.delete(tmp, false)
+    }
     }
   }
 
@@ -129,22 +152,24 @@ object IndexManifest {
   def publishReplacing(spark: SparkSession, path: String, epoch: Int): Unit = {
     val (fs, root) = resolve(spark, path)
     fs.mkdirs(manifestDir(root))
-    var done = false
-    var attempts = 0
-    while (!done) {
-      attempts += 1
-      require(attempts <= 50, s"manifest publish contention at $path")
-      val vs = fs.listStatus(manifestDir(root)).map(_.getPath.getName)
-        .collect { case n if n.startsWith("v") && n.endsWith(".txt") =>
-          n.stripPrefix("v").stripSuffix(".txt").toLong }
-      val v = if (vs.isEmpty) 0L else vs.max + 1L
-      val tmp = new Path(manifestDir(root),
-        s".v$v-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
-      val out = fs.create(tmp, false)
-      try out.write((epoch.toString + "\n").getBytes("UTF-8"))
-      finally out.close()
-      done = fs.rename(tmp, vFile(root, v))
-      if (!done) fs.delete(tmp, false)
+    lockFor(fs, root).synchronized {
+      var done = false
+      var attempts = 0
+      while (!done) {
+        attempts += 1
+        require(attempts <= 50, s"manifest publish contention at $path")
+        val vs = fs.listStatus(manifestDir(root)).map(_.getPath.getName)
+          .collect { case n if n.startsWith("v") && n.endsWith(".txt") =>
+            n.stripPrefix("v").stripSuffix(".txt").toLong }
+        val v = if (vs.isEmpty) 0L else vs.max + 1L
+        val tmp = new Path(manifestDir(root),
+          s".v$v-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+        val out = fs.create(tmp, false)
+        try out.write((epoch.toString + "\n").getBytes("UTF-8"))
+        finally out.close()
+        done = fs.rename(tmp, vFile(root, v))
+        if (!done) fs.delete(tmp, false)
+      }
     }
   }
 

@@ -309,13 +309,16 @@ object Dedup {
         explode(expr(
           "transform(sequence(0, 3), b -> shiftright(sim, b * 16) % 65536 + b * 65536)"))
           .as("band_key"))
+      // hamming BEFORE distinct: the ≤3 filter kills most multi-band
+      // collisions while they are still join output — the distinct
+      // then dedups only surviving (gid_a, gid_b, hamming) narrow rows
+      // instead of every band collision at full width
       val cand = banded.as("a").join(banded.as("b"), Seq("band_key"))
-        .select(col("a.gid").as("gid_a"), col("a.sim").as("sim_a"),
-          col("b.gid").as("gid_b"), col("b.sim").as("sim_b"))
-        .filter(col("gid_a") < col("gid_b"))
-        .distinct()
-        .withColumn("hamming", bit_count(expr("sim_a ^ sim_b")))
+        .filter(col("a.gid") < col("b.gid"))
+        .select(col("a.gid").as("gid_a"), col("b.gid").as("gid_b"),
+          bit_count(expr("a.sim ^ b.sim")).as("hamming"))
         .filter(col("hamming") <= 3)
+        .distinct()
       val g1 = groups.select(col("gid").as("gid_a"), col("ids").as("ids_a"))
       val g2 = groups.select(col("gid").as("gid_b"), col("ids").as("ids_b"))
       cand.join(Scale.maybeBroadcast(g1), "gid_a")
@@ -356,13 +359,13 @@ object Dedup {
         explode(expr(
           "transform(sequence(0, 3), b -> shiftright(sim, b * 15) % 32768 + b * 32768)"))
           .as("band_key"))
+      // same hamming-before-distinct discipline as simhashQualifying
       val cand = banded.as("a").join(banded.as("b"), Seq("band_key"))
-        .select(col("a.gid").as("gid_a"), col("a.sim").as("sim_a"),
-          col("b.gid").as("gid_b"), col("b.sim").as("sim_b"))
-        .filter(col("gid_a") < col("gid_b"))
-        .distinct()
-        .withColumn("hamming", bit_count(expr("sim_a ^ sim_b")))
+        .filter(col("a.gid") < col("b.gid"))
+        .select(col("a.gid").as("gid_a"), col("b.gid").as("gid_b"),
+          bit_count(expr("a.sim ^ b.sim")).as("hamming"))
         .filter(col("hamming") <= 3)
+        .distinct()
       val g1 = groups.select(col("gid").as("gid_a"), col("ids").as("ids_a"))
       val g2 = groups.select(col("gid").as("gid_b"), col("ids").as("ids_b"))
       val qualifying = cand.join(Scale.maybeBroadcast(g1), "gid_a")
