@@ -1275,8 +1275,12 @@ object Snapshot {
           .parquet(new Path(oroot, "_staged").toString)
         // flatten the staged write into outDir so the export is one
         // plain directory (no nested dir a naive lister would skip)
+        // list + rename with the OUTPUT filesystem: _staged lives under
+        // oroot, so touching it through the source `fs` breaks (or
+        // silently returns nothing) on a cross-filesystem export even
+        // though the file-copy branch supports cross-fs via FileUtil
         val staged = new Path(oroot, "_staged")
-        val parts = fs.listStatus(staged)
+        val parts = ofs.listStatus(staged)
           .filter(_.getPath.getName.endsWith(".parquet"))
         val moved = parts.map { p =>
           val dst = new Path(oroot, p.getPath.getName)
@@ -1311,5 +1315,63 @@ object Snapshot {
     try out.write((body + "\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
     exported.size
+  }
+
+  // --------------------------------------------------------------- import
+
+  /** The bridge IN: adopt an existing PLAIN parquet directory — a
+    * table that predates this layer, an [[exportVersion]] output, or
+    * a Delta/Iceberg table's data files after their own vacuum — as
+    * the initial version of a snapshot table at `path`, BY REFERENCE.
+    * No row is decoded and no byte is copied: the new manifest simply
+    * lists the existing files (Delta's CONVERT TO DELTA / Iceberg's
+    * add_files move), so converting a 100 TB directory costs O(files)
+    * metadata — one schema inference over footers plus one footer
+    * read per file for the '#stats=' skipping envelope, the exact
+    * harvest a normal commit performs via [[FileStats]].
+    *
+    * `srcDir == path` is convert-in-place: the files stay where they
+    * are and `manifests/` appears alongside them. A `srcDir` outside
+    * `path` is adopted with fully-qualified absolute entries (the
+    * legacy-manifest form every reader already resolves); either way
+    * the imported table supports read / readWhere pruning / time
+    * travel and every subsequent commit shape (append, upsert,
+    * optimize) exactly like a native table — subsequent commits write
+    * under `data/` as usual and carry the imported entries forward.
+    *
+    * Imported files are REFERENCED, not owned: vacuum reclaims only
+    * files under `data/`, so even after an optimize rewrite drops the
+    * imported entries from the live manifest, the original directory
+    * is never deleted by this layer (it may be someone else's table).
+    *
+    * Refuses a target that already has versions — adopting files into
+    * an existing history would alias rows into versions that never
+    * contained them; append to an existing table instead.
+    */
+  def importTable(spark: SparkSession, srcDir: String, path: String): Long = {
+    val (sfs, sroot) = resolve(srcDir)
+    val (fs, root) = resolve(path)
+    require(versionsIn(fs, root).isEmpty,
+      s"cannot import into $path: snapshot versions already exist")
+    require(sfs.exists(sroot), s"import source $srcDir does not exist")
+    val parts = LakeFs.listStatus(sfs, sroot)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath)
+      .sortBy(_.getName)
+    require(parts.nonEmpty, s"import source $srcDir has no parquet files")
+    // schema from footers only (no data read); recorded in the header
+    // so empty follow-up versions and schema-pinned reads work like a
+    // native table's
+    val schema = spark.read.parquet(srcDir).schema
+    val rootQ = fs.makeQualified(root).toString
+    val entries = parts.map { p =>
+      val q = sfs.makeQualified(p).toString
+      if (q == rootQ) q
+      else if (q.startsWith(rootQ + "/")) q.drop(rootQ.length + 1)
+      else q
+    }
+    fs.mkdirs(root)
+    commitPinned(fs, root, None, entries,
+      Seq("#schema=" + schema.toDDL, s"#import=$srcDir"))
   }
 }

@@ -188,19 +188,43 @@ case class SimHashMd5Sig(left: Expression, right: Expression)
 
 object SimHashMd5Sig {
 
+  /** Per-thread token→hash60 memo. Token frequencies are Zipfian, so
+    * across the distinct-set corpus the same common words are hashed
+    * thousands of times; a bounded value-keyed map turns the repeat
+    * md5 calls (plus the per-token getBytes copy) into one probe.
+    * Keys are CLONED UTF8Strings — the lookup key may point into a
+    * reused unsafe-row buffer, so only a defensive copy is safe to
+    * retain. Capped at 1M entries (~tens of MB for word-sized keys);
+    * past the cap we still compute, just stop inserting — correctness
+    * never depends on a hit. Purely a cache of a pure function, so
+    * results are bit-identical with or without it.
+    */
+  private val memoCap = 1 << 20
+  private val memo =
+    ThreadLocal.withInitial[java.util.HashMap[
+        org.apache.spark.unsafe.types.UTF8String, java.lang.Long]](() =>
+      new java.util.HashMap(1 << 16))
+
   /** One pass: md5-60 each token's UTF-8 bytes (CAST(string AS BINARY)
     * is exactly those bytes), vote its low `bits` bits. Called from
     * generated code.
     */
   def sig(toks: ArrayData, bits: Int): Long = {
+    val m = memo.get()
     val counts = new Array[Int](bits)
     val n = toks.numElements()
     var i = 0
     while (i < n) {
-      val h = Md5Hash60.hash60(toks.getUTF8String(i).getBytes)
+      val t = toks.getUTF8String(i)
+      var hv = m.get(t)
+      if (hv == null) {
+        hv = java.lang.Long.valueOf(Md5Hash60.hash60(t.getBytes))
+        if (m.size < memoCap) m.put(t.clone(), hv)
+      }
+      val h = hv.longValue()
       var j = 0
       while (j < bits) {
-        if (((h >> j) & 1L) != 0L) counts(j) += 1 else counts(j) -= 1
+        counts(j) += (((h >>> j) & 1L).toInt << 1) - 1
         j += 1
       }
       i += 1

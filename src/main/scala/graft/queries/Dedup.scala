@@ -86,6 +86,11 @@ object Dedup {
       .select(least(col("p.a"), col("p.b")).as("doc_a"),
         greatest(col("p.a"), col("p.b")).as("doc_b"), col(extra))
 
+  /** Probe hook: xd2b's back half (expand + intra + canon sort). */
+  private[graft] def xd2bPairsFor(groups: DataFrame, qualifying: DataFrame): DataFrame =
+    canonBy(intraPairs(groups, lit(0), "hamming")
+      .unionByName(expandPairs(qualifying, "hamming")), "doc_a", "doc_b")
+
   /** Intra-group pairs (identical token sets): all a<b member pairs. */
   private def intraPairs(groups: DataFrame, extraVal: org.apache.spark.sql.Column,
       extraName: String): DataFrame =
@@ -302,9 +307,16 @@ object Dedup {
       // nested aggregate HOF: 64 interpreted lambda walks per group
       // became one JVM pass, ~4x on the signature stage).
       graft.functions.SimHashSig.register(groups.sparkSession)
-      val sigs = groups
+      // localCheckpoint BEFORE the band self-join: without it both
+      // sides of banded⋈banded re-evaluate the signature kernel (the
+      // expensive stage — one bit-vote per token per distinct set)
+      // unless exchange reuse happens to fire. Materializing the
+      // narrow (gid, sim) table once halves the kernel work; the
+      // blocks are reclaimed by reap() when the query result is built.
+      val sigs = own(groups
         .withColumn("sim", expr("simhash_sig(htoks, 64)"))
         .select(col("gid"), col("sim"))
+        .localCheckpoint(eager = true))
       val banded = sigs.select(col("gid"), col("sim"),
         explode(expr(
           "transform(sequence(0, 3), b -> shiftright(sim, b * 16) % 65536 + b * 65536)"))
@@ -351,10 +363,14 @@ object Dedup {
       graft.functions.SimHashMd5Sig.register(s)
       val groups = setGroups(c.documents).filter(col("sz") > 0)
       // md5 + vote in ONE codegen kernel — no per-group hash array, no
-      // interpreted per-element md5_60 dispatch inside transform()
-      val sigs = groups
+      // interpreted per-element md5_60 dispatch inside transform().
+      // localCheckpoint before the self-join: the md5-per-token kernel
+      // is the dominant cost and would otherwise run on BOTH sides of
+      // banded⋈banded (this was the board's only budget breach in r13).
+      val sigs = own(groups
         .withColumn("sim", expr("simhash_md5_sig(toks, 60)"))
         .select(col("gid"), col("sim"))
+        .localCheckpoint(eager = true))
       val banded = sigs.select(col("gid"), col("sim"),
         explode(expr(
           "transform(sequence(0, 3), b -> shiftright(sim, b * 15) % 32768 + b * 32768)"))
@@ -372,6 +388,8 @@ object Dedup {
         .join(Scale.maybeBroadcast(g2), "gid_b")
       val pairs = intraPairs(groups, lit(0), "hamming")
         .unionByName(expandPairs(qualifying, "hamming"))
+      // canonBy materializes `pairs` before the range sort (preSort),
+      // so the band-join + expansion pipeline executes exactly once
       canonBy(pairs, "doc_a", "doc_b")
     },
     Some("""WITH tok AS (
