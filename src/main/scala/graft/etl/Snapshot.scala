@@ -1317,6 +1317,25 @@ object Snapshot {
     exported.size
   }
 
+  /** Plan surface for the SQL/DataSource read path ([[SnapshotSource]]):
+    * the pinned version, its recorded schema, each manifest entry
+    * resolved to a path and paired with its '#stats=' envelope, and
+    * whether the version carries deletion vectors (merge-on-read).
+    */
+  private[etl] def scanPlan(spark: SparkSession, path: String,
+      version: Option[Long]): (Long,
+        Option[org.apache.spark.sql.types.StructType],
+        Seq[(Path, Option[FileStats.FileStat])], Boolean) = {
+    val (fs, root) = resolve(path)
+    val v = version.orElse(versionsIn(fs, root).lastOption).getOrElse(
+      throw new IllegalStateException(s"no snapshot versions at $path"))
+    val stats = statsOf(fs, root, v)
+    val entries = fileEntries(fs, root, v).map(e =>
+      (resolveEntry(fs, root, e), stats.get(e)))
+    (v, readSchema(spark, fs, root, v), entries,
+      dvEntries(headerOf(fs, root, v)).nonEmpty)
+  }
+
   // --------------------------------------------------------------- import
 
   /** The bridge IN: adopt an existing PLAIN parquet directory — a

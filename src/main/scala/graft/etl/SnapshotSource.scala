@@ -1,0 +1,129 @@
+package graft.etl
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.{Row, SQLContext, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, PrunedScan, RelationProvider}
+import org.apache.spark.sql.types.StructType
+
+/** The SQL front door for [[Snapshot]] tables — every lake feature the
+  * Scala API exposes (time travel, manifest file skipping, schema-
+  * pinned empty versions) reachable from plain `spark.read` / SQL:
+  *
+  *   spark.read.format("graft-snapshot")
+  *     .option("versionAsOf", 3).load(path)
+  *   CREATE TABLE t USING `graft-snapshot`
+  *     OPTIONS (path '...', versionAsOf '3')
+  *
+  * Architecture: the Delta pattern — a DataSource V1 RelationProvider
+  * returning a [[HadoopFsRelation]] over a MANIFEST-BACKED [[FileIndex]]
+  * instead of a directory listing. That one seam buys the whole native
+  * parquet stack unchanged (vectorized reader, column pruning, filter
+  * pushdown to row groups, AQE), while `listFiles` applies the same
+  * '#stats=' envelope pruning as [[Snapshot.readWhere]] — but driven by
+  * the OPTIMIZER's pushed data filters, so a plain SQL `WHERE` clause
+  * prunes manifest files with no graft-specific API in sight.
+  *
+  * A merge-on-read version (deletion vectors) cannot be served as a
+  * bare file scan without resurrecting its deleted rows, so it falls
+  * back to a [[PrunedScan]] relation that materializes through
+  * [[Snapshot.read]] (deletes applied, column pruning honored) — the
+  * correctness-first posture; compact the DVs away to restore the
+  * fast path.
+  *
+  * Scale shape: relation creation is O(manifest files) driver-side
+  * metadata (one getFileStatus per entry — the vacuum/export
+  * envelope); per-query pruning is a driver-side pass over the cached
+  * stats, never I/O.
+  */
+class SnapshotSource extends RelationProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-snapshot"
+
+  override def createRelation(ctx: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val opts = parameters.map { case (k, v) => k.toLowerCase -> v }
+    val path = opts.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graft-snapshot requires a path (load(path) or OPTIONS (path ...))"))
+    val version = opts.get("versionasof").map(_.toLong)
+    val spark = ctx.sparkSession
+    val (v, schemaOpt, entries, hasDv) =
+      Snapshot.scanPlan(spark, path, version)
+    val schema = schemaOpt.getOrElse {
+      require(entries.nonEmpty,
+        s"version $v at $path is empty and carries no schema header")
+      spark.read.parquet(entries.map(_._1.toString): _*).schema
+    }
+    if (hasDv) new SnapshotMaterializedRelation(ctx, path, v, schema)
+    else {
+      val (fs, _) = LakeFs.resolve(path)
+      val statuses = entries.map { case (p, st) =>
+        (fs.getFileStatus(p), st)
+      }
+      HadoopFsRelation(
+        location = new SnapshotFileIndex(new Path(path), statuses),
+        partitionSchema = new StructType(),
+        dataSchema = schema,
+        bucketSpec = None,
+        fileFormat = new ParquetFileFormat,
+        options = Map.empty)(spark)
+    }
+  }
+}
+
+/** FileIndex over a pinned manifest: the file list IS the manifest (no
+  * directory listing, ever), and `listFiles` drops every file whose
+  * stats envelope proves the pushed data filters can't match — the
+  * conservative discipline of [[FileStats.mayMatch]] (statless files
+  * and unsupported shapes are kept; pruning only removes I/O).
+  */
+private[etl] final class SnapshotFileIndex(root: Path,
+    entries: Seq[(FileStatus, Option[FileStats.FileStat])])
+  extends FileIndex {
+
+  override def rootPaths: Seq[Path] = Seq(root)
+
+  override def partitionSchema: StructType = new StructType()
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val kept =
+      if (dataFilters.isEmpty) entries
+      else entries.filter { case (_, st) =>
+        st.forall(s => dataFilters.forall(f => FileStats.mayMatch(f, s)))
+      }
+    Seq(PartitionDirectory(InternalRow.empty, kept.map(_._1).toArray))
+  }
+
+  override def inputFiles: Array[String] =
+    entries.map(_._1.getPath.toString).toArray
+
+  override def refresh(): Unit = () // manifests are immutable once published
+
+  override def sizeInBytes: Long = entries.map(_._1.getLen).sum
+}
+
+/** Merge-on-read fallback: serve a DV version through [[Snapshot.read]]
+  * so deletes stay applied. PrunedScan keeps column pruning (the scan
+  * reads only requested columns); filters run post-scan like any
+  * non-pushdown V1 relation — correct first, fast after a DV compact.
+  */
+private[etl] final class SnapshotMaterializedRelation(ctx: SQLContext,
+    path: String, version: Long, override val schema: StructType)
+  extends BaseRelation with PrunedScan {
+
+  override def sqlContext: SQLContext = ctx
+
+  override def buildScan(requiredColumns: Array[String])
+      : org.apache.spark.rdd.RDD[Row] = {
+    val df = Snapshot.read(ctx.sparkSession, path, Some(version))
+    val pruned =
+      if (requiredColumns.isEmpty) df
+      else df.select(requiredColumns.toIndexedSeq.map(org.apache.spark.sql.functions.col): _*)
+    pruned.rdd
+  }
+}
