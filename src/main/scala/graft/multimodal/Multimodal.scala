@@ -532,6 +532,144 @@ object Multimodal {
     } catch { case _: Throwable => bad }
   }
 
+  // --------------------------------------------------- raw video (y4m)
+
+  /** Raw-video fixture geometry/rules (xm7): YUV4MPEG2 is the
+    * uncompressed-frame interchange format (ffmpeg/mjpegtools) — a
+    * plain ASCII stream header, then per frame a FRAME marker and the
+    * raw planes. C444 keeps all three planes full-resolution so the
+    * closed-form pixel rules recompute exactly in SQL.
+    */
+  @inline def vidWidth(id: Long): Int = 8 + (id % 8).toInt * 4
+  @inline def vidHeight(id: Long): Int = 8 + (id % 6).toInt * 4
+  @inline def vidFrames(id: Long): Int = 2 + (id % 4).toInt
+  @inline def vidY(x: Int, y: Int, f: Int, id: Long): Int =
+    ((x * 7 + y * 13 + f * 19 + id) % 256).toInt
+  @inline def vidU(x: Int, y: Int, f: Int, id: Long): Int =
+    ((x * 3 + y * 5 + f * 7 + id * 2) % 256).toInt
+  @inline def vidV(x: Int, y: Int, f: Int, id: Long): Int =
+    ((x + y + f * 3 + id * 3) % 256).toInt
+
+  /** A complete YUV4MPEG2 stream: `YUV4MPEG2 W<w> H<h> F25:1 Ip A1:1
+    * C444\n` then per frame `FRAME\n` + Y, U, V planes (w*h bytes
+    * each) of the planted rules. Decodable by any y4m consumer.
+    */
+  private[multimodal] def y4mEncode(id: Long): Array[Byte] = {
+    val w = vidWidth(id); val h = vidHeight(id); val nf = vidFrames(id)
+    val hdr = ascii(s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C444\n")
+    val frameMark = ascii("FRAME\n")
+    val out = new java.io.ByteArrayOutputStream(
+      hdr.length + nf * (frameMark.length + 3 * w * h))
+    out.write(hdr, 0, hdr.length)
+    var f = 0
+    while (f < nf) {
+      out.write(frameMark, 0, frameMark.length)
+      var plane = 0
+      while (plane < 3) {
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            out.write(plane match {
+              case 0 => vidY(x, y, f, id)
+              case 1 => vidU(x, y, f, id)
+              case _ => vidV(x, y, f, id)
+            })
+            x += 1
+          }
+          y += 1
+        }
+        plane += 1
+      }
+      f += 1
+    }
+    out.toByteArray
+  }
+
+  /** Raw-video table over the video-assigned docs (doc_id % 3 = 2,
+    * the same modality cycling as mediaTable/encodedMediaTable).
+    */
+  def rawVideoTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"))
+      .filter(col("doc_id") % 3 === 2)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[Long]
+      .map { id =>
+        MediaRow(id, "video", y4mEncode(id),
+          MediaMeta("y4m", vidWidth(id), vidHeight(id),
+            vidFrames(id) * 40L)) // 25 fps => 40 ms/frame
+      }
+  }
+
+  /** Decode one y4m payload by plain byte walk: parse the ASCII stream
+    * header (W/H/C tokens), require C444, then fold every frame's
+    * planes. s1/s2/s3 = Y/U/V sums over ALL frames, mn/mx over the Y
+    * plane, n_samples = w*h*frames (per plane). Corrupt/truncated/
+    * non-444 input yields fmt="unknown" — a decode stage never throws.
+    */
+  private[multimodal] def decodeVideo(id: Long,
+      content: Array[Byte]): SampleStats = {
+    val bad = SampleStats(id, "video", "unknown", 0, 0, 0L, 0L, 0L, 0L, 0, 0)
+    try {
+      val nl = content.indexOf('\n'.toByte)
+      if (nl <= 0) return bad
+      val hdr = new String(content, 0, nl, "US-ASCII")
+      val toks = hdr.split(" ")
+      if (toks.isEmpty || toks(0) != "YUV4MPEG2") return bad
+      def tag(c: Char): Option[String] =
+        toks.find(t => t.nonEmpty && t.head == c).map(_.tail)
+      val w = tag('W').map(_.toInt).getOrElse(return bad)
+      val h = tag('H').map(_.toInt).getOrElse(return bad)
+      if (!tag('C').forall(_ == "444")) return bad // only full-res planes
+      if (w <= 0 || h <= 0) return bad
+      val plane = w * h
+      val frameMark = "FRAME".getBytes("US-ASCII")
+      var off = nl + 1
+      var nf = 0
+      var sy = 0L; var su = 0L; var sv = 0L
+      var mn = 255; var mx = 0
+      while (off < content.length) {
+        // FRAME line (parameters until newline allowed by the spec)
+        if (off + frameMark.length > content.length ||
+            !frameMark.indices.forall(i => content(off + i) == frameMark(i)))
+          return bad
+        val fnl = content.indexOf('\n'.toByte, off)
+        if (fnl < 0 || fnl + 1 + 3 * plane > content.length) return bad
+        var o = fnl + 1
+        var i = 0
+        while (i < plane) { // Y
+          val v = content(o + i) & 0xff
+          sy += v
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+          i += 1
+        }
+        o += plane
+        i = 0
+        while (i < plane) { su += content(o + i) & 0xff; i += 1 } // U
+        o += plane
+        i = 0
+        while (i < plane) { sv += content(o + i) & 0xff; i += 1 } // V
+        off = o + plane
+        nf += 1
+      }
+      if (nf == 0) bad
+      else SampleStats(id, "video", "y4m", w, h, plane.toLong * nf,
+        sy, su, sv, mn, mx)
+    } catch { case _: Throwable => bad }
+  }
+
+  /** Raw-video sample-decode stage — the xm7 scan: one byte walk per
+    * row, no shuffle until the caller's output sort.
+    */
+  def videoDecodeStats(media: Dataset[MediaRow]): Dataset[SampleStats] = {
+    import media.sparkSession.implicits._
+    media.filter(r => r.media_type == "video")
+      .mapPartitions(_.map(r => decodeVideo(r.doc_id, r.content)))
+  }
+
   /** Real sample-decode stage over the encoded table: mapPartitions so
     * codec setup (ImageIO's disk cache OFF — a temp file per decode
     * would turn a CPU stage into an I/O one) is paid once per

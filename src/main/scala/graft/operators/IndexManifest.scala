@@ -59,6 +59,14 @@ object IndexManifest {
     * semantics make it a true CAS; on a bare local FS cross-process
     * publishing remains best-effort, the same documented posture as
     * etl.Snapshot's publish guard.
+    *
+    * Lifetime: one monitor Object per DISTINCT qualified index root,
+    * never evicted — deliberate. A driver publishes to a handful of
+    * index roots for its whole life (the entry is ~100 bytes; even a
+    * pathological fleet touching 10^5 roots holds ~10 MB), and weak
+    * eviction would reintroduce the race it exists to close: two
+    * threads that interned DIFFERENT monitors for the same root
+    * serialize against nothing.
     */
   private val publishLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()

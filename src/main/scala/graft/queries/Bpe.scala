@@ -50,6 +50,72 @@ object Bpe {
     ("r", "ow"), ("at", "c"), ("atc", "h"), ("b", "atch"), ("a", "n"),
     ("c", "an"), ("s", "can"), ("c", "o"), ("c", "u"))
 
+  /** The production-sized merge table for xt15b: 256 merges, trained
+    * once offline by `graft.TrainBpe256` with the SAME trainer. The
+    * eval corpus's 31-word vocabulary saturates plain training at 99
+    * merges (every word fully merged), so — exactly like a production
+    * tokenizer, which is trained on a far larger corpus than any batch
+    * it encodes — the training corpus is the fixture text plus each
+    * document's adjacent-word concatenations (deterministic, no RNG).
+    * Encoding THIS corpus under the bigger table is the realistic
+    * shape: late-rank merges mostly never fire on a given batch, but
+    * every rank still costs a fixpoint replace pass, and the xt15b
+    * oracle replays all 256 of them.
+    */
+  val ShippedMerges256: Seq[(String, String)] = Seq(
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"),
+    ("a", "t"), ("m", "er"), ("a", "l"), ("a", "r"), ("p", "ar"),
+    ("a", "s"), ("e", "c"), ("e", "a"), ("j", "o"), ("jo", "in"),
+    ("l", "t"), ("a", "b"), ("as", "h"), ("h", "ash"), ("a", "n"),
+    ("c", "an"), ("at", "c"), ("atc", "h"), ("f", "i"), ("fi", "lt"),
+    ("filt", "er"), ("l", "u"), ("lu", "m"), ("lum", "n"), ("o", "lumn"),
+    ("o", "mer"), ("st", "omer"), ("u", "stomer"), ("t", "or"), ("m", "al"),
+    ("g", "g"), ("l", "ow"), ("mer", "g"), ("s", "can"), ("b", "atch"),
+    ("ec", "tor"), ("v", "ector"), ("d", "er"), ("s", "mal"), ("ab", "l"),
+    ("d", "at"), ("st", "r"), ("al", "u"), ("v", "alu"), ("or", "der"),
+    ("e", "y"), ("k", "ey"), ("s", "low"), ("u", "p"), ("l", "in"),
+    ("smal", "l"), ("ea", "m"), ("str", "eam"), ("d", "ow"), ("in", "dow"),
+    ("w", "indow"), ("par", "k"), ("g", "r"), ("t", "abl"), ("o", "up"),
+    ("c", "olumn"), ("c", "ustomer"), ("er", "y"), ("q", "u"), ("qu", "ery"),
+    ("par", "t"), ("or", "t"), ("gr", "oup"), ("s", "park"), ("merg", "e"),
+    ("b", "i"), ("a", "gg"), ("f", "a"), ("r", "ow"), ("fa", "st"),
+    ("s", "ort"), ("valu", "e"), ("bi", "g"), ("lin", "e"), ("tabl", "e"),
+    ("t", "h"), ("dat", "a"), ("th", "e"), ("ec", "olumn"), ("ec", "ustomer"),
+    ("dat", "as"), ("er", "ow"), ("ea", "gg"), ("abl", "e"), ("h", "e"),
+    ("at", "able"), ("ar", "ow"), ("at", "he"), ("dat", "ab"), ("smal", "lt"),
+    ("i", "g"), ("mal", "l"), ("d", "up"), ("tor", "der"), ("al", "in"),
+    ("alin", "e"), ("table", "hash"), ("part", "filter"), ("customer", "join"), ("merge", "group"),
+    ("slow", "key"), ("vector", "small"), ("big", "order"), ("filter", "hash"), ("filter", "small"),
+    ("merge", "order"), ("row", "a"), ("sort", "a"), ("batch", "agg"), ("row", "customer"),
+    ("slow", "query"), ("slow", "small"), ("table", "merge"), ("agg", "table"), ("batch", "scan"),
+    ("column", "big"), ("customer", "vector"), ("lin", "ecustomer"), ("query", "join"), ("value", "table"),
+    ("data", "customer"), ("filter", "query"), ("filter", "scan"), ("join", "key"), ("join", "row"),
+    ("merg", "ecolumn"), ("merg", "ecustomer"), ("merge", "hash"), ("part", "column"), ("part", "stream"),
+    ("query", "merge"), ("scan", "customer"), ("scan", "table"), ("spark", "big"), ("as", "low"),
+    ("column", "line"), ("filter", "merge"), ("filter", "row"), ("hash", "vector"), ("join", "vector"),
+    ("key", "filter"), ("small", "join"), ("small", "stream"), ("small", "vector"), ("sort", "slow"),
+    ("spark", "line"), ("table", "line"), ("value", "query"), ("window", "customer"), ("window", "table"),
+    ("agg", "value"), ("batch", "row"), ("batch", "stream"), ("fast", "hash"), ("hash", "stream"),
+    ("join", "data"), ("join", "group"), ("key", "line"), ("key", "order"), ("line", "line"),
+    ("scan", "part"), ("small", "small"), ("sort", "data"), ("tabl", "ecolumn"), ("table", "key"),
+    ("vector", "a"), ("vector", "vector"), ("column", "merge"), ("customer", "slow"), ("data", "join"),
+    ("datas", "low"), ("fast", "customer"), ("hash", "agg"), ("line", "data"), ("line", "filter"),
+    ("order", "value"), ("part", "merge"), ("row", "window"), ("scan", "order"), ("slow", "agg"),
+    ("slow", "data"), ("slow", "hash"), ("slow", "table"), ("small", "filter"), ("sort", "sort"),
+    ("spark", "batch"), ("table", "join"), ("the", "batch"), ("column", "data"), ("column", "key"),
+    ("customer", "part"), ("customer", "small"), ("dat", "arow"), ("data", "data"), ("filter", "value"),
+    ("group", "group"), ("hash", "customer"), ("join", "batch"), ("join", "window"), ("key", "big"),
+    ("line", "key"), ("line", "slow"), ("order", "big"), ("order", "column"), ("order", "small"),
+    ("query", "column"), ("query", "row"), ("row", "column"), ("row", "merge"), ("scan", "vector"),
+    ("slow", "sort"), ("spark", "join"), ("stream", "order"), ("stream", "part"), ("vector", "spark"),
+    ("window", "filter"), ("a", "vector"), ("agg", "batch"), ("agg", "line"), ("agg", "stream"),
+    ("batch", "data"), ("big", "join"), ("data", "fast"), ("fast", "spark"), ("filter", "data"),
+    ("group", "stream"), ("hash", "batch"), ("hash", "hash"), ("hash", "the"), ("hash", "window"),
+    ("order", "data"), ("part", "table"), ("query", "key"), ("row", "value"), ("slow", "batch"),
+    ("small", "customer"), ("spark", "hash"), ("stream", "value"), ("table", "part"), ("table", "value"),
+    ("the", "the"), ("valu", "eagg"), ("value", "slow"), ("vector", "join"), ("window", "hash"),
+    ("window", "sort"))
+
   /** Lower + word-split + char-space a whole document into ONE spaced
     * string: word separators become runs of >= 3 spaces (so a merge
     * pattern's single interior space can never match across words),
@@ -61,7 +127,15 @@ object Bpe {
     var prevAlpha = false
     var i = 0
     while (i < text.length) {
-      val c = Character.toLowerCase(text.charAt(i))
+      // arithmetic A-Z lowering with every char >= 0x80 a separator —
+      // the EXACT alphabet rule of functions.Tokenize / Llm.tokens, so
+      // the trainer/encoder tie (xr16) and the DuckDB oracle replay
+      // (xt15) hold on any input: Character.toLowerCase disagrees with
+      // both for exotic code points (U+212A Kelvin lowers into [a-z]
+      // here but not in SQL lower(); U+0130 lowers to a two-char
+      // sequence in DuckDB, splitting the word)
+      val c0 = text.charAt(i)
+      val c = if (c0 >= 'A' && c0 <= 'Z') (c0 + 32).toChar else c0
       if (c >= 'a' && c <= 'z') {
         sb.append(c).append(' ')
         prevAlpha = true
@@ -111,22 +185,70 @@ object Bpe {
   final case class BpeStats(doc_id: Long, n_words: Int, n_chars: Int,
       n_bpe_tokens: Int, compression: Double)
 
-  /** Per-doc encode stats over the corpus — the scan-stage map. */
+  /** Token count of ONE word under the merge table — the same
+    * String.replace fixpoint as [[encode]], but scoped to the word.
+    * Equivalent by construction: a merge pattern needs a single
+    * interior space on each side, and [[spacedDoc]] separates words
+    * by >= 3 spaces, so no merge ever crosses a word boundary —
+    * per-word application IS the whole-doc application (pinned
+    * empirically by BpeSpec's word-path/doc-path equality test).
+    */
+  private def wordTokens(word: String, merges: Seq[(String, String)]): Int = {
+    val sb = new java.lang.StringBuilder(word.length * 2 + 2)
+    sb.append(' ')
+    var i = 0
+    while (i < word.length) { sb.append(word.charAt(i)).append(' '); i += 1 }
+    var s = sb.toString
+    merges.foreach { case (a, b) => s = applyMerge(s, a, b) }
+    countRuns(s)
+  }
+
+  /** Per-doc encode stats over the corpus — the scan-stage map.
+    *
+    * Production-vocabulary scale path: the naive whole-doc form runs
+    * |merges| replace-all passes over each document's full spaced
+    * string (k=256 on sf0.1 ≈ 15M multi-KB scans); instead the doc is
+    * split into words once and each DISTINCT word is encoded once per
+    * partition through a bounded memo — the Zipfian reuse that makes
+    * every production BPE encoder cache word encodings. Stays a
+    * mapPartitions over the scan (no shuffle before the output sort).
+    */
   def encodeStats(s: SparkSession, d: String,
       merges: Seq[(String, String)]): DataFrame = {
     import s.implicits._
     Ctx(s, d).documents.select(col("doc_id"), col("text"))
       .as[(Long, String)]
-      .map { case (id, text) =>
-        val spaced0 = spacedDoc(text)
-        val nChars = countRuns(spaced0) // one run per alpha char
-        val lower = text.toLowerCase(java.util.Locale.ROOT)
-        val nWords = lower.split("[^a-z]+").count(_.nonEmpty)
-        val enc = encode(text, merges)
-        val nTok = countRuns(enc)
-        val ratio = if (nTok == 0) 0.0
-          else math.floor(nChars.toDouble / nTok * 1e4 + 0.5) / 1e4
-        BpeStats(id, nWords, nChars, nTok, ratio)
+      .mapPartitions { it =>
+        val cache = new java.util.HashMap[String, Integer]()
+        it.map { case (id, text) =>
+          var nChars = 0; var nWords = 0; var nTok = 0
+          val wb = new java.lang.StringBuilder
+          def flush(): Unit = if (wb.length > 0) {
+            nWords += 1
+            nChars += wb.length
+            val w = wb.toString
+            var t = cache.get(w)
+            if (t == null) {
+              t = Integer.valueOf(wordTokens(w, merges))
+              if (cache.size < (1 << 20)) cache.put(w, t)
+            }
+            nTok += t.intValue()
+            wb.setLength(0)
+          }
+          var i = 0
+          while (i < text.length) {
+            // the spacedDoc alphabet rule: arithmetic A-Z lowering,
+            // everything else (incl. >= 0x80) a separator
+            val c0 = text.charAt(i)
+            val c = if (c0 >= 'A' && c0 <= 'Z') (c0 + 32).toChar else c0
+            if (c >= 'a' && c <= 'z') wb.append(c) else flush()
+            i += 1
+          }
+          flush()
+          val ratio = if (nTok == 0) 0.0
+            else math.floor(nChars.toDouble / nTok * 1e4 + 0.5) / 1e4
+          BpeStats(id, nWords, nChars, nTok, ratio)
+        }
       }.toDF()
   }
 
@@ -144,9 +266,27 @@ object Bpe {
   val xt15 = GQuery(
     "xt15_bpe_encode",
     (s, d) => canonBy(encodeStats(s, d, ShippedMerges), "doc_id"),
-    Some {
-      val k = ShippedMerges.size
-      val values = ShippedMerges.zipWithIndex.map { case ((a, b), i) =>
+    Some(oracleFor(ShippedMerges)))
+
+  /** xt15b: the SAME oracle-replayed encode under the production-sized
+    * 256-merge table [[ShippedMerges256]] — proving the fixpoint
+    * encoder (word-memoized scan-stage path) doesn't drift or degrade
+    * at a realistic vocabulary: the DuckDB replay recurses through all
+    * 256 ranks and the hash must still match bit-for-bit.
+    */
+  val xt15b = GQuery(
+    "xt15b_bpe_encode256",
+    (s, d) => canonBy(encodeStats(s, d, ShippedMerges256), "doc_id"),
+    Some(oracleFor(ShippedMerges256)))
+
+  /** The recursive-CTE oracle replaying the exact rank-order
+    * fixpoint-replace semantics for ANY merge table — the VALUES rows
+    * are generated from the Scala constant so the engines cannot
+    * drift.
+    */
+  private def oracleFor(merges: Seq[(String, String)]): String = {
+      val k = merges.size
+      val values = merges.zipWithIndex.map { case ((a, b), i) =>
         s"(${i + 1}, ' $a $b ', ' $a$b ')"
       }.mkString(", ")
       s"""WITH RECURSIVE m(rank, pat, rep) AS (VALUES $values),
@@ -179,7 +319,7 @@ object Bpe {
         |              * 10000 + 0.5) / 10000 END AS compression
         |FROM base JOIN f USING (doc_id)""".stripMargin +
         orderAll("doc_id")
-    })
+  }
 
   /** xt16 ⊘: the trainer's own merge table over THIS corpus (k = 24)
     * — rows-only (the iterative argmax is not SQL-expressible; xr16
@@ -197,7 +337,7 @@ object Bpe {
     },
     None)
 
-  def queries: Seq[GQuery] = Seq(xt15, xt16)
+  def queries: Seq[GQuery] = Seq(xt15, xt15b, xt16)
 
   /** Distributed BPE training: k merges from the corpus, each chosen
     * as the max-count adjacent pair (ties: pair lex asc) over the

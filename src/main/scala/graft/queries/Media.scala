@@ -172,5 +172,41 @@ object Media {
         orderAll("doc_id", "media_type", "fmt", "width", "height",
           "n_samples", "s1", "s2", "s3", "mn", "mx")))
 
-  def queries: Seq[GQuery] = Seq(xm1, xm2, xm3, xm4, xm5, xm6)
+  /** xm7: RAW VIDEO sample decode, oracle-matched end to end — the
+    * last multimodal modality joins xm6's closed-form family. Payloads
+    * are complete YUV4MPEG2 streams (the uncompressed-frame
+    * interchange format; the JDK ships no H.264 decoder, but y4m needs
+    * none — a byte walk IS the decoder), planted with per-(x,y,frame)
+    * modular pixel rules; Spark decodes every frame's Y/U/V planes and
+    * DuckDB recomputes the identical sums/extrema arithmetically. A
+    * single wrong byte in encode or decode — header parse, plane
+    * order, frame boundary — shifts a sum and fails the hash.
+    */
+  val xm7 = GQuery(
+    "xm7_video_decode",
+    (s, d) => {
+      val stats = Multimodal.videoDecodeStats(Multimodal.rawVideoTable(s, d)).toDF()
+      canon(stats)
+    },
+    Some(
+      """WITH vid AS (
+        |  SELECT doc_id, 8 + (doc_id % 8) * 4 AS w, 8 + (doc_id % 6) * 4 AS h,
+        |         2 + (doc_id % 4) AS nf
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |fx AS (SELECT doc_id, w, h, nf, UNNEST(range(nf)) AS f FROM vid),
+        |xx AS (SELECT doc_id, w, h, nf, f, UNNEST(range(w)) AS x FROM fx),
+        |px AS (SELECT doc_id, w, h, nf, f, x, UNNEST(range(h)) AS y FROM xx)
+        |SELECT doc_id, 'video' AS media_type, 'y4m' AS fmt,
+        |  CAST(MAX(w) AS INTEGER) AS width, CAST(MAX(h) AS INTEGER) AS height,
+        |  CAST(COUNT(*) AS BIGINT) AS n_samples,
+        |  CAST(SUM((x*7 + y*13 + f*19 + doc_id) % 256) AS BIGINT) AS s1,
+        |  CAST(SUM((x*3 + y*5 + f*7 + doc_id*2) % 256) AS BIGINT) AS s2,
+        |  CAST(SUM((x + y + f*3 + doc_id*3) % 256) AS BIGINT) AS s3,
+        |  CAST(MIN((x*7 + y*13 + f*19 + doc_id) % 256) AS INTEGER) AS mn,
+        |  CAST(MAX((x*7 + y*13 + f*19 + doc_id) % 256) AS INTEGER) AS mx
+        |FROM px GROUP BY doc_id""".stripMargin +
+        orderAll("doc_id", "media_type", "fmt", "width", "height",
+          "n_samples", "s1", "s2", "s3", "mn", "mx")))
+
+  def queries: Seq[GQuery] = Seq(xm1, xm2, xm3, xm4, xm5, xm6, xm7)
 }

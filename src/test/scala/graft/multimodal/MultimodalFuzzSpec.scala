@@ -99,6 +99,54 @@ class MultimodalFuzzSpec extends AnyFunSuite {
     }
   }
 
+  /** The y4m byte-walk decoder (xm7) holds the same never-throw /
+    * sane-ranges contract: unknown or damaged input folds to
+    * fmt="unknown" with zeroed stats, never an exception or a
+    * partial/insane row.
+    */
+  private def checkVideoSane(b: Array[Byte]): Unit = {
+    val st = Multimodal.decodeVideo(7L, b)
+    assert(st.fmt == "y4m" || st.fmt == "unknown")
+    if (st.fmt == "unknown")
+      assert(st == st.copy(width = 0, height = 0, n_samples = 0L,
+        s1 = 0L, s2 = 0L, s3 = 0L, mn = 0, mx = 0))
+    else {
+      assert(st.width >= 1 && st.height >= 1 && st.n_samples >= 1L)
+      assert(st.mn >= 0 && st.mx <= 255 && st.mn <= st.mx)
+      assert(st.s1 >= 0L && st.s2 >= 0L && st.s3 >= 0L)
+    }
+  }
+
+  test("y4m decode: soup, mutations, and truncations never throw") {
+    val valid = Multimodal.y4mEncode(7L)
+    // un-mutated stream decodes to its planted geometry
+    val st = Multimodal.decodeVideo(7L, valid)
+    assert(st.fmt == "y4m")
+    assert(st.width == Multimodal.vidWidth(7L))
+    assert(st.height == Multimodal.vidHeight(7L))
+    assert(st.n_samples ==
+      st.width.toLong * st.height * Multimodal.vidFrames(7L))
+    // every truncation of the header + first frame region
+    (0 until math.min(valid.length, 200)).foreach(n =>
+      checkVideoSane(valid.take(n)))
+    // single-byte header mutations (the W/H/C token parse paths)
+    (0 until math.min(valid.length, 48)).foreach { pos =>
+      Seq(0x00, ' '.toInt, '9'.toInt, 0xff).foreach { v =>
+        val m = valid.clone(); m(pos) = v.toByte
+        checkVideoSane(m)
+      }
+    }
+    // byte soup
+    val g = Gen.choose(0, 300).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue)))
+    (0 until 100).foreach(i => checkVideoSane(sample(g, 400L + i).toArray))
+    // a C420 stream (subsampled planes) is declared out of contract:
+    // the decoder must refuse it as unknown, not misread plane sizes
+    val c420 = new String(valid, "ISO-8859-1").replaceFirst("C444", "C420")
+      .getBytes("ISO-8859-1")
+    assert(Multimodal.decodeVideo(7L, c420).fmt == "unknown")
+  }
+
   test("a valid payload round-trips through mutation checks unchanged") {
     // guard the guard: the un-mutated builders still parse to their
     // encoded fields after the PNG dimension-sanity change

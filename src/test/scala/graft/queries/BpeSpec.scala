@@ -83,6 +83,75 @@ class BpeSpec extends AnyFunSuite {
     } finally drainCaches()
   }
 
+  test("word-memoized path == whole-doc fixpoint path (both tables)") {
+    import spark.implicits._
+    // adversarial shapes: overlap runs, repeated words, mixed case,
+    // non-ASCII separators, merge-chain words — plus the real fixture
+    val hand = Seq("aaaa aaa aa a", "Hash hash HASH hash!",
+      "batch scan join cur", "aéb kKc", "", "121 3")
+    val fixture = Ctx(spark, "/root/testdata/sf0.001").documents
+      .select("text").as[String].collect().toSeq
+    for (merges <- Seq(Bpe.ShippedMerges, Bpe.ShippedMerges256);
+         text <- hand ++ fixture) {
+      val whole = Bpe.encode(text, merges)
+      val wordSum = toks(Bpe.spacedDoc(text))
+        .mkString("", "", "") // chars -> words boundary check below
+      val _ = wordSum
+      // doc-path token count
+      val wantToks = toks(whole).size
+      // word-path token count via encodeStats' exact flush alphabet
+      var got = 0
+      val wb = new StringBuilder
+      def flush(): Unit = if (wb.nonEmpty) {
+        got += toks(Bpe.encode(wb.toString, merges)).size
+        wb.clear()
+      }
+      text.foreach { c0 =>
+        val c = if (c0 >= 'A' && c0 <= 'Z') (c0 + 32).toChar else c0
+        if (c >= 'a' && c <= 'z') wb.append(c) else flush()
+      }
+      flush()
+      assert(got == wantToks,
+        s"word/doc path diverged on '${text.take(40)}' (k=${merges.size})")
+    }
+  }
+
+  test("xt15b stays scan-stage: no shuffle before the output sort") {
+    val df = Bpe.encodeStats(spark, "/root/testdata/sf0.001",
+      Bpe.ShippedMerges256)
+    // the only permitted Exchange is Ctx.documents' ROUND-ROBIN
+    // repartition (fan the single-row-group fixture across cores — a
+    // no-op-sized narrow move at real file counts); any KEYED exchange
+    // (hash/range) would mean the encode stopped being a per-row map
+    val keyed = df.queryExecution.executedPlan.toString.linesIterator
+      .filter(_.contains("Exchange"))
+      .filterNot(_.contains("RoundRobinPartitioning"))
+      .toSeq
+    assert(keyed.isEmpty,
+      s"encodeStats plans a keyed shuffle at k=256:\n${keyed.mkString("\n")}")
+  }
+
+  test("ShippedMerges256: size, alphabet, effectiveness invariants") {
+    assert(Bpe.ShippedMerges256.size == 256)
+    assert(Bpe.ShippedMerges256.distinct.size == 256, "duplicate merge")
+    assert(Bpe.ShippedMerges256.forall { case (a, b) =>
+      (a + b).forall(c => c >= 'a' && c <= 'z') })
+    // chain closure: every non-initial symbol used by a merge must be
+    // PRODUCIBLE by an earlier rank (the structural invariant of any
+    // real trainer output — a hand-typo'd pair would dangle)
+    val producible = scala.collection.mutable.Set.empty[String]
+    Bpe.ShippedMerges256.foreach { case (a, b) =>
+      assert(a.length == 1 || producible.contains(a), s"dangling left $a")
+      assert(b.length == 1 || producible.contains(b), s"dangling right $b")
+      producible += (a + b)
+    }
+    // effectiveness on the eval corpus: the big table compresses at
+    // least as well as the 24-merge one on every merge-chain word
+    for (w <- Seq("customer", "filter", "stream", "window", "query"))
+      assert(toks(Bpe.encode(w, Bpe.ShippedMerges256)).size <=
+        toks(Bpe.encode(w, Bpe.ShippedMerges)).size)
+  }
+
   test("encodeStats columns: conservation and zero-token docs") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("bpedoc").toString

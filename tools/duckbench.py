@@ -43,7 +43,7 @@ def skipped(name):
 # xd1b computes 64 minhash permutations PER DOCUMENT in DuckDB (no
 # distinct-token-set compression there) — measured ~42 s/run at sf0.1
 # vs Spark's 3.5 s group-level plan.
-ONCE = {"xd9_edit_distance", "xd1b_minhash_md5"}
+ONCE = {"xd9_edit_distance", "xd1b_minhash_md5", "xt15b_bpe_encode256"}
 
 oracle = json.load(open(ORACLE))
 out = {}

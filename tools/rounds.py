@@ -54,7 +54,10 @@ with open("bench/rounds.json", "w") as fh:
 per_round = {r["round"]: r for r in rounds}
 print(f"wrote bench/rounds.json with {len(rounds)} rounds:")
 for r in rounds:
-    print(f"  r{r['round']:02d}: total {r['total_sec']:.1f}s over "
+    # a BENCH_r*.json whose metric lacks 'value' leaves total_sec None;
+    # rounds.json is already written, so report n/a instead of crashing
+    total = f"{r['total_sec']:.1f}s" if r["total_sec"] is not None else "n/a"
+    print(f"  r{r['round']:02d}: total {total} over "
           f"{r['n_queries']} queries")
 # round-over-round deltas on the common query set
 ks = sorted(per_round)
