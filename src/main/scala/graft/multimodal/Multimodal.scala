@@ -22,10 +22,13 @@ import org.apache.spark.sql.functions._
   * rows real 16-bit PCM WAVs decoded by the RIFF chunk walk — both
   * with nothing but the JDK, and both hash-certified end to end
   * against a DuckDB recompute of the planted pixel/PCM rules (xm6).
-  * Only video sample decode stays a byte-statistics fold (the JDK
-  * ships no H.264/MP4 decoder); in production that one fold becomes
-  * the JNI/library call (or the stage moves to `mapInPandas` on
-  * PySpark with the same batch contract); nothing else changes.
+  * Video rows are complete YUV4MPEG2 streams — the uncompressed-frame
+  * interchange format needs no H.264 codec, a byte walk IS the decoder
+  * — so every modality's sample decode is real and hash-certified
+  * (xm6 for image/audio, xm7 for video). A production compressed-video
+  * stage swaps the byte walk for the JNI/library call (or moves to
+  * `mapInPandas` on PySpark with the same batch contract); nothing
+  * else changes.
   *
   * Scale notes: media rows are orders of magnitude wider than text rows
   * — the media table is partitioned so a partition holds
@@ -430,10 +433,10 @@ object Multimodal {
 
   /** Real-codec media table: image rows are complete deflate-compressed
     * PNGs, audio rows real 16-bit PCM WAVs — both decodable with
-    * nothing but the JDK. Video keeps the header+payload fixture (the
-    * JDK ships no MP4/H.264 decoder; that modality's sample decode is
-    * the one stage still stubbed, by declared contract). Modality
-    * cycles doc_id % 3 exactly like mediaTable.
+    * nothing but the JDK — and video rows complete YUV4MPEG2 streams
+    * (the uncompressed-frame interchange format: no H.264 codec
+    * needed, a byte walk IS the decoder). Modality cycles doc_id % 3
+    * exactly like mediaTable.
     */
   def encodedMediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
@@ -455,9 +458,9 @@ object Multimodal {
             MediaRow(id, "audio", wavEncode(id),
               MediaMeta("wav", 0, 0, encSamples(id) / 8L))
           case _ =>
-            val dur = 2000L + (id % 30) * 1000L
-            MediaRow(id, "video", mp4Bytes(dur, text.getBytes("UTF-8")),
-              MediaMeta("mp4", 1280, 720, dur))
+            MediaRow(id, "video", y4mEncode(id),
+              MediaMeta("y4m", vidWidth(id), vidHeight(id),
+                vidFrames(id) * 40L)) // 25 fps
         }
       }
   }
@@ -697,9 +700,30 @@ object Multimodal {
       javax.imageio.ImageIO.setUseCache(false)
       it.map { row =>
         val base = decode(row) // crc + header parse + byte-stat fold
-        val st = if (row.media_type == "video") null
-          else decodeSamples(row.doc_id, row.media_type, row.content)
-        if (st == null || st.fmt == "unknown" || st.n_samples == 0L) base
+        if (row.media_type == "video") {
+          val st = decodeVideo(row.doc_id, row.content)
+          if (st.fmt != "y4m" || st.n_samples == 0L) base
+          else {
+            // real decoded stats, the same dim layout as png: channel
+            // means in 3-5, extrema in 6-7; geometry dims 0-2 from the
+            // DECODED stream (frames*40 ms at the declared 25 fps)
+            val frames = st.n_samples / (st.width.toLong * st.height)
+            val emb = base.embedding.clone()
+            emb(0) = st.width / 4096f
+            emb(1) = st.height / 4096f
+            emb(2) = frames * 40L / 1000f / 256f
+            emb(3) = st.s1.toFloat / st.n_samples / 255f
+            emb(4) = st.s2.toFloat / st.n_samples / 255f
+            emb(5) = st.s3.toFloat / st.n_samples / 255f
+            emb(6) = st.mx / 255f
+            emb(7) = st.mn / 255f
+            base.copy(embedding = emb, parsed_format = "y4m",
+              parsed_width = st.width, parsed_height = st.height,
+              parsed_duration_ms = frames * 40L)
+          }
+        } else {
+        val st = decodeSamples(row.doc_id, row.media_type, row.content)
+        if (st.fmt == "unknown" || st.n_samples == 0L) base
         else {
           val emb = base.embedding.clone()
           if (st.fmt == "png") {
@@ -716,6 +740,7 @@ object Multimodal {
             emb(7) = 0f
           }
           base.copy(embedding = emb)
+        }
         }
       }
     }

@@ -770,13 +770,15 @@ object Recall {
           crc32(col("content")).as("crc_sql")), "doc_id")
         .filter(col("checksum") =!= col("crc_sql")).count()
       // independent geometry: the planted closed forms over doc_id
+      // (video geometry comes from the DECODED y4m stream: vidWidth/
+      // vidHeight/vidFrames at 40 ms per frame)
       val w = expr("CASE doc_id % 3 WHEN 0 THEN 8 + (doc_id % 16) * 4 " +
-        "WHEN 1 THEN 0 ELSE 1280 END")
+        "WHEN 1 THEN 0 ELSE 8 + (doc_id % 8) * 4 END")
       val h = expr("CASE doc_id % 3 WHEN 0 THEN 8 + (doc_id % 9) * 4 " +
-        "WHEN 1 THEN 0 ELSE 720 END")
+        "WHEN 1 THEN 0 ELSE 8 + (doc_id % 6) * 4 END")
       val dur = expr("CASE doc_id % 3 WHEN 0 THEN 0 " +
         "WHEN 1 THEN (400 + (doc_id % 60) * 40) / 8 " +
-        "ELSE 2000 + (doc_id % 30) * 1000 END")
+        "ELSE (2 + (doc_id % 4)) * 40 END")
       def e(i: Int) = element_at(col("embedding"), i).cast("double")
       val geomBad = feats.filter(
         abs(e(1) - w.cast("double") / 4096d) > 1e-6 ||
@@ -814,6 +816,28 @@ object Recall {
             abs(e(5) - (expr("array_min(smp)").cast("double") + 32768d) / 65536d) > 1e-6 ||
             abs(e(6) - (expr("array_max(smp)").cast("double") + 32768d) / 65536d) > 1e-6)
         .count()
+      // independent VIDEO stats: the y4m planes' planted rules, flat
+      // sample index p of a (w, h, nf) stream -> (p % w, (p DIV w) % h,
+      // p DIV (w*h)) — sums are order-free, so any enumeration works
+      val vidBad = feats.filter(col("media_type") === "video")
+        .withColumn("w", expr("8 + (doc_id % 8) * 4"))
+        .withColumn("h", expr("8 + (doc_id % 6) * 4"))
+        .withColumn("n", expr("w * h * (2 + (doc_id % 4))"))
+        .withColumn("sy", expr("aggregate(sequence(0, n - 1), CAST(0 AS BIGINT), " +
+          "(a, p) -> a + ((p % w) * 7 + ((p DIV w) % h) * 13 + (p DIV (w * h)) * 19 + doc_id) % 256)"))
+        .withColumn("su", expr("aggregate(sequence(0, n - 1), CAST(0 AS BIGINT), " +
+          "(a, p) -> a + ((p % w) * 3 + ((p DIV w) % h) * 5 + (p DIV (w * h)) * 7 + doc_id * 2) % 256)"))
+        .withColumn("sv", expr("aggregate(sequence(0, n - 1), CAST(0 AS BIGINT), " +
+          "(a, p) -> a + ((p % w) + ((p DIV w) % h) + (p DIV (w * h)) * 3 + doc_id * 3) % 256)"))
+        .withColumn("ych", expr("transform(sequence(0, n - 1), " +
+          "p -> ((p % w) * 7 + ((p DIV w) % h) * 13 + (p DIV (w * h)) * 19 + doc_id) % 256)"))
+        .filter(
+          abs(e(4) - col("sy").cast("double") / col("n") / 255d) > 1e-6 ||
+            abs(e(5) - col("su").cast("double") / col("n") / 255d) > 1e-6 ||
+            abs(e(6) - col("sv").cast("double") / col("n") / 255d) > 1e-6 ||
+            abs(e(7) - expr("array_max(ych)").cast("double") / 255d) > 1e-6 ||
+            abs(e(8) - expr("array_min(ych)").cast("double") / 255d) > 1e-6)
+        .count()
       val shapeBad = feats.filter(size(col("embedding")) =!= 8 ||
         exists(slice(col("embedding"), 4, 5),
           x => x < lit(0f) || x > lit(1f))).count()
@@ -829,12 +853,12 @@ object Recall {
         .count() == nMedia
       val conserved = nFeats == nMedia && nMedia == nDocs
       val ok = crcMismatch == 0L && geomBad == 0L && pixBad == 0L &&
-        pcmBad == 0L && shapeBad == 0L && nondet == 0L && corruptOk &&
-        conserved
+        pcmBad == 0L && vidBad == 0L && shapeBad == 0L && nondet == 0L &&
+        corruptOk && conserved
       System.err.println(
         s"[recall] xr15_media_cert crc_mismatch=$crcMismatch " +
           s"geom_bad=$geomBad pix_bad=$pixBad pcm_bad=$pcmBad " +
-          s"shape_bad=$shapeBad nondet=$nondet " +
+          s"vid_bad=$vidBad shape_bad=$shapeBad nondet=$nondet " +
           s"corrupt_ok=$corruptOk conserved=$conserved")
       canon(report(s, "xm2_media_features", "real_decode_invariants",
         None, 1.0, Some(crcMismatch == 0L && nondet == 0L), ok))

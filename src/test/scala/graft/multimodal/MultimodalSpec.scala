@@ -242,10 +242,18 @@ class MultimodalSpec extends AnyFunSuite {
       assert(f.embedding(6) == st.mx / 255f && f.embedding(7) == st.mn / 255f,
         s"doc ${f.doc_id} extrema dims")
     }
-    // video rows parse their mp4 header and keep strided byte stats
+    // video rows now embed REAL decoded y4m plane stats (xm7's decoder)
     feats.filter(_.media_type == "video").take(5).foreach { f =>
-      assert(f.parsed_format == "mp4" && f.parsed_width == 1280)
-      assert(f.embedding.drop(3).forall(v => v >= 0f && v <= 1f))
+      assert(f.parsed_format == "y4m")
+      assert(f.parsed_width == Multimodal.vidWidth(f.doc_id))
+      assert(f.parsed_height == Multimodal.vidHeight(f.doc_id))
+      assert(f.parsed_duration_ms == Multimodal.vidFrames(f.doc_id) * 40L)
+      val st = Multimodal.decodeVideo(f.doc_id,
+        Multimodal.y4mEncode(f.doc_id))
+      assert(f.embedding(3) == st.s1.toFloat / st.n_samples / 255f,
+        s"doc ${f.doc_id} video Y mean")
+      assert(f.embedding(6) == st.mx / 255f && f.embedding(7) == st.mn / 255f,
+        s"doc ${f.doc_id} video extrema")
     }
   }
 }
