@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, PrunedScan, RelationProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, PrunedScan, RelationProvider}
 import org.apache.spark.sql.types.StructType
 
 /** The SQL front door for [[Snapshot]] tables — every lake feature the
@@ -39,9 +39,74 @@ import org.apache.spark.sql.types.StructType
   * envelope); per-query pruning is a driver-side pass over the cached
   * stats, never I/O.
   */
-class SnapshotSource extends RelationProvider with DataSourceRegister {
+class SnapshotSource extends RelationProvider
+    with CreatableRelationProvider
+    with org.apache.spark.sql.sources.StreamSourceProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graft-snapshot"
+
+  /** The write half of the front door: `df.write.format
+    * ("graft-snapshot").mode(m).save(path)` and `CREATE TABLE ...
+    * USING \`graft-snapshot\` ... AS SELECT` commit through the SAME
+    * manifest machinery as the Scala API — append maps to
+    * [[Snapshot.commitAppend]], overwrite to
+    * [[Snapshot.commitOverwrite]], ErrorIfExists refuses a table with
+    * versions, Ignore no-ops on one. Every write is a full atomic
+    * version publish; a SQL writer and a Scala writer racing lose
+    * loudly via the shared optimistic-concurrency guard.
+    */
+  override def createRelation(ctx: SQLContext,
+      mode: org.apache.spark.sql.SaveMode,
+      parameters: Map[String, String],
+      data: org.apache.spark.sql.DataFrame): BaseRelation = {
+    val opts = parameters.map { case (k, v) => k.toLowerCase -> v }
+    val path = opts.getOrElse("path",
+      throw new IllegalArgumentException("graft-snapshot requires a path"))
+    val exists = Snapshot.versions(path).nonEmpty
+    mode match {
+      case org.apache.spark.sql.SaveMode.Append =>
+        Snapshot.commitAppend(data, path)
+      case org.apache.spark.sql.SaveMode.Overwrite =>
+        Snapshot.commitOverwrite(data, path)
+      case org.apache.spark.sql.SaveMode.ErrorIfExists if exists =>
+        throw new IllegalStateException(
+          s"snapshot table $path already exists (versions published)")
+      case org.apache.spark.sql.SaveMode.Ignore if exists => ()
+      case _ => Snapshot.commitOverwrite(data, path)
+    }
+    createRelation(ctx, parameters)
+  }
+
+  private def schemaAt(spark: SparkSession, path: String): StructType = {
+    val (v, schemaOpt, entries, _) = Snapshot.scanPlan(spark, path, None)
+    schemaOpt.getOrElse {
+      require(entries.nonEmpty,
+        s"version $v at $path is empty and carries no schema header")
+      spark.read.parquet(entries.map(_._1.toString): _*).schema
+    }
+  }
+
+  override def sourceSchema(ctx: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val opts = parameters.map { case (k, v) => k.toLowerCase -> v }
+    val path = opts.getOrElse("path",
+      throw new IllegalArgumentException("graft-snapshot requires a path"))
+    (shortName(), schema.getOrElse(schemaAt(ctx.sparkSession, path)))
+  }
+
+  override def createSource(ctx: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source = {
+    val opts = parameters.map { case (k, v) => k.toLowerCase -> v }
+    val path = opts.getOrElse("path",
+      throw new IllegalArgumentException("graft-snapshot requires a path"))
+    val starting = opts.get("startingversion").map(_.toLong).getOrElse(0L)
+    new SnapshotStreamSource(ctx.sparkSession, path, starting,
+      schema.getOrElse(schemaAt(ctx.sparkSession, path)))
+  }
 
   override def createRelation(ctx: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
@@ -73,6 +138,54 @@ class SnapshotSource extends RelationProvider with DataSourceRegister {
         options = Map.empty)(spark)
     }
   }
+}
+
+/** The streaming half (Delta's streaming-source shape): tail a
+  * snapshot table as a Structured Streaming source — each published
+  * version is a micro-batch of its ADDED rows, served through
+  * [[Snapshot.readChanges]] (which verifies append-only and fails
+  * loudly on an overwrite/optimize in the range instead of emitting
+  * wrong changes). Offsets are version numbers, so the checkpoint log
+  * makes restarts exactly-once: a version is either fully in a
+  * committed batch or not seen.
+  *
+  *   spark.readStream.format("graft-snapshot")
+  *     .option("startingVersion", 0).load(path)
+  *
+  * startingVersion (default 0) bootstraps with everything after that
+  * version — 0 means the full first version then the tail, Delta's
+  * semantics. Scale shape: a micro-batch scans exactly the manifest
+  * entries new in its version range (O(files-in-two-manifests)
+  * metadata + the new files), never the table.
+  */
+final class SnapshotStreamSource(spark: SparkSession, path: String,
+    startingVersion: Long, override val schema: StructType)
+  extends org.apache.spark.sql.execution.streaming.Source {
+
+  private type SOffset = org.apache.spark.sql.execution.streaming.Offset
+  private val L = org.apache.spark.sql.execution.streaming.runtime.LongOffset
+
+  override def getOffset: Option[SOffset] =
+    Snapshot.currentVersion(path).filter(_ > startingVersion).map(L(_))
+
+  /** Offsets arrive as LongOffset live or SerializedOffset from the
+    * checkpoint log — the standard V1 source pair.
+    */
+  private def versionOf(o: SOffset): Long = o match {
+    case l: org.apache.spark.sql.execution.streaming.runtime.LongOffset =>
+      l.offset
+    case other => other.json.trim.toLong
+  }
+
+  override def getBatch(start: Option[SOffset],
+      end: SOffset): org.apache.spark.sql.DataFrame = {
+    val since = start.map(versionOf).getOrElse(startingVersion)
+    val until = versionOf(end)
+    org.apache.spark.sql.graftbridge.StreamingFrame(
+      Snapshot.readChanges(spark, path, since, Some(until)))
+  }
+
+  override def stop(): Unit = ()
 }
 
 /** FileIndex over a pinned manifest: the file list IS the manifest (no

@@ -111,6 +111,42 @@ class SnapshotSourceSpec extends AnyFunSuite {
     assert(t.select("v").collect().map(_.getString(0)).sorted.head == "r10")
   }
 
+  test("write path: append/overwrite/error modes publish real versions") {
+    val base = Files.createTempDirectory("snapsrcw").toString
+    val path = s"$base/t"
+    val d1 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val d2 = Seq((3L, "c")).toDF("id", "v")
+
+    d1.write.format("graft-snapshot").mode("overwrite").save(path)
+    assert(Snapshot.versions(path) == Seq(1L))
+    d2.write.format("graft-snapshot").mode("append").save(path)
+    assert(Snapshot.versions(path) == Seq(1L, 2L))
+    // SQL-written versions ARE snapshot versions: Scala API reads them
+    assert(Snapshot.read(spark, path).count() == 3L)
+    assert(Snapshot.read(spark, path, Some(1L)).count() == 2L)
+    // and the format reads back what it wrote
+    assert(fp(spark.read.format("graft-snapshot").load(path)) ==
+      fp(Snapshot.read(spark, path)))
+
+    intercept[Exception] {
+      d1.write.format("graft-snapshot").mode("errorifexists").save(path)
+    }
+    d1.write.format("graft-snapshot").mode("ignore").save(path) // no-op
+    assert(Snapshot.versions(path) == Seq(1L, 2L))
+
+    // CTAS through plain SQL lands as version 1 of a new table
+    d1.createOrReplaceTempView("snap_ctas_src")
+    spark.sql(
+      s"""CREATE TABLE snap_ctas USING `graft-snapshot`
+         |OPTIONS (path '$base/ctas') AS SELECT * FROM snap_ctas_src"""
+        .stripMargin)
+    try {
+      assert(Snapshot.versions(s"$base/ctas") == Seq(1L))
+      assert(spark.sql("SELECT count(*) FROM snap_ctas")
+        .collect()(0).getLong(0) == 2L)
+    } finally spark.sql("DROP TABLE snap_ctas")
+  }
+
   test("imported table reads through the format (bridge composition)") {
     val base = Files.createTempDirectory("snapsrcimp").toString
     val src = s"$base/plain"
