@@ -130,10 +130,18 @@ object Det {
     * the real sort. Checkpointing first makes both passes read the
     * same narrow materialized blocks (measured: xd2b's reap tail fell
     * from 1.2-1.7s to the actual sort cost of a 271k-row frame).
-    * Streaming frames can't checkpoint — the caller keeps its plan.
+    *
+    * ONLY inside a reap{} scope: reap's bin is what unpersists the
+    * checkpoint once the final result materializes. Outside reap the
+    * blocks would linger until the ContextCleaner's GC-driven reap —
+    * measured as 2 GB of block residue + a 317s GC tail across a
+    * full sweep when this ran unconditionally — and the non-reap
+    * queries are the cheap scan/agg shapes where the sample pass
+    * re-execution is noise anyway. Streaming frames can't checkpoint.
     */
   private def preSort(df: DataFrame): DataFrame =
-    if (df.isStreaming) df else own(df.localCheckpoint(eager = true))
+    if (df.isStreaming || binStack.get().isEmpty) df
+    else own(df.localCheckpoint(eager = true))
 
   /** Canonical output order: every column, ascending, nulls first. */
   def canon(df: DataFrame): DataFrame = {
