@@ -91,11 +91,16 @@ object Snapshot {
 
   /** Resolve a manifest file entry against the table root. Relative
     * entries (current format) follow a relocated root; absolute ones
-    * (legacy manifests) pass through qualified.
+    * (legacy manifests, [[importTable]] adoptions) pass through.
+    * Scheme-qualified entries are returned verbatim — qualifying them
+    * against the TABLE's filesystem would throw 'Wrong FS' when the
+    * entry lives on a different filesystem (a cross-store import),
+    * and they already carry everything a reader needs to bind their
+    * own FileSystem via `Path.getFileSystem`.
     */
   private def resolveEntry(fs: FileSystem, root: Path, entry: String): Path =
-    if (entry.startsWith("/") || entry.contains("://"))
-      fs.makeQualified(new Path(entry))
+    if (entry.contains("://")) new Path(entry)
+    else if (entry.startsWith("/")) fs.makeQualified(new Path(entry))
     else new Path(root, entry)
 
   // ------------------------------------------------------- field identity
@@ -1295,8 +1300,9 @@ object Snapshot {
         // commit-dir prefix keeps multi-commit part names unique
         val name = s"${src.getParent.getName}_${src.getName}"
         val dst = new Path(oroot, name)
-        org.apache.hadoop.fs.FileUtil.copy(fs, src, ofs, dst,
-          false, false, conf)
+        // src's own fs, not the table's: imported entries may be foreign
+        org.apache.hadoop.fs.FileUtil.copy(src.getFileSystem(conf), src,
+          ofs, dst, false, false, conf)
         (name, e, ofs.getFileStatus(dst).getLen)
       }
     def js(s: String): String =
@@ -1340,8 +1346,14 @@ object Snapshot {
 
   /** The bridge IN: adopt an existing PLAIN parquet directory — a
     * table that predates this layer, an [[exportVersion]] output, or
-    * a Delta/Iceberg table's data files after their own vacuum — as
-    * the initial version of a snapshot table at `path`, BY REFERENCE.
+    * an unpartitioned Delta/Iceberg table's data files after their
+    * own vacuum — as the initial version of a snapshot table at
+    * `path`, BY REFERENCE. The listing recurses (data may live in
+    * subdirectories, e.g. per-commit trees), skipping hidden/metadata
+    * dirs (`_delta_log`, dot-dirs, `manifests`); Hive-style
+    * `col=value` partition directories are REFUSED loudly, because
+    * their partition values exist only in directory names and a
+    * by-reference manifest cannot recover them.
     * No row is decoded and no byte is copied: the new manifest simply
     * lists the existing files (Delta's CONVERT TO DELTA / Iceberg's
     * add_files move), so converting a 100 TB directory costs O(files)
@@ -1373,15 +1385,44 @@ object Snapshot {
     require(versionsIn(fs, root).isEmpty,
       s"cannot import into $path: snapshot versions already exist")
     require(sfs.exists(sroot), s"import source $srcDir does not exist")
-    val parts = LakeFs.listStatus(sfs, sroot)
-      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      .map(_.getPath)
-      .sortBy(_.getName)
+    // Recurse: partitioned layouts (Hive dirs, Delta/Iceberg data
+    // trees) keep rows in subdirectories. Metadata/hidden trees
+    // (_delta_log, .hive-staging, our own manifests/) are skipped by
+    // ancestor-component filtering, matching spark.read's convention.
+    val srootQ = sfs.makeQualified(sroot).toString
+    def visible(p: Path): Boolean = {
+      val rel = p.toString.stripPrefix(srootQ).stripPrefix("/")
+      rel.split('/').forall { seg =>
+        !seg.startsWith("_") && !seg.startsWith(".") && seg != "manifests"
+      }
+    }
+    val it = sfs.listFiles(sroot, true)
+    val found = Iterator.continually(it)
+      .takeWhile(_.hasNext).map(_.next().getPath).toVector
+    val parts = found
+      .filter(p => p.getName.endsWith(".parquet") && visible(p))
+      .sortBy(_.toString)
     require(parts.nonEmpty, s"import source $srcDir has no parquet files")
-    // schema from footers only (no data read); recorded in the header
-    // so empty follow-up versions and schema-pinned reads work like a
-    // native table's
-    val schema = spark.read.parquet(srcDir).schema
+    // Hive-style `col=value` directory segments encode partition
+    // values in dir NAMES, not file bytes — a by-reference manifest
+    // cannot recover them (readers see only the files). Refuse loudly
+    // instead of silently dropping the column.
+    val dirCols = parts.flatMap { p =>
+      p.toString.stripPrefix(srootQ).stripPrefix("/")
+        .split('/').dropRight(1)
+        .filter(_.contains('=')).map(_.takeWhile(_ != '='))
+    }.distinct
+    require(dirCols.isEmpty,
+      s"source encodes partition column(s) ${dirCols.mkString(", ")} in " +
+        "directory names only; a by-reference import cannot recover " +
+        "them — rewrite the source with the columns materialized, or " +
+        "import without them via a plain rewrite")
+    // schema from the listed files' footers only (no data read, and
+    // no directory-based partition inference — the manifest readers
+    // see exactly these files); recorded in the header so empty
+    // follow-up versions and schema-pinned reads work like a native
+    // table's
+    val schema = spark.read.parquet(parts.map(_.toString): _*).schema
     val rootQ = fs.makeQualified(root).toString
     val entries = parts.map { p =>
       val q = sfs.makeQualified(p).toString

@@ -125,9 +125,12 @@ class SnapshotSource extends RelationProvider
     }
     if (hasDv) new SnapshotMaterializedRelation(ctx, path, v, schema)
     else {
-      val (fs, _) = LakeFs.resolve(path)
+      // Bind each entry's OWN filesystem: imported absolute entries
+      // may live on a different store than the table root, and the
+      // table-root fs would throw 'Wrong FS' on them.
+      val conf = spark.sessionState.newHadoopConf()
       val statuses = entries.map { case (p, st) =>
-        (fs.getFileStatus(p), st)
+        (p.getFileSystem(conf).getFileStatus(p), st)
       }
       HadoopFsRelation(
         location = new SnapshotFileIndex(new Path(path), statuses),

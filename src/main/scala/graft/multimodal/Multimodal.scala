@@ -625,7 +625,10 @@ object Multimodal {
         toks.find(t => t.nonEmpty && t.head == c).map(_.tail)
       val w = tag('W').map(_.toInt).getOrElse(return bad)
       val h = tag('H').map(_.toInt).getOrElse(return bad)
-      if (!tag('C').forall(_ == "444")) return bad // only full-res planes
+      // Only full-res planes are decoded here; an ABSENT C tag means
+      // 4:2:0 by the y4m spec, so it must be present and 444 — a
+      // C-less stream parsed as 4:4:4 would read garbage plane sums.
+      if (!tag('C').contains("444")) return bad
       if (w <= 0 || h <= 0) return bad
       val plane = w * h
       val frameMark = "FRAME".getBytes("US-ASCII")

@@ -129,11 +129,12 @@ object Bpe {
     while (i < text.length) {
       // arithmetic A-Z lowering with every char >= 0x80 a separator —
       // the EXACT alphabet rule of functions.Tokenize / Llm.tokens, so
-      // the trainer/encoder tie (xr16) and the DuckDB oracle replay
-      // (xt15) hold on any input: Character.toLowerCase disagrees with
-      // both for exotic code points (U+212A Kelvin lowers into [a-z]
-      // here but not in SQL lower(); U+0130 lowers to a two-char
-      // sequence in DuckDB, splitting the word)
+      // the trainer/encoder tie (xr16) holds on any input. NOTE the
+      // DuckDB oracle (lower(text) + [^a-z]) is tied only on inputs
+      // where Unicode lowering agrees with A-Z arithmetic: utf8proc
+      // maps e.g. U+212A (Kelvin) to 'k' and U+0130 to a two-char
+      // sequence, both diverging from this byte rule. Fixtures are
+      // ASCII, where the two rules coincide exactly.
       val c0 = text.charAt(i)
       val c = if (c0 >= 'A' && c0 <= 'Z') (c0 + 32).toChar else c0
       if (c >= 'a' && c <= 'z') {

@@ -130,8 +130,11 @@ object Media {
   // exact channel sums/extrema arithmetically — the hash passes only if
   // encode -> compress -> decode -> aggregate recovers every planted
   // value bit-exactly. This retires the round-12 "sample decode is
-  // fake" caveat for the two modalities the JVM ships codecs for
-  // (video/MP4 stays header-only by declared contract: no JDK H.264).
+  // fake" caveat for the modalities the JVM can decode: image (PNG),
+  // audio (WAV), and — since encodedMediaTable moved its video column
+  // to uncompressed YUV4MPEG2 — video too, certified separately by
+  // xm7's plane-rule hash match (compressed H.264 stays out: no JDK
+  // codec; MJPEG covers the compressed case via xm8).
   val xm6 = GQuery(
     "xm6_real_decode",
     (s, d) => {

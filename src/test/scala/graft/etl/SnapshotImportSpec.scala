@@ -99,6 +99,51 @@ class SnapshotImportSpec extends AnyFunSuite {
         s"in-place import should record relative entries, got $l"))
   }
 
+  test("subdirectory sources import every row; hidden metadata trees " +
+      "are skipped; dir-encoded partition columns are refused loudly") {
+    val base = Files.createTempDirectory("snapimpsub").toString
+    val src = s"$base/tree"
+    // multi-commit-style tree: data lives only in subdirectories (the
+    // pre-fix lister was non-recursive; a root-level file made it
+    // return non-empty and the subdir rows vanished silently)
+    (1L to 20L).map(i => (i, s"r$i")).toDF("id", "v")
+      .coalesce(1).write.parquet(s"$src/c1")
+    (21L to 40L).map(i => (i, s"r$i")).toDF("id", "v")
+      .coalesce(1).write.parquet(s"$src/c2")
+    Seq((100L, "root")).toDF("id", "v").coalesce(1)
+      .write.parquet(s"$base/rootpart")
+    val rootFile = new java.io.File(s"$base/rootpart").listFiles
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(rootFile.toPath,
+      java.nio.file.Paths.get(s"$src/extra-root.parquet"))
+    // plant a decoy parquet inside a metadata dir that must be skipped
+    val deltaLog = java.nio.file.Paths.get(s"$src/_delta_log")
+    java.nio.file.Files.createDirectories(deltaLog)
+    java.nio.file.Files.copy(rootFile.toPath,
+      deltaLog.resolve("00000000.checkpoint.parquet"))
+
+    val tbl = s"$base/t"
+    Snapshot.importTable(spark, src, tbl)
+    val got = Snapshot.read(spark, tbl)
+    // 40 subdir rows + 1 root file; the _delta_log decoy excluded
+    assert(got.count() == 41L,
+      s"expected 41 rows (40 in subdirs + 1 root), got ${got.count()}")
+    assert(got.filter(col("id") === 100L).count() == 1L)
+    assert(got.filter(col("id") <= 40L).count() == 40L)
+
+    // Hive-layout source: partition values live in dir NAMES only —
+    // a by-reference manifest cannot recover them; must refuse, not
+    // silently drop the column
+    val hive = s"$base/hive"
+    (1L to 8L).map(i => (i, i % 2, s"h$i")).toDF("id", "k", "v")
+      .write.partitionBy("k").parquet(hive)
+    val e = intercept[IllegalArgumentException] {
+      Snapshot.importTable(spark, hive, s"$base/t2")
+    }
+    assert(e.getMessage.contains("partition column"))
+    assert(e.getMessage.contains("k"))
+  }
+
   test("refuses a target with existing versions and an empty source") {
     val base = Files.createTempDirectory("snapimpref").toString
     val src = s"$base/plain"
