@@ -331,7 +331,7 @@ object Bpe {
     "xt16_bpe_train",
     (s, d) => reap {
       import s.implicits._
-      val merges = train(s, Ctx(s, d).documents, 24)
+      val (merges, _) = trainRun(s, d, 24, 0)
       canonBy(merges.zipWithIndex
         .map { case ((a, b), i) => (i + 1, a, b, a + b) }
         .toDF("rank", "left", "right", "merged"), "rank")
@@ -353,8 +353,47 @@ object Bpe {
   def train(s: SparkSession, docs: DataFrame, k: Int): Seq[(String, String)] =
     trainWithVocab(s, docs, k)._1
 
+  /** One full training run over the corpus at `d`, memoized per
+    * (session, dir, k, arm) — Recall.baselineMemo's pattern. Returns
+    * only DRIVER-SAFE scalars: the k-row merge table and the trainer's
+    * final total token count (sum over the vocabulary of n × tokens
+    * per word), so no DataFrame/persisted block outlives the computing
+    * query's reap. The `arm` index exists for xr16's determinism
+    * clause, which needs TWO independent runs: arm 0 and arm 1 are
+    * computed separately and never aliased, while repeat requests for
+    * the same arm (xt16's table, xr16's first arm) share one run —
+    * across a sweep the corpus is trained exactly twice instead of
+    * three times. Assumes the fixture contract everywhere in this
+    * registry: the corpus at `d` is immutable within a session.
+    */
+  private val trainMemo =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String, Int, Int), (Seq[(String, String)], Long)]()
+
+  def trainRun(s: SparkSession, d: String, k: Int,
+      arm: Int): (Seq[(String, String)], Long) = {
+    val key = (s, d, k, arm)
+    val hit = trainMemo.get(key)
+    if (hit != null) hit
+    else {
+      // get/putIfAbsent, NOT computeIfAbsent: don't run a multi-second
+      // Spark job holding a bin lock; a racing duplicate is benign
+      if (trainMemo.size > 16) trainMemo.clear() // old sessions/dirs
+      val (merges, vocab) = trainWithVocab(s, Ctx(s, d).documents, k)
+      val trainerToks = vocab
+        .select((col("n") *
+          size(filter(split(trim(col("s")), " +"), x => x =!= "")))
+          .cast("long").as("t"))
+        .agg(sum(col("t"))).head.getLong(0)
+      val v = (merges, trainerToks)
+      trainMemo.putIfAbsent(key, v)
+      v
+    }
+  }
+
   /** [[train]] plus the final (spaced word, count) vocabulary state —
-    * the second return feeds xr16's implementation tie (word-level
+    * [[trainRun]] folds the second return into the trainer token
+    * total that feeds xr16's implementation tie (word-level
     * column-regexp merge application vs the encoder's per-doc Scala
     * fixpoint must agree on every token count).
     */
