@@ -1,0 +1,342 @@
+package graft.etl
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 `TableCatalog` over [[Snapshot]] tables — the
+  * SQL-standard front door the V1 format (`graft-snapshot`) can't
+  * provide: catalog-managed names, `FOR VERSION AS OF` time travel,
+  * `CREATE TABLE` / `CTAS` / `INSERT INTO` / `INSERT OVERWRITE`, and
+  * (with [[graft.plans.GraftExtensions]] installed) `DELETE` /
+  * `UPDATE` / `MERGE INTO` routed to the manifest DML triad.
+  *
+  *   spark.sql.catalog.graft = graft.etl.GraftCatalog
+  *   spark.sql.catalog.graft.warehouse = /lake
+  *
+  *   SELECT * FROM graft.db.t VERSION AS OF 3
+  *   INSERT INTO graft.db.t SELECT ...
+  *   DELETE FROM graft.db.t WHERE k < 10
+  *
+  * Identifiers map to warehouse paths (`warehouse/ns.../name`);
+  * `CREATE TABLE ... LOCATION p` registers an external path. Tables
+  * are the manifest directories themselves — no separate metastore,
+  * so `listTables` is a directory listing and every table created by
+  * the Scala API is visible to SQL the moment its first version
+  * publishes (and vice versa). All data-plane semantics — atomic
+  * version publish, optimistic append, stats harvesting, vacuum
+  * retention — are [[Snapshot]]'s; the catalog is a thin name layer.
+  *
+  * Read planning: the table advertises BATCH_READ through a
+  * [[V1Scan]] fallback (correct everywhere, materializes via
+  * [[Snapshot.read]]), and [[graft.plans.GraftExtensions]] rewrites
+  * the relation at analysis time to [[SnapshotSource.relationFor]]'s
+  * HadoopFsRelation — the native vectorized parquet scan with
+  * manifest-stats file pruning, identical to the V1 format's plan.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name requires spark.sql.catalog.$name.warehouse"))
+  }
+
+  override def name(): String = catalogName
+
+  private def spark: SparkSession = SparkSession.active
+
+  private def tablePath(ident: Identifier): String =
+    (warehouse +: ident.namespace.toSeq :+ ident.name).mkString("/")
+
+  private def nsPath(ns: Array[String]): String =
+    (warehouse +: ns.toSeq).mkString("/")
+
+  private def isTableDir(p: Path): Boolean = {
+    val (fs, root) = LakeFs.resolve(p.toString)
+    fs.exists(new Path(root, "manifests"))
+  }
+
+  // ------------------------------------------------------------ tables
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val (fs, root) = LakeFs.resolve(nsPath(namespace))
+    LakeFs.listStatus(fs, root)
+      .filter(s => s.isDirectory && isTableDir(s.getPath))
+      .map(s => Identifier.of(namespace, s.getPath.getName))
+      .toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    Snapshot.versions(tablePath(ident)).nonEmpty
+
+  override def loadTable(ident: Identifier): Table = {
+    val path = tablePath(ident)
+    if (Snapshot.versions(path).isEmpty) throw new NoSuchTableException(ident)
+    new GraftSnapshotTable(ident.toString, path, None)
+  }
+
+  /** `FOR VERSION AS OF v` — Spark routes the SQL time-travel clause
+    * here; the returned table pins every read to that version.
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val path = tablePath(ident)
+    val v = try version.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"graft time travel takes a numeric version, got '$version'")
+    }
+    if (!Snapshot.versions(path).contains(v))
+      throw new NoSuchTableException(ident)
+    new GraftSnapshotTable(s"$ident@v$v", path, Some(v))
+  }
+
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    throw new UnsupportedOperationException(
+      "graft time travel is by version (FOR VERSION AS OF n); " +
+        "timestamps are not recorded in manifests")
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft snapshot tables do not take PARTITIONED BY; use " +
+        "Compact/ZOrder for layout")
+    val path = Option(properties.get(TableCatalog.PROP_LOCATION))
+      .getOrElse(tablePath(ident))
+    if (Snapshot.versions(path).nonEmpty)
+      throw new TableAlreadyExistsException(ident)
+    Snapshot.createEmpty(path, schema)
+    new GraftSnapshotTable(ident.toString, path, None)
+  }
+
+  override def alterTable(ident: Identifier,
+      changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER TABLE is not supported; schema evolution goes through " +
+        "Snapshot.commitAppend/evolve")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val path = tablePath(ident)
+    val (fs, root) = LakeFs.resolve(path)
+    val existed = Snapshot.versions(path).nonEmpty
+    if (existed) fs.delete(root, true)
+    existed
+  }
+
+  override def renameTable(oldIdent: Identifier,
+      newIdent: Identifier): Unit = {
+    val (fs, oldRoot) = LakeFs.resolve(tablePath(oldIdent))
+    if (Snapshot.versions(tablePath(oldIdent)).isEmpty)
+      throw new NoSuchTableException(oldIdent)
+    if (Snapshot.versions(tablePath(newIdent)).nonEmpty)
+      throw new TableAlreadyExistsException(newIdent)
+    val (_, newRoot) = LakeFs.resolve(tablePath(newIdent))
+    fs.mkdirs(newRoot.getParent)
+    require(fs.rename(oldRoot, newRoot),
+      s"rename $oldIdent -> $newIdent failed")
+  }
+
+  // -------------------------------------------------------- namespaces
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val (fs, root) = LakeFs.resolve(warehouse)
+    LakeFs.listStatus(fs, root)
+      .filter(s => s.isDirectory && !isTableDir(s.getPath))
+      .map(s => Array(s.getPath.getName)).toArray
+  }
+
+  override def listNamespaces(namespace: Array[String])
+      : Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else {
+      val (fs, root) = LakeFs.resolve(nsPath(namespace))
+      if (!fs.exists(root)) throw new NoSuchNamespaceException(namespace)
+      LakeFs.listStatus(fs, root)
+        .filter(s => s.isDirectory && !isTableDir(s.getPath))
+        .map(s => namespace :+ s.getPath.getName).toArray
+    }
+
+  override def namespaceExists(namespace: Array[String]): Boolean = {
+    val (fs, root) = LakeFs.resolve(nsPath(namespace))
+    namespace.isEmpty || fs.exists(root)
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(namespace)
+    Map("location" -> nsPath(namespace)).asJava
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    val (fs, root) = LakeFs.resolve(nsPath(namespace))
+    fs.mkdirs(root)
+    ()
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "ALTER NAMESPACE is not supported")
+
+  override def dropNamespace(namespace: Array[String],
+      cascade: Boolean): Boolean = {
+    val (fs, root) = LakeFs.resolve(nsPath(namespace))
+    if (!fs.exists(root)) false
+    else {
+      if (!cascade)
+        require(LakeFs.listStatus(fs, root).isEmpty,
+          s"namespace ${namespace.mkString(".")} is not empty")
+      fs.delete(root, true)
+    }
+  }
+}
+
+/** A catalog table: one snapshot path, optionally pinned to a version
+  * (time travel). Reads fall back to a V1Scan materializing through
+  * [[Snapshot.read]] unless [[graft.plans.GraftExtensions]] rewrote
+  * the relation to the native file scan first; writes go through the
+  * V1 write bridge to [[Snapshot.commitAppend]] /
+  * [[Snapshot.commitOverwrite]]; `DELETE FROM` lands on
+  * [[Snapshot.deleteWhere]] through `SupportsDelete` (Spark pushes
+  * the WHERE clause as data-source filters, translated back to one
+  * predicate `Column`, so the manifest keeps files the predicate
+  * can't touch untouched).
+  */
+final class GraftSnapshotTable(ident: String, val path: String,
+    val pinnedVersion: Option[Long])
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+
+  private def spark: SparkSession = SparkSession.active
+
+  override def name(): String = ident
+
+  override lazy val schema: StructType =
+    SnapshotSource.relationFor(spark, path, pinnedVersion).schema
+
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER).asJava
+
+  override def properties(): util.Map[String, String] =
+    (Map("path" -> path, "provider" -> "graft-snapshot") ++
+      pinnedVersion.map(v => "versionAsOf" -> v.toString)).asJava
+
+  // ------------------------------------------------------------- read
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = { () =>
+    val tableSchema = schema
+    val p = path
+    val v = pinnedVersion
+    new V1Scan {
+      override def readSchema(): StructType = tableSchema
+      override def toV1TableScan[T <: BaseRelation with TableScan](
+          ctx: SQLContext): T =
+        new BaseRelation with TableScan {
+          override def sqlContext: SQLContext = ctx
+          override def schema: StructType = tableSchema
+          override def buildScan(): org.apache.spark.rdd.RDD[Row] =
+            Snapshot.read(ctx.sparkSession, p, v).rdd
+        }.asInstanceOf[T]
+    }: Scan
+  }
+
+  // ------------------------------------------------------------ write
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(pinnedVersion.isEmpty,
+      s"cannot write to $ident: a time-travelled table is read-only")
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          (data: DataFrame, overwriteFlag: Boolean) => {
+            if (overwrite || overwriteFlag)
+              Snapshot.commitOverwrite(data, path)
+            else Snapshot.commitAppend(data, path)
+            ()
+          }
+      }
+    }
+  }
+
+  // ----------------------------------------------------------- delete
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    pinnedVersion.isEmpty && filters.forall(GraftSnapshotTable.translatable)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(pinnedVersion.isEmpty,
+      s"cannot DELETE from $ident: a time-travelled table is read-only")
+    val pred = filters.map(GraftSnapshotTable.filterToColumn)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    Snapshot.deleteWhere(spark, path, pred)
+    ()
+  }
+}
+
+object GraftSnapshotTable {
+
+  private[etl] def translatable(f: Filter): Boolean = f match {
+    case _: sources.EqualTo | _: sources.EqualNullSafe |
+        _: sources.GreaterThan | _: sources.GreaterThanOrEqual |
+        _: sources.LessThan | _: sources.LessThanOrEqual |
+        _: sources.In | _: sources.IsNull | _: sources.IsNotNull |
+        _: sources.StringStartsWith | _: sources.StringEndsWith |
+        _: sources.StringContains | _: sources.AlwaysTrue |
+        _: sources.AlwaysFalse => true
+    case sources.And(l, r) => translatable(l) && translatable(r)
+    case sources.Or(l, r) => translatable(l) && translatable(r)
+    case sources.Not(c) => translatable(c)
+    case _ => false
+  }
+
+  /** Data-source `Filter` → predicate `Column` — the inverse of the
+    * pushdown translation, so `DELETE FROM ... WHERE` arrives at
+    * [[Snapshot.deleteWhere]] as the same `Column` shape the Scala
+    * API takes (and [[FileStats.mayMatch]] already knows how to
+    * prune).
+    */
+  private[etl] def filterToColumn(f: Filter): Column = f match {
+    case sources.EqualTo(a, v) => col(a) === lit(v)
+    case sources.EqualNullSafe(a, v) => col(a) <=> lit(v)
+    case sources.GreaterThan(a, v) => col(a) > lit(v)
+    case sources.GreaterThanOrEqual(a, v) => col(a) >= lit(v)
+    case sources.LessThan(a, v) => col(a) < lit(v)
+    case sources.LessThanOrEqual(a, v) => col(a) <= lit(v)
+    case sources.In(a, vs) => col(a).isin(vs.toIndexedSeq: _*)
+    case sources.IsNull(a) => col(a).isNull
+    case sources.IsNotNull(a) => col(a).isNotNull
+    case sources.StringStartsWith(a, v) => col(a).startsWith(v)
+    case sources.StringEndsWith(a, v) => col(a).endsWith(v)
+    case sources.StringContains(a, v) => col(a).contains(v)
+    case sources.And(l, r) => filterToColumn(l) && filterToColumn(r)
+    case sources.Or(l, r) => filterToColumn(l) || filterToColumn(r)
+    case sources.Not(c) => !filterToColumn(c)
+    case sources.AlwaysTrue() => lit(true)
+    case sources.AlwaysFalse() => lit(false)
+    case other => throw new UnsupportedOperationException(
+      s"DELETE predicate shape not translatable: $other")
+  }
+}

@@ -1163,6 +1163,135 @@ object Snapshot {
       Option(row("updated")).map(_.asInstanceOf[Long]).getOrElse(0L))
   }
 
+  /** Create an EMPTY table: version 1 holds no files, only the
+    * '#schema=' header, so reads return zero rows under the declared
+    * schema and the first INSERT/append is an ordinary version-2
+    * commit. This is the catalog's CREATE TABLE primitive
+    * ([[GraftCatalog.createTable]]) — O(1) metadata, no job runs.
+    * Refuses a path with existing versions.
+    */
+  def createEmpty(path: String,
+      schema: org.apache.spark.sql.types.StructType): Long = {
+    val (fs, root) = resolve(path)
+    require(versionsIn(fs, root).isEmpty,
+      s"cannot create table at $path: snapshot versions already exist")
+    fs.mkdirs(root)
+    commitPinned(fs, root, None, Nil, Seq("#schema=" + schema.toDDL))
+  }
+
+  final case class MergeResult(version: Long, rewrittenFiles: Int,
+      carriedFiles: Int, updated: Long, inserted: Long)
+
+  /** Keyed MERGE (SCD-1 upsert) on a SNAPSHOT table — [[Upsert.merge]]'s
+    * contract, re-expressed over the manifest machinery so SQL `MERGE
+    * INTO` on a catalog table lands as one atomic version: target rows
+    * whose key matches a source row are REPLACED by that source row,
+    * unmatched source rows are INSERTED, everything else is carried
+    * untouched.
+    *
+    * Scale shape — the Delta min/max merge discipline: one scalar
+    * aggregation computes the source's per-key bounds, and only files
+    * whose '#stats=' envelope CAN contain a key in those bounds are
+    * read and rewritten; every other file is carried by reference
+    * (statless files rewrite conservatively). Carried files provably
+    * hold no source key, so matched/unmatched resolution runs against
+    * the touched slice, never the table. The source is persisted once
+    * (stats, the anti-join, and the written union must see identical
+    * rows), and rows with any NULL key never match (SQL's
+    * null-rejecting `=`) — they insert.
+    *
+    * Contract (as [[Upsert.merge]]): `source` must be key-unique; the
+    * source must carry every table column (names resolve with the
+    * session resolver, values cast to the table's types, so the schema
+    * never drifts). Same single-writer + lost-update posture as
+    * [[updateWhere]]: the commit pins at head+1 and a racing writer
+    * loses loudly.
+    */
+  def mergeInto(spark: SparkSession, path: String, source: DataFrame,
+      keys: Seq[String]): MergeResult = {
+    import org.apache.spark.sql.functions.{col, lit, max, min}
+    require(keys.nonEmpty, "mergeInto needs at least one key column")
+    val (fs, root) = resolve(path)
+    val v = versionsIn(fs, root).lastOption.getOrElse(
+      throw new IllegalStateException(s"no snapshot versions at $path"))
+    val entries = fileEntries(fs, root, v)
+    val stats = statsOf(fs, root, v)
+    val schema = readSchema(spark, fs, root, v)
+    val tableCols = schema.map(_.fieldNames.toSeq).getOrElse {
+      require(entries.nonEmpty,
+        s"version $v at $path is empty and carries no schema header")
+      spark.read.parquet(
+        entries.map(resolveEntry(fs, root, _).toString): _*).columns.toSeq
+    }
+    val resolver = spark.sessionState.analyzer.resolver
+    def actual(name: String, cols: Seq[String], what: String): String = {
+      val hits = cols.filter(resolver(_, name))
+      require(hits.nonEmpty, s"$what column '$name' not found")
+      require(hits.length == 1, s"$what column '$name' is ambiguous")
+      hits.head
+    }
+    val keyCols = keys.map(actual(_, tableCols, "merge key"))
+    // align the source to the table schema ONCE, then persist: every
+    // branch below must see the same rows
+    val srcAligned = {
+      val sCols = source.columns.toSeq
+      val types = schema.map(s => s.map(f => f.name -> f.dataType).toMap)
+      source.select(tableCols.map { c =>
+        val sc = source(actual(c, sCols, "source"))
+        types.flatMap(_.get(c)).map(sc.cast(_)).getOrElse(sc).as(c)
+      }: _*).persist()
+    }
+    try {
+      // matchable rows: all keys non-null (a NULL key never matches)
+      val matchable = srcAligned.filter(
+        keyCols.map(col(_).isNotNull).reduce(_ && _))
+      val boundsRow = matchable.agg(
+        min(col(keyCols.head)).as("lo0"), (
+          Seq(max(col(keyCols.head)).as("hi0")) ++
+            keyCols.zipWithIndex.drop(1).flatMap { case (k, i) =>
+              Seq(min(col(k)).as(s"lo$i"), max(col(k)).as(s"hi$i")) }): _*)
+        .head
+      val hasMatchable = !boundsRow.isNullAt(0)
+      val rangePred = Option.when(hasMatchable)(
+        keyCols.zipWithIndex.map { case (k, i) =>
+          col(k) >= lit(boundsRow.get(2 * i)) &&
+            col(k) <= lit(boundsRow.get(2 * i + 1))
+        }.reduce(_ && _))
+      val predExpr = rangePred.map(
+        org.apache.spark.sql.graftbridge.ColumnExpr.expression)
+      val (touched, carried) = predExpr match {
+        case None => (Seq.empty[String], entries)
+        case Some(p) => entries.partition(e =>
+          stats.get(e).forall(FileStats.mayMatch(p, _)))
+      }
+      val base: Option[DataFrame] = Option.when(touched.nonEmpty) {
+        val paths = touched.map(resolveEntry(fs, root, _).toString)
+        val raw = schema match {
+          case Some(s) => spark.read.schema(s).parquet(paths: _*)
+          case None => spark.read.parquet(paths: _*)
+        }
+        applyDv(spark, fs, root, headerOf(fs, root, v), raw)
+      }
+      val updated = base.map(
+        _.join(matchable, keyCols, "left_semi").count()).getOrElse(0L)
+      val inserted = base match {
+        case Some(b) =>
+          srcAligned.count() - matchable.join(b, keyCols, "left_semi").count()
+        case None => srcAligned.count()
+      }
+      val out = base match {
+        case Some(b) => b.join(matchable, keyCols, "left_anti")
+          .unionByName(srcAligned)
+        case None => srcAligned
+      }
+      val newFiles = writeData(out, fs, root, v + 1)
+      val newV = commitPinned(fs, root, Some(v), carried ++ newFiles,
+        Seq(schema.map("#schema=" + _.toDDL).getOrElse(schemaMeta(out))) ++
+          dvLinesOf(fs, root, Some(v)))
+      MergeResult(newV, touched.size, carried.size, updated, inserted)
+    } finally { srcAligned.unpersist(); () }
+  }
+
   /** One history row per version: (version, file count, txn marker if
     * the version was a stream commit) — the audit view of the linear
     * history, read from manifest metadata only (no data I/O). Carried

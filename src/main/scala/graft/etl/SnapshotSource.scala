@@ -115,7 +115,21 @@ class SnapshotSource extends RelationProvider
       throw new IllegalArgumentException(
         "graft-snapshot requires a path (load(path) or OPTIONS (path ...))"))
     val version = opts.get("versionasof").map(_.toLong)
-    val spark = ctx.sparkSession
+    SnapshotSource.relationFor(ctx.sparkSession, path, version)
+  }
+}
+
+object SnapshotSource {
+
+  /** The relation behind every SQL read of a snapshot table — shared
+    * by the V1 format above and the catalog's read rewrite
+    * ([[GraftSqlRules]]): a [[HadoopFsRelation]] over the pinned
+    * manifest (native vectorized parquet + '#stats=' pruning in
+    * `listFiles`), or the materializing [[PrunedScan]] fallback when
+    * the version carries deletion vectors.
+    */
+  def relationFor(spark: SparkSession, path: String,
+      version: Option[Long]): BaseRelation = {
     val (v, schemaOpt, entries, hasDv) =
       Snapshot.scanPlan(spark, path, version)
     val schema = schemaOpt.getOrElse {
@@ -123,7 +137,10 @@ class SnapshotSource extends RelationProvider
         s"version $v at $path is empty and carries no schema header")
       spark.read.parquet(entries.map(_._1.toString): _*).schema
     }
-    if (hasDv) new SnapshotMaterializedRelation(ctx, path, v, schema)
+    if (hasDv)
+      new SnapshotMaterializedRelation(
+        spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+          .sqlContext, path, v, schema)
     else {
       // Bind each entry's OWN filesystem: imported absolute entries
       // may live on a different store than the table root, and the

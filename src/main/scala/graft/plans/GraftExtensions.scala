@@ -71,6 +71,11 @@ object RewriteDotProduct extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => RewriteDotProduct)
+    // catalog SQL routing (GraftCatalog tables): UPDATE/MERGE to the
+    // manifest DML triad in the resolution batch, then pure reads to
+    // the native manifest-backed file scan post-hoc
+    ext.injectResolutionRule(s => GraftDmlRule(s))
+    ext.injectPostHocResolutionRule(s => GraftReadRule(s))
     ext.injectFunction(
       (new org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot"),
         new ExpressionInfo(classOf[VectorDot].getName, "vec_dot"),
