@@ -20,6 +20,12 @@ object EtlDemo {
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the SQL front door: extensions route catalog reads/DML to the
+      // native manifest machinery; the catalog names the landed tables
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+      .config("spark.sql.catalog.graft.warehouse",
+        root.resolve("lake").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -45,11 +51,40 @@ object EtlDemo {
     val s3 = EtlJob.runCycle(spark, cfg)
     println(s"[etl-demo] cycle3 (no new blocks): ran=${s3.ran}")
 
-    val dedup = EtlJob.dedupView(spark, s"${cfg.sinkDir}/marketplace",
-      Schemas.marketplaceKey).count()
+    val dedupDf = EtlJob.dedupView(spark, s"${cfg.sinkDir}/marketplace",
+      Schemas.marketplaceKey)
+    val dedup = dedupDf.count()
     println(s"[etl-demo] dedup view rows=$dedup " +
       s"(raw=${spark.read.parquet(s"${cfg.sinkDir}/marketplace").count()})")
     println(s"[etl-demo] cursor=${Cursor(cfg.cursorDir).read()}")
+
+    // The reference's end state is "tables loaded so SQL can run over
+    // them" (BigQuery load + downstream queries). Same story through
+    // this engine's SQL surface: publish the deduped landing table as
+    // a catalog snapshot table, query it with plain SQL, and tail it
+    // as a stream — all three against the SAME manifest history.
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.etl")
+    dedupDf.createOrReplaceTempView("marketplace_dedup")
+    spark.sql(
+      "CREATE TABLE graft.etl.marketplace AS SELECT * FROM marketplace_dedup")
+    val sqlRows = spark.sql(
+      "SELECT count(*) AS n FROM graft.etl.marketplace").head.getLong(0)
+    val topBucket = spark.sql(
+      """SELECT block_bucket, count(*) AS n FROM graft.etl.marketplace
+        |GROUP BY block_bucket ORDER BY n DESC, block_bucket LIMIT 1"""
+        .stripMargin).head
+    println(s"[etl-demo] sql over catalog table: rows=$sqlRows " +
+      s"top_bucket=${topBucket.get(0)} (n=${topBucket.getLong(1)})")
+    val tailQ = spark.readStream.format("graft-snapshot")
+      .option("startingVersion", 0)
+      .load(root.resolve("lake/etl/marketplace").toString)
+      .writeStream.format("parquet")
+      .option("path", root.resolve("tail_sink").toString)
+      .option("checkpointLocation", root.resolve("tail_ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    tailQ.awaitTermination(120000)
+    val tailed = spark.read.parquet(root.resolve("tail_sink").toString).count()
+    println(s"[etl-demo] snapshot stream tail rows=$tailed (== sql=$sqlRows)")
 
     // DSv2 streaming form of the same source: offsets in the checkpoint
     // log play the etl_cursor role (graft.etl.ChainStreamSource).
@@ -71,7 +106,8 @@ object EtlDemo {
       s"${streamedMax <= ChainFixture.Epoch + ChainFixture.Span - 5})")
 
     val ok = sec <= 15.0 && s1.ran && s2.ran && !s3.ran &&
-      streamedMax <= ChainFixture.Epoch + ChainFixture.Span - 5
+      streamedMax <= ChainFixture.Epoch + ChainFixture.Span - 5 &&
+      sqlRows == dedup && tailed == dedup
     println(s"[etl-demo] PASS=$ok")
     // record the pipeline-layer baseline row (BASELINE.md §2: one
     // 1,000-block cycle <= 15 s) where tools/results.py picks it up

@@ -245,6 +245,39 @@ class GraftCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("ETL landing published through the catalog: SQL query + " +
+      "streaming tail equal the dedup view (EtlDemo's front-door path)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("etlsql")
+    val chain = root.resolve("chain")
+    ChainFixture.write(chain)
+    val cfg = EtlJob.Config(
+      chainDir = chain.toString,
+      sinkDir = root.resolve("sink").toString,
+      cursorDir = root.resolve("cursor").toString)
+    assert(EtlJob.runCycle(spark, cfg).ran)
+    val dedup = EtlJob.dedupView(spark, s"${cfg.sinkDir}/marketplace",
+      Schemas.marketplaceKey)
+    dedup.createOrReplaceTempView("etlsql_dedup")
+    spark.sql(
+      "CREATE TABLE graft.db.etlmkt AS SELECT * FROM etlsql_dedup")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db.etlmkt")
+      .head.getLong(0) == dedup.count())
+    assert(fp(spark.sql("SELECT * FROM graft.db.etlmkt")
+        .select(dedup.columns.map(col).toIndexedSeq: _*)) ==
+      fp(dedup.select(dedup.columns.map(col).toIndexedSeq: _*)))
+    // streaming tail over the published snapshot history
+    val q = spark.readStream.format("graft-snapshot")
+      .option("startingVersion", 0).load(s"$wh/db/etlmkt")
+      .writeStream.format("parquet")
+      .option("path", root.resolve("tail").toString)
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(spark.read.parquet(root.resolve("tail").toString).count() ==
+      dedup.count())
+  }
+
   test("reads work WITHOUT the extensions (V1Scan fallback)") {
     import spark.implicits._
     val plain = graft.SparkTestSession.spark
