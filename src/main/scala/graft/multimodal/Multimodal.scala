@@ -676,6 +676,149 @@ object Multimodal {
       .mapPartitions(_.map(r => decodeVideo(r.doc_id, r.content)))
   }
 
+  // ------------------------------------------------- MJPEG (xm8)
+
+  /** MJPEG fixture geometry/rules (xm8): the COMPRESSED-codec half of
+    * the video boundary y4m sidesteps. MJPEG is a stream of complete
+    * baseline JPEG frames (the raw/HTTP MJPEG form; AVI wraps the
+    * same frames) — the one compressed video codec a bare JDK can
+    * decode, via `javax.imageio`'s JPEG reader.
+    *
+    * JPEG is lossy, so the closed-form-oracle trick needs planted
+    * content the codec reproduces BIT-EXACTLY: grayscale frames that
+    * are CONSTANT PER 8x8 BLOCK. Baseline JPEG codes each 8x8 block
+    * independently (DC differences are entropy-coded losslessly); a
+    * constant block has only a DC coefficient, which the default
+    * luminance quantization reproduces exactly for every value
+    * 0..255 — verified exhaustively (all 256 values, mixed-block
+    * images) against the JDK codec in MultimodalSpec. The oracle
+    * recomputes stats per (block, frame) and scales by the 64 pixels
+    * each block contributes.
+    */
+  @inline def mjBlocksW(id: Long): Int = 1 + (id % 4).toInt // 8..32 px
+  @inline def mjBlocksH(id: Long): Int = 1 + (id % 3).toInt // 8..24 px
+  @inline def mjFrames(id: Long): Int = 1 + (id % 3).toInt
+  @inline def mjVal(bx: Int, by: Int, f: Int, id: Long): Int =
+    ((bx * 31 + by * 57 + f * 19 + id) % 256).toInt
+
+  /** One MJPEG stream: `mjFrames` concatenated baseline JPEGs of the
+    * block-constant planted rule.
+    */
+  private[multimodal] def mjpegEncode(id: Long): Array[Byte] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val wB = mjBlocksW(id); val hB = mjBlocksH(id)
+    val out = new java.io.ByteArrayOutputStream()
+    var f = 0
+    while (f < mjFrames(id)) {
+      val img = new java.awt.image.BufferedImage(
+        wB * 8, hB * 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var by = 0
+      while (by < hB) {
+        var bx = 0
+        while (bx < wB) {
+          val v = mjVal(bx, by, f, id)
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              raster.setSample(bx * 8 + x, by * 8 + y, 0, v)
+              x += 1
+            }
+            y += 1
+          }
+          bx += 1
+        }
+        by += 1
+      }
+      javax.imageio.ImageIO.write(img, "jpg", out)
+      f += 1
+    }
+    out.toByteArray
+  }
+
+  /** MJPEG table over the video-assigned docs (doc_id % 3 = 2, the
+    * modality cycling of mediaTable/encodedMediaTable).
+    */
+  def mjpegVideoTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"))
+      .filter(col("doc_id") % 3 === 2)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[Long]
+      .map { id =>
+        MediaRow(id, "video", mjpegEncode(id),
+          MediaMeta("mjpeg", mjBlocksW(id) * 8, mjBlocksH(id) * 8,
+            mjFrames(id) * 40L)) // 25 fps => 40 ms/frame
+      }
+  }
+
+  /** Decode one MJPEG stream: split at frame boundaries (EOI, FF D9 —
+    * byte stuffing guarantees a raw FF inside entropy data is
+    * followed by 00 or a restart marker, so EOI cannot appear inside
+    * a frame's scan), decode each complete JPEG with the JDK codec,
+    * and fold luma stats: s1 = Σv, s2 = Σv², s3 = Σ v·(frame+1) (the
+    * frame-weighted sum that catches frame-order mistakes). Frames
+    * must agree on dimensions; corrupt/misshapen input folds to
+    * 'unknown', never throws.
+    */
+  private[multimodal] def decodeMjpeg(id: Long,
+      content: Array[Byte]): SampleStats = {
+    val bad = SampleStats(id, "video", "unknown", 0, 0, 0L, 0L, 0L, 0L, 0, 0)
+    try {
+      if (content.length < 4 ||
+          (content(0) & 0xff) != 0xff || (content(1) & 0xff) != 0xd8)
+        return bad
+      var s1 = 0L; var s2 = 0L; var s3 = 0L
+      var mn = 255; var mx = 0
+      var w = -1; var h = -1
+      var nf = 0
+      var start = 0
+      var i = 0
+      while (i + 1 < content.length) {
+        if ((content(i) & 0xff) == 0xff && (content(i + 1) & 0xff) == 0xd9) {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(content, start, i + 2 - start))
+          if (img == null) return bad
+          if (w < 0) { w = img.getWidth; h = img.getHeight }
+          else if (img.getWidth != w || img.getHeight != h) return bad
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = raster.getSample(x, y, 0)
+              s1 += v; s2 += v.toLong * v; s3 += v.toLong * (nf + 1)
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+              x += 1
+            }
+            y += 1
+          }
+          nf += 1
+          start = i + 2
+          i += 2
+        } else i += 1
+      }
+      if (nf == 0 || start != content.length) bad
+      else SampleStats(id, "video", "mjpeg", w, h, w.toLong * h * nf,
+        s1, s2, s3, mn, mx)
+    } catch { case _: Throwable => bad }
+  }
+
+  /** MJPEG sample-decode stage — the xm8 scan shape: per-partition
+    * codec init, one pass per row, no shuffle until the output sort.
+    */
+  def mjpegDecodeStats(media: Dataset[MediaRow]): Dataset[SampleStats] = {
+    import media.sparkSession.implicits._
+    media.filter(r => r.media_type == "video")
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map(r => decodeMjpeg(r.doc_id, r.content))
+      }
+  }
+
   /** Real sample-decode stage over the encoded table: mapPartitions so
     * codec setup (ImageIO's disk cache OFF — a temp file per decode
     * would turn a CPU stage into an I/O one) is paid once per

@@ -211,5 +211,46 @@ object Media {
         orderAll("doc_id", "media_type", "fmt", "width", "height",
           "n_samples", "s1", "s2", "s3", "mn", "mx")))
 
-  def queries: Seq[GQuery] = Seq(xm1, xm2, xm3, xm4, xm5, xm6, xm7)
+  /** xm8: COMPRESSED-video decode, oracle-matched end to end — MJPEG
+    * (concatenated baseline JPEGs, the one compressed video codec a
+    * bare JDK decodes). Frames are grayscale and constant per 8x8
+    * block, which baseline JPEG reproduces bit-exactly (DC-only
+    * blocks; see Multimodal.mjpegEncode), so the DuckDB oracle
+    * recomputes the decoded luma stats from the planted block rule —
+    * the hash passes only if encode → JPEG compress → decode →
+    * aggregate recovers every planted value exactly. Closes the
+    * compressed half of the video boundary xm7's y4m sidesteps
+    * (H.264/VP9 remain out: no JDK codec).
+    */
+  val xm8 = GQuery(
+    "xm8_mjpeg_decode",
+    (s, d) => {
+      val stats = Multimodal.mjpegDecodeStats(
+        Multimodal.mjpegVideoTable(s, d)).toDF()
+      canon(stats)
+    },
+    Some(
+      """WITH vid AS (
+        |  SELECT doc_id, 1 + (doc_id % 4) AS wb, 1 + (doc_id % 3) AS hb,
+        |         1 + (doc_id % 3) AS nf
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |fx AS (SELECT doc_id, wb, hb, nf, UNNEST(range(nf)) AS f FROM vid),
+        |bb AS (SELECT doc_id, wb, hb, nf, f, UNNEST(range(wb)) AS bx FROM fx),
+        |px AS (SELECT doc_id, wb, hb, nf, f, bx, UNNEST(range(hb)) AS by FROM bb),
+        |vv AS (SELECT doc_id, wb, hb, f,
+        |         (bx*31 + by*57 + f*19 + doc_id) % 256 AS val FROM px)
+        |SELECT doc_id, 'video' AS media_type, 'mjpeg' AS fmt,
+        |  CAST(MAX(wb)*8 AS INTEGER) AS width,
+        |  CAST(MAX(hb)*8 AS INTEGER) AS height,
+        |  CAST(COUNT(*)*64 AS BIGINT) AS n_samples,
+        |  CAST(SUM(64*val) AS BIGINT) AS s1,
+        |  CAST(SUM(64*val*val) AS BIGINT) AS s2,
+        |  CAST(SUM(64*val*(f+1)) AS BIGINT) AS s3,
+        |  CAST(MIN(val) AS INTEGER) AS mn,
+        |  CAST(MAX(val) AS INTEGER) AS mx
+        |FROM vv GROUP BY doc_id""".stripMargin +
+        orderAll("doc_id", "media_type", "fmt", "width", "height",
+          "n_samples", "s1", "s2", "s3", "mn", "mx")))
+
+  def queries: Seq[GQuery] = Seq(xm1, xm2, xm3, xm4, xm5, xm6, xm7, xm8)
 }

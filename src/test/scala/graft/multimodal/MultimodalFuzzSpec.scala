@@ -147,6 +147,45 @@ class MultimodalFuzzSpec extends AnyFunSuite {
     assert(Multimodal.decodeVideo(7L, c420).fmt == "unknown")
   }
 
+  private def checkMjpegSane(b: Array[Byte]): Unit = {
+    val st = Multimodal.decodeMjpeg(7L, b)
+    assert(st.fmt == "mjpeg" || st.fmt == "unknown")
+    if (st.fmt == "unknown")
+      assert(st == st.copy(width = 0, height = 0, n_samples = 0L,
+        s1 = 0L, s2 = 0L, s3 = 0L, mn = 0, mx = 0))
+    else {
+      assert(st.width >= 1 && st.height >= 1 && st.n_samples >= 1L)
+      assert(st.mn >= 0 && st.mx <= 255 && st.mn <= st.mx)
+      assert(st.s1 >= 0L && st.s2 >= 0L && st.s3 >= 0L)
+    }
+  }
+
+  test("mjpeg decode: soup, mutations, and truncations never throw") {
+    val valid = Multimodal.mjpegEncode(8L) // id%3==2: a video doc
+    val st = Multimodal.decodeMjpeg(8L, valid)
+    assert(st.fmt == "mjpeg")
+    assert(st.width == Multimodal.mjBlocksW(8L) * 8)
+    assert(st.height == Multimodal.mjBlocksH(8L) * 8)
+    // truncations: every prefix across the first frame and a sweep of
+    // coarser cuts over the rest (trailing garbage / half frames must
+    // fold to unknown, not throw or double-count)
+    (0 until math.min(valid.length, 300)).foreach(n =>
+      checkMjpegSane(valid.take(n)))
+    (300 until valid.length by 97).foreach(n =>
+      checkMjpegSane(valid.take(n)))
+    // single-byte mutations across the first frame's header region
+    (0 until math.min(valid.length, 64)).foreach { pos =>
+      Seq(0x00, 0xd9, 0xff).foreach { v =>
+        val m = valid.clone(); m(pos) = v.toByte
+        checkMjpegSane(m)
+      }
+    }
+    // byte soup
+    val g = Gen.choose(0, 300).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue)))
+    (0 until 100).foreach(i => checkMjpegSane(sample(g, 900L + i).toArray))
+  }
+
   test("a valid payload round-trips through mutation checks unchanged") {
     // guard the guard: the un-mutated builders still parse to their
     // encoded fields after the PNG dimension-sanity change

@@ -212,6 +212,51 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("JPEG reproduces block-constant grayscale bit-exactly for ALL " +
+      "256 values — the lossless island xm8's oracle stands on") {
+    // xm8's closed-form oracle is only sound if the LOSSY codec is
+    // exact on the planted content class: grayscale frames constant
+    // per 8x8 block (DC-only blocks; DC differences entropy-code
+    // losslessly). Exhaustive: every value 0..255, mixed-block images.
+    javax.imageio.ImageIO.setUseCache(false)
+    (0 until 256).foreach { base =>
+      val img = new java.awt.image.BufferedImage(
+        24, 16, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val r = img.getRaster
+      def v(bx: Int, by: Int) = (base + bx * 31 + by * 57) % 256
+      for (by <- 0 until 2; bx <- 0 until 3; y <- 0 until 8; x <- 0 until 8)
+        r.setSample(bx * 8 + x, by * 8 + y, 0, v(bx, by))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", out)
+      val dec = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(out.toByteArray))
+      for (by <- 0 until 2; bx <- 0 until 3; y <- 0 until 8; x <- 0 until 8)
+        assert(dec.getRaster.getSample(bx * 8 + x, by * 8 + y, 0)
+          == v(bx, by), s"base $base block ($bx,$by)")
+    }
+  }
+
+  test("MJPEG encode -> JDK decode recovers every planted block value") {
+    Seq(2L, 5L, 8L, 11L, 47L, 500L).foreach { id =>
+      val st = Multimodal.decodeMjpeg(id, Multimodal.mjpegEncode(id))
+      val w = Multimodal.mjBlocksW(id) * 8
+      val h = Multimodal.mjBlocksH(id) * 8
+      val nf = Multimodal.mjFrames(id)
+      assert(st.fmt == "mjpeg" && st.width == w && st.height == h, s"id $id")
+      assert(st.n_samples == w.toLong * h * nf, s"id $id")
+      var s1 = 0L; var s2 = 0L; var s3 = 0L; var mn = 255; var mx = 0
+      for (f <- 0 until nf;
+           by <- 0 until Multimodal.mjBlocksH(id);
+           bx <- 0 until Multimodal.mjBlocksW(id)) {
+        val v = Multimodal.mjVal(bx, by, f, id)
+        s1 += 64L * v; s2 += 64L * v * v; s3 += 64L * v * (f + 1)
+        mn = math.min(mn, v); mx = math.max(mx, v)
+      }
+      assert(st.s1 == s1 && st.s2 == s2 && st.s3 == s3, s"id $id sums")
+      assert(st.mn == mn && st.mx == mx, s"id $id extrema")
+    }
+  }
+
   test("real decode stage never throws on corrupt payloads") {
     // truncations at every interesting seam of a real PNG and WAV
     val png = Multimodal.pngEncode(7L)
