@@ -336,6 +336,42 @@ object Bench {
           expr("size(array_union(split(r_name, ''), array('z')))").as("u"))
         .groupBy("i", "u").count()
         .write.format("noop").mode("overwrite").save()
+      // The term_counts/bigram_counts kernels + tf-table join shapes
+      // (xt3/xt5/xt6 — the r14 driver-sweep cold tail: warm 1.3-1.5 s
+      // but 3.1-5.1 s in bench/driver_last.json). The generic warm-up
+      // above loads the TOKENIZE kernel but not these two map-valued
+      // kernels' generated classes, nor the explode-of-map -> groupBy
+      // -> broadcast-join-back-to-tf fused stages all three queries
+      // compile, nor xt5's struct-array top-k sort:
+      // Volume matters here, not just shape: the byte-walk kernels run
+      // interpreted/C1 until the JIT sees enough iterations, and 50
+      // tiny rows never get them C2-compiled — the r14 driver sweep
+      // still read 3-5 s on these queries with every CLASS loaded but
+      // the hot loops uncompiled. ~3k rows x ~300 chars puts the
+      // kernels' inner loops over the OSR threshold during the
+      // (untimed) warm-up instead of inside the first timed query.
+      graft.functions.TextOps.register(spark)
+      val wbig = spark.range(3000).select(col("id"),
+        concat(expr("repeat('lorem ipsum dolor sit amet consectetur ', 8)"),
+          col("id").cast("string")).as("text"))
+      val wtf = wbig.select(col("id"),
+        explode(expr("term_counts(text)")).as(Seq("term", "tfi")))
+      val wdf = wtf.groupBy("term").agg(count(lit(1)).as("df"))
+      wtf.join(broadcast(wdf), Seq("term"))
+        .withColumn("w", col("tfi") * log(lit(50.0) / col("df")))
+        .groupBy("id")
+        .agg(expr("slice(array_sort(collect_list(struct(-w AS nw, " +
+          "term AS t))), 1, 3)").as("top"))
+        .select(col("id"), explode(col("top")).as("e"))
+        .groupBy("e").count()
+        .write.format("noop").mode("overwrite").save()
+      wbig.select(col("id"),
+          explode(expr("bigram_counts(text)")).as(Seq("g", "c")))
+        .groupBy("g").agg(sum(col("c")).as("cnt"))
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("cnt").desc, col("g"))))
+        .filter(col("rn") <= 3)
+        .write.format("noop").mode("overwrite").save()
       // The LSH band pipeline END-TO-END in miniature (50 synthetic
       // docs): tokenize -> sorted distinct set -> groupBy(set) ->
       // signature kernel -> band explode (transform/sequence) -> band
@@ -369,7 +405,24 @@ object Bench {
       wsets.unpersist(false)
     }
     }
+    // Drain the compiler queue the warm-up just filled BEFORE any
+    // timed run: cold mode has no per-run relax(), so without this the
+    // first heavy queries execute while C2 burns tens of seconds of
+    // CPU on warm-up-triggered compiles (r14 cold sweep: 40 s of
+    // compiler time inside a 16 s three-query window). Bounded wait —
+    // poll the compilation-time bean until it stops advancing.
+    def jitSettle(): Unit = {
+      var settled = 0
+      var lastJit = jitMs
+      Thread.sleep(200)
+      while (settled < 20000 && jitMs - lastJit > 50) {
+        lastJit = jitMs
+        Thread.sleep(250)
+        settled += 250
+      }
+    }
     warmUp(spark)
+    jitSettle()
 
     // Page-cache priming: stream every input file once. The shared
     // host periodically drops the page cache, and a post-drop cold run
@@ -432,6 +485,7 @@ object Bench {
         spark.stop()
         spark = buildSession()
         warmUp(spark)
+        jitSettle()
       }
     }
     // Between-RUN residue drop (untimed, runs after each timed run of

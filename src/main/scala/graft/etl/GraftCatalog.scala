@@ -230,8 +230,18 @@ final class GraftSnapshotTable(ident: String, val path: String,
 
   override def name(): String = ident
 
-  override lazy val schema: StructType =
-    SnapshotSource.relationFor(spark, path, pinnedVersion).schema
+  // header '#schema=' when recorded (O(1) metadata), footer inference
+  // otherwise — NOT relationFor, whose per-entry getFileStatus is
+  // O(files) and belongs to scan planning, not name resolution
+  override lazy val schema: StructType = {
+    val (v, schemaOpt, entries, _) =
+      Snapshot.scanPlan(spark, path, pinnedVersion)
+    schemaOpt.getOrElse {
+      require(entries.nonEmpty,
+        s"version $v at $path is empty and carries no schema header")
+      spark.read.parquet(entries.map(_._1.toString): _*).schema
+    }
+  }
 
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,

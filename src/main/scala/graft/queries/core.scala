@@ -21,7 +21,30 @@ final case class GQuery(
 
 /** Per-invocation context: table accessors over the given sf directory. */
 final case class Ctx(spark: SparkSession, dir: String) {
-  def table(n: String): DataFrame = spark.read.parquet(s"$dir/$n.parquet")
+  /** Read a fixture table with the INFERRED SCHEMA CACHED per path:
+    * without it every query run pays parquet footer inference again
+    * (ProfilePhases measured 100-500ms of per-run frame-build time on
+    * the multi-table SQL queries — a third of a floor query's warm
+    * budget, pure driver-side metadata). The fixture contract
+    * everywhere in this registry is that the corpus at `dir` is
+    * immutable within a session, the same assumption Recall's
+    * baseline memo and Bpe's trainer memo already lean on. Supplying
+    * the schema skips only inference; listing, pushdown, and the scan
+    * itself are untouched.
+    */
+  def table(n: String): DataFrame = {
+    val p = s"$dir/$n.parquet"
+    val hit = Ctx.schemaCache.get(p)
+    val sch =
+      if (hit != null) hit
+      else {
+        if (Ctx.schemaCache.size > 64) Ctx.schemaCache.clear()
+        val s = spark.read.parquet(p).schema
+        Ctx.schemaCache.putIfAbsent(p, s)
+        s
+      }
+    spark.read.schema(sch).parquet(p)
+  }
   def region: DataFrame = table("region")
   def nation: DataFrame = table("nation")
   def customer: DataFrame = table("customer")
@@ -73,6 +96,16 @@ final case class Ctx(spark: SparkSession, dir: String) {
     */
   def spread(df: DataFrame): DataFrame =
     df.repartition(spark.sparkContext.defaultParallelism)
+}
+
+object Ctx {
+  /** Inferred-schema cache for [[Ctx.table]], keyed by parquet path.
+    * get/putIfAbsent (never computeIfAbsent): no work under a bin
+    * lock, racing duplicates are benign, size-capped clear evicts
+    * stale dirs.
+    */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
 }
 
 /** Determinism discipline (SURVEY §2.B rules + §7 hard parts).
