@@ -21,29 +21,29 @@ final case class GQuery(
 
 /** Per-invocation context: table accessors over the given sf directory. */
 final case class Ctx(spark: SparkSession, dir: String) {
-  /** Read a fixture table with the INFERRED SCHEMA CACHED per path:
-    * without it every query run pays parquet footer inference again
-    * (ProfilePhases measured 100-500ms of per-run frame-build time on
-    * the multi-table SQL queries — a third of a floor query's warm
-    * budget, pure driver-side metadata). The fixture contract
-    * everywhere in this registry is that the corpus at `dir` is
-    * immutable within a session, the same assumption Recall's
-    * baseline memo and Bpe's trainer memo already lean on. Supplying
-    * the schema skips only inference; listing, pushdown, and the scan
-    * itself are untouched.
+  /** Read a fixture table through a per-session ANALYZED-RELATION
+    * cache (a hidden temp view): without it every query run pays
+    * parquet footer inference + file listing again (ProfilePhases
+    * measured 100-500ms of per-run frame-build time on the
+    * multi-table SQL queries — a third of a floor query's warm
+    * budget, pure driver-side metadata). The view stores the FIRST
+    * read's analyzed plan, so later uses are a catalog lookup that
+    * reuses the same resolved relation and FileIndex — the scan plan
+    * is bit-identical to a fresh `spark.read.parquet` (supplying a
+    * cached SCHEMA instead measurably changed execution: qx3 1.0s →
+    * 3.1s, xv6 2.0s → 3.6s — user-specified-schema reads take a
+    * different reader path, so that approach was reverted). The
+    * fixture contract everywhere in this registry is that the corpus
+    * at `dir` is immutable within a session, the same assumption
+    * Recall's baseline memo and Bpe's trainer memo already lean on.
     */
   def table(n: String): DataFrame = {
     val p = s"$dir/$n.parquet"
-    val hit = Ctx.schemaCache.get(p)
-    val sch =
-      if (hit != null) hit
-      else {
-        if (Ctx.schemaCache.size > 64) Ctx.schemaCache.clear()
-        val s = spark.read.parquet(p).schema
-        Ctx.schemaCache.putIfAbsent(p, s)
-        s
-      }
-    spark.read.schema(sch).parquet(p)
+    val view = "graft_fixture_" + n + "_" +
+      java.lang.Integer.toHexString(p.hashCode)
+    if (!spark.catalog.tableExists(view))
+      spark.read.parquet(p).createOrReplaceTempView(view) // race benign
+    spark.table(view)
   }
   def region: DataFrame = table("region")
   def nation: DataFrame = table("nation")
@@ -96,16 +96,6 @@ final case class Ctx(spark: SparkSession, dir: String) {
     */
   def spread(df: DataFrame): DataFrame =
     df.repartition(spark.sparkContext.defaultParallelism)
-}
-
-object Ctx {
-  /** Inferred-schema cache for [[Ctx.table]], keyed by parquet path.
-    * get/putIfAbsent (never computeIfAbsent): no work under a bin
-    * lock, racing duplicates are benign, size-capped clear evicts
-    * stale dirs.
-    */
-  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
-    String, org.apache.spark.sql.types.StructType]()
 }
 
 /** Determinism discipline (SURVEY §2.B rules + §7 hard parts).
