@@ -58,8 +58,12 @@ if line is None:
     sys.stderr.write(out.stdout[-2000:] + "\n" + out.stderr[-2000:] + "\n")
     sys.exit("floorcheck: focused Bench produced no metric line")
 doc = json.loads(line[line.index("{"):])
+# Bench's stdout line always SHORTENS query names (q61_sql_tpch1 ->
+# q61); results.py matches full names, so map back via the focus list
+by_short = {n.split("_")[0]: n for n in floor_fails}
+queries = {by_short.get(k, k): v for k, v in doc["queries"].items()}
 record = {"protocol": "median-of-5 focused re-measure (fresh JVM)",
-          "queries": doc["queries"]}
+          "queries": queries}
 with open(out_path, "w") as f:
     json.dump(record, f, indent=1)
 for n, v in sorted(doc["queries"].items()):
