@@ -73,6 +73,33 @@ object Snapshot {
 
   def currentVersion(path: String): Option[Long] = versions(path).lastOption
 
+  /** A version's commit wall-time (epoch millis), from its '#ts='
+    * manifest header. None for manifests that predate the stamp.
+    */
+  def commitTime(path: String, version: Long): Option[Long] = {
+    val (fs, root) = resolve(path)
+    headerOf(fs, root, version)
+      .collectFirst { case l if l.startsWith("#ts=") => l.drop(4).toLong }
+  }
+
+  /** TIMESTAMP AS OF resolution: the newest version committed at or
+    * before `tsMillis` — versions scanned in commit order, keeping the
+    * last whose stamp qualifies, so a wall-clock regression between
+    * commits degrades gracefully to commit-order semantics instead of
+    * lying. Versions without a stamp (pre-'#ts=' manifests) can't
+    * prove their commit time and never match. None = every stamped
+    * version is newer than the asked-for time (the Delta "timestamp
+    * before earliest version" error case — callers decide how loud).
+    */
+  def versionAt(path: String, tsMillis: Long): Option[Long] = {
+    val (fs, root) = resolve(path)
+    versionsIn(fs, root).foldLeft(Option.empty[Long]) { (acc, v) =>
+      val ts = headerOf(fs, root, v)
+        .collectFirst { case l if l.startsWith("#ts=") => l.drop(4).toLong }
+      if (ts.exists(_ <= tsMillis)) Some(v) else acc
+    }
+  }
+
   /** Manifest lines: '#'-prefixed header (schema, txn markers), then
     * one referenced file path per line (relative to the table root).
     */
@@ -203,9 +230,15 @@ object Snapshot {
     fs.mkdirs(manifestDir(root))
     val tmp = new Path(manifestDir(root),
       s".v$v.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    // commit wall-time header (TIMESTAMP AS OF time travel): stamped
+    // here — the one place every manifest is written — so restore/
+    // rollback paths that re-carry an old header can't smuggle a
+    // stale stamp in (any inherited '#ts=' is dropped first)
+    val stamped = s"#ts=${System.currentTimeMillis()}" +:
+      meta.filterNot(_.startsWith("#ts="))
     val out = fs.create(tmp, true)
     try out.write(
-      ((meta ++ files).mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+      ((stamped ++ files).mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
     def lose(why: String): Nothing = {
       fs.delete(tmp, false)

@@ -195,15 +195,61 @@ case class GraftMergeCommand(path: String, source: LogicalPlan,
   * the resolution batch, so DML targets are already commands; the one
   * node that must keep its v2 relation — `DeleteFromTable`, whose
   * execution path IS the v2 `SupportsDelete` — is skipped explicitly.
+  *
+  * One shape short-circuits the scan entirely: an ungrouped,
+  * unfiltered `SELECT count(*)` / `count(col)` directly over a
+  * snapshot table becomes a [[LocalRelation]] holding the answer from
+  * [[GraftSnapshotTable.metadataCounts]] — the manifest's per-file
+  * row/null counts, zero data files planned. The guard set (no
+  * grouping, no Filter between aggregate and relation, no DISTINCT /
+  * FILTER clause, no deletion vectors, every live file carrying a
+  * stats envelope) keeps the rewrite exact, and any miss falls
+  * through to the ordinary native scan.
   */
 case class GraftReadRule(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
     case d: DeleteFromTable => d
+    case agg: Aggregate =>
+      metadataAggregate(agg).getOrElse(agg.mapChildren(apply))
     case other => other.mapChildren(apply) match {
       case r @ DataSourceV2Relation(t: GraftSnapshotTable, output, _, _, _, _) =>
         org.apache.spark.sql.graftbridge.PlanFrame.fileRelation(
           SnapshotSource.relationFor(spark, t.path, t.pinnedVersion), output)
       case rewritten => rewritten
     }
+  }
+
+  /** `Aggregate` → manifest-answered `LocalRelation`, when provable. */
+  private def metadataAggregate(agg: Aggregate): Option[LogicalPlan] = {
+    if (agg.groupingExpressions.nonEmpty) return None
+
+    // the relation must sit directly under the aggregate — alias and
+    // column-pruning projections preserve cardinality and column
+    // identity; anything else (Filter, Join, computed Project) doesn't
+    def bare(p: LogicalPlan): Option[GraftSnapshotTable] = p match {
+      case SubqueryAlias(_, c) => bare(c)
+      case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+        bare(c)
+      case DataSourceV2Relation(t: GraftSnapshotTable, _, _, _, _, _) =>
+        Some(t)
+      case _ => None
+    }
+
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count}
+    val counted: Seq[Option[Option[String]]] = agg.aggregateExpressions.map {
+      case Alias(AggregateExpression(Count(Seq(l: Literal)), _, false, None, _), _)
+          if l.value != null => Some(None)
+      case Alias(AggregateExpression(Count(Seq(a: AttributeReference)), _, false, None, _), _) =>
+        Some(Some(a.name))
+      case _ => None
+    }
+    if (counted.exists(_.isEmpty)) return None
+
+    for {
+      t <- bare(agg.child)
+      vals <- t.metadataCounts(counted.flatten)
+    } yield LocalRelation(agg.output,
+      Seq(org.apache.spark.sql.catalyst.InternalRow.fromSeq(vals)))
   }
 }

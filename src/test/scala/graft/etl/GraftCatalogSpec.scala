@@ -74,6 +74,37 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(e.getMessage != null)
   }
 
+  test("TIMESTAMP AS OF resolves through '#ts=' commit stamps") {
+    import spark.implicits._
+    val path = s"$wh/db/ts"
+    Snapshot.commitOverwrite(Seq((1L, "a")).toDF("id", "v"), path)
+    val afterV1 = System.currentTimeMillis()
+    Thread.sleep(50) // distinct millisecond stamps across the commits
+    Snapshot.commitAppend(Seq((2L, "b")).toDF("id", "v"), path)
+
+    val t1 = Snapshot.commitTime(path, 1L)
+    val t2 = Snapshot.commitTime(path, 2L)
+    assert(t1.isDefined && t1.get <= afterV1)
+    assert(t2.isDefined && t2.get > afterV1)
+    assert(Snapshot.versionAt(path, afterV1).contains(1L))
+    assert(Snapshot.versionAt(path, t2.get).contains(2L))
+    assert(Snapshot.versionAt(path, t1.get - 1).isEmpty)
+
+    def asOf(ms: Long) = {
+      val lit = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+        .withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.ofEpochMilli(ms))
+      spark.sql(s"SELECT * FROM graft.db.ts TIMESTAMP AS OF '$lit'")
+    }
+    assert(asOf(afterV1).collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(asOf(System.currentTimeMillis()).count() == 2)
+    val e = intercept[Exception] { asOf(t1.get - 1000).collect() }
+    val messages = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).flatMap(t => Option(t.getMessage)).mkString(" | ")
+    assert(messages.contains("no version committed at or before"))
+  }
+
   test("SQL WHERE prunes planned files through manifest stats " +
       "(SnapshotSourceSpec's witness, catalog edition)") {
     import spark.implicits._
