@@ -141,11 +141,45 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftSnapshotTable(ident.toString, path, None)
   }
 
+  /** SQL schema evolution, routed to the manifest's header-only
+    * evolution commits: `ADD COLUMNS` → [[Snapshot.addColumn]]
+    * (trailing nullable column, existing files read NULL), `RENAME
+    * COLUMN` → [[Snapshot.renameColumn]] (field-id identity), `ALTER
+    * COLUMN ... TYPE` → [[Snapshot.widenColumn]] (lossless parquet
+    * widenings only). Everything else — drops, repositioning,
+    * non-null adds, nested fields — is refused loudly; no shape here
+    * ever rewrites a data file.
+    */
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE is not supported; schema evolution goes through " +
-        "Snapshot.commitAppend/evolve")
+      changes: TableChange*): Table = {
+    val path = tablePath(ident)
+    if (Snapshot.versions(path).isEmpty) throw new NoSuchTableException(ident)
+    changes.foreach {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          "ADD COLUMNS supports top-level columns only, got " +
+            a.fieldNames.mkString("."))
+        require(a.position() == null,
+          "ADD COLUMNS appends at the end; FIRST/AFTER is not supported")
+        require(a.isNullable,
+          "added columns must be nullable — existing rows read as NULL")
+        Snapshot.addColumn(spark, path, a.fieldNames.head, a.dataType())
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames.length == 1,
+          "RENAME COLUMN supports top-level columns only, got " +
+            r.fieldNames.mkString("."))
+        Snapshot.renameColumn(spark, path, r.fieldNames.head, r.newName())
+      case u: TableChange.UpdateColumnType =>
+        require(u.fieldNames.length == 1,
+          "ALTER COLUMN TYPE supports top-level columns only, got " +
+            u.fieldNames.mkString("."))
+        Snapshot.widenColumn(spark, path, u.fieldNames.head, u.newDataType())
+      case other => throw new UnsupportedOperationException(
+        s"ALTER TABLE change ${other.getClass.getSimpleName} is not " +
+          "supported on snapshot tables (no data-file rewrite shapes)")
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val path = tablePath(ident)

@@ -216,6 +216,36 @@ object Snapshot {
   private def schemaMeta(df: DataFrame): String =
     "#schema=" + df.schema.toDDL
 
+  /** The '#schema=' line for an APPEND-shaped commit (old files are
+    * carried): the appended frame's schema, with nullability RELAXED
+    * against the head's recorded schema. A column the head already
+    * declares nullable may hold nulls in carried files, and a column
+    * the head doesn't know at all reads as NULL from every pre-add
+    * file — recording the frame's own `NOT NULL` for either (an
+    * INSERT of literals arrives non-nullable) would make the
+    * vectorized parquet reader reject carried files ("required column
+    * is missing") instead of null-filling them. Overwrites keep the
+    * frame's exact schema: no carried file exists to contradict it.
+    */
+  private def appendSchemaMeta(fs: FileSystem, root: Path,
+      head: Option[Long], df: DataFrame): String = {
+    val headSchema = head.flatMap(schemaOf(fs, root, _)).flatMap(ddl =>
+      try Some(org.apache.spark.sql.types.StructType.fromDDL(ddl))
+      catch { case scala.util.control.NonFatal(_) => None })
+    headSchema match {
+      case None => schemaMeta(df)
+      case Some(hs) =>
+        val known = hs.map(f => f.name.toLowerCase -> f.nullable).toMap
+        val merged = org.apache.spark.sql.types.StructType(df.schema.map(f =>
+          known.get(f.name.toLowerCase) match {
+            case Some(headNullable) =>
+              f.copy(nullable = f.nullable || headNullable)
+            case None => f.copy(nullable = true)
+          }))
+        "#schema=" + merged.toDDL
+    }
+  }
+
   /** Publish `files` (plus '#'-header lines) as version `v`: temp
     * write + rename, the same durability move as the ETL cursor. The
     * rename is the single commit point — any header metadata becomes
@@ -428,7 +458,8 @@ object Snapshot {
       // deletion vectors stay valid — carry them (re-read per retry:
       // the interloper may have been a merge-on-read delete)
       Some((filesAt(fs, root, head) ++ data,
-        Seq(schemaMeta(df)) ++ dvLinesOf(fs, root, head)))
+        Seq(appendSchemaMeta(fs, root, head, df)) ++
+          dvLinesOf(fs, root, head)))
     }.get
   }
 
@@ -769,7 +800,7 @@ object Snapshot {
     retryAppend(fs, root) { head =>
       if (lastMarked.exists(_ >= batchId)) None
       else Some((filesAt(fs, root, head) ++ data,
-        Seq(s"$prefix$batchId", schemaMeta(df)) ++
+        Seq(s"$prefix$batchId", appendSchemaMeta(fs, root, head, df)) ++
           dvLinesOf(fs, root, head)))
     }
   }
@@ -844,6 +875,46 @@ object Snapshot {
     onBeforePublish()
     publish(fs, root, v + 1, fileEntries(fs, root, v),
       meta ++ state ++ stats)
+  }
+
+  /** ADDITIVE evolution: append a nullable column to the table schema
+    * as a HEADER-ONLY commit — no data file is touched; the new
+    * version's '#schema=' simply carries the extra trailing field, and
+    * the read path's recorded-schema discipline makes every existing
+    * file scan the column as NULL (the same mixed-footer rule that
+    * already serves `commitAppend` with a wider frame). '#fields='
+    * assignment in [[commitPinned]] hands the new name a fresh field
+    * id, so later renames/widenings of it resolve by id like any
+    * other column. Existing stats envelopes carry verbatim — they
+    * don't mention the new column, which readers treat conservatively
+    * (no pruning on it, metadata-count falls back) until files
+    * actually containing it are written. Concurrent-writer posture:
+    * append-like bounded retries (the file list is re-pinned to the
+    * winner's head each attempt). Time travel to a pre-add version
+    * shows the old schema. Returns the published version.
+    */
+  def addColumn(spark: SparkSession, path: String, name: String,
+      to: org.apache.spark.sql.types.DataType): Long = {
+    import org.apache.spark.sql.types._
+    val (fs, root) = resolve(path)
+    require(name.nonEmpty && !name.contains(":") && !name.contains(",") &&
+      !name.contains("\n") && !name.contains("."),
+      s"added column '$name' is not a plain column name")
+    val resolver = spark.sessionState.analyzer.resolver
+    retryAppend(fs, root) { head =>
+      val v = head.getOrElse(throw new IllegalStateException(
+        s"no snapshot versions at $path"))
+      val schema = schemaOf(fs, root, v)
+        .map(StructType.fromDDL).getOrElse(
+          throw new IllegalStateException(
+            s"version $v at $path carries no schema header"))
+      require(!schema.fields.exists(f => resolver(f.name, name)),
+        s"column '$name' already exists in the table schema")
+      val newSchema = StructType(
+        schema.fields :+ StructField(name, to, nullable = true))
+      Some((filesAt(fs, root, head),
+        Seq("#schema=" + newSchema.toDDL) ++ dvLinesOf(fs, root, head)))
+    }.get
   }
 
   /** NON-ADDITIVE evolution: rename a column as a HEADER-ONLY commit —

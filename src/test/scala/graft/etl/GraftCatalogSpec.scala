@@ -105,6 +105,56 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(messages.contains("no version committed at or before"))
   }
 
+  test("ALTER TABLE ADD COLUMNS / RENAME COLUMN / ALTER COLUMN TYPE " +
+      "are header-only evolution commits") {
+    val t = "graft.db.alt"
+    spark.sql(s"CREATE TABLE $t (id INT, v STRING)")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a'), (2, 'b')")
+    val dataFiles = () => {
+      val d = new java.io.File(s"$wh/db/alt/data")
+      if (d.exists) d.listFiles.count(_.isDirectory) else 0
+    }
+    val before = dataFiles()
+
+    spark.sql(s"ALTER TABLE $t ADD COLUMNS (w BIGINT)")
+    // existing rows read the added column as NULL ...
+    assert(spark.sql(s"SELECT w FROM $t").collect().forall(_.isNullAt(0)))
+    // ... new rows carry it, and aggregation sees only real values
+    spark.sql(s"INSERT INTO $t VALUES (3, 'c', 30)")
+    assert(spark.sql(s"SELECT sum(w) AS s FROM $t")
+      .collect()(0).getLong(0) == 30L)
+    assert(spark.sql(s"SELECT count(w) AS n FROM $t")
+      .collect()(0).getLong(0) == 1L)
+    // time travel to the pre-add version shows the old shape
+    assert(spark.sql(s"SELECT * FROM $t VERSION AS OF 2")
+      .columns.toSeq == Seq("id", "v"))
+
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN v TO label")
+    assert(spark.sql(s"SELECT label FROM $t").collect()
+      .map(_.getString(0)).sorted.toSeq == Seq("a", "b", "c"))
+
+    spark.sql(s"ALTER TABLE $t ALTER COLUMN id TYPE BIGINT")
+    assert(spark.sql(s"SELECT sum(id) AS s FROM $t")
+      .collect()(0).getLong(0) == 6L)
+    assert(spark.sql(s"SELECT * FROM $t").schema("id").dataType ==
+      org.apache.spark.sql.types.LongType)
+
+    // the three ALTERs published versions but wrote ZERO data files
+    // beyond the two INSERTs' commits
+    assert(dataFiles() == before + 1)
+    assert(Snapshot.versions(s"$wh/db/alt") == (1L to 6L))
+
+    // refused shapes stay loud
+    val e1 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $t DROP COLUMN label")
+    }
+    assert(e1.getMessage.contains("not supported"))
+    val e2 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $t ALTER COLUMN label TYPE INT")
+    }
+    assert(e2.getMessage != null) // narrow-or-incompatible widen refused
+  }
+
   test("SQL WHERE prunes planned files through manifest stats " +
       "(SnapshotSourceSpec's witness, catalog edition)") {
     import spark.implicits._

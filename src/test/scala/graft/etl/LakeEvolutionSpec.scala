@@ -49,6 +49,42 @@ class LakeEvolutionSpec extends AnyFunSuite {
     path
   }
 
+  test("addColumn + non-nullable additive append: carried files read " +
+      "NULL, never rejected") {
+    val path = Files.createTempDirectory("evolve-add").toString + "/t"
+    Snapshot.commitOverwrite(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "payload").coalesce(1), path)
+
+    // explicit header-only ADD: no data file written, reads null-fill
+    Snapshot.addColumn(spark, path, "quality", org.apache.spark.sql.types.DoubleType)
+    val afterAdd = Snapshot.read(spark, path)
+    assert(afterAdd.columns.toSeq == Seq("id", "payload", "quality"))
+    assert(afterAdd.collect().forall(_.isNullAt(2)))
+
+    // an additive append whose frame claims NOT NULL (e.g. literals)
+    // must not poison the recorded schema: the carried pre-add file
+    // has no 'quality' at all, so the column stays nullable
+    val frame = Seq((3L, "c", 0.9)).toDF("id", "payload", "quality")
+    assert(!frame.schema("quality").nullable)
+    Snapshot.commitAppend(frame, path)
+    val merged = Snapshot.read(spark, path)
+    assert(merged.schema("quality").nullable)
+    val rows = merged.collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    assert(rows == Set((1L, None), (2L, None), (3L, Some(0.9))))
+
+    // time travel: the pre-add version still shows the narrow shape
+    assert(Snapshot.read(spark, path, Some(1L)).columns.toSeq ==
+      Seq("id", "payload"))
+    // adding an existing column is refused
+    val e = intercept[IllegalArgumentException] {
+      Snapshot.addColumn(spark, path, "PAYLOAD",
+        org.apache.spark.sql.types.StringType)
+    }
+    assert(e.getMessage.contains("already exists"))
+  }
+
   test("renameColumn: header-only commit, old files read by field id") {
     val path = snapTable()
     val v1 = Snapshot.currentVersion(path).get
