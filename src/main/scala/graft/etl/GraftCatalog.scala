@@ -339,43 +339,152 @@ final class GraftSnapshotTable(ident: String, val path: String,
     }
   }
 
-  // ------------------------------------------------- metadata-only count
+  // --------------------------------------- metadata-only aggregates
 
-  /** Row counts answerable from the manifest alone — the
+  /** Aggregates answerable from the manifest alone — the
     * metadata-only-query optimization (Delta/Iceberg answer
-    * `SELECT count(*)` from their logs the same way): each element of
-    * `counted` is `None` for `count(*)`/`count(<non-null literal>)`
-    * (total rows) or `Some(col)` for `count(col)` (non-null rows of a
-    * top-level column, provable when every file's stats envelope
-    * records the column's null count). Returns None — caller falls
-    * back to the ordinary scan — when the version carries deletion
-    * vectors (merge-on-read rows are subtracted at READ time, the
-    * manifest's per-file rows overcount), when any live file lacks a
-    * stats envelope, or when a requested column's null count is
-    * unknown for any file. At warehouse scale this turns a 100 TB
-    * table's count into an O(files) manifest read with zero data I/O.
+    * `SELECT count(*)` / min / max from their logs the same way):
+    * `count(*)` sums per-file row counts, `count(col)` subtracts each
+    * file's recorded null count, and `min(col)` / `max(col)` fold the
+    * per-file envelopes — which are EXACT whenever present
+    * (parquet-mr chunk statistics are omitted when unusable, never
+    * truncated). Values return as Catalyst internal representations,
+    * null for a provably all-null (or empty) column's extrema.
+    *
+    * Returns None — caller falls back to the ordinary scan — when the
+    * version carries deletion vectors (merge-on-read rows are
+    * subtracted at READ time, so per-file stats overcount), when any
+    * live file lacks a stats envelope or the requested column's
+    * entry, when a null count is unknown, on a stats/type domain
+    * mismatch, or for types whose stats order isn't provably Spark's:
+    * extrema qualify only for integral/date/timestamp, boolean, and
+    * default-collation strings (parquet's unsigned-byte string order
+    * IS UTF8_BINARY's) — float/double are categorically excluded
+    * because envelopes cannot prove NaN's absence (see extremum),
+    * though their COUNTS remain provable. At warehouse scale this turns a
+    * 100 TB table's freshness probe into an O(files) manifest read
+    * with zero data I/O.
     */
-  def metadataCounts(counted: Seq[Option[String]]): Option[Seq[Long]] = {
+  def metadataAnswer(reqs: Seq[GraftSnapshotTable.MetaReq])
+      : Option[Seq[Any]] = {
+    import GraftSnapshotTable._
     val (_, _, entries, hasDv) = Snapshot.scanPlan(spark, path, pinnedVersion)
     if (hasDv) return None
     val stats = entries.map(_._2)
     if (stats.exists(_.isEmpty)) return None
     val fss = stats.flatten
     val total = fss.map(_.rows).sum
-    val per = counted.map {
-      case None => Some(total)
-      case Some(name) =>
-        val key = name.toLowerCase(java.util.Locale.ROOT)
-        val counts = fss.map { f =>
-          if (f.rows == 0) Some(0L)
-          else f.cols.get(key) match {
-            case Some(c) if c.nulls >= 0 => Some(f.rows - c.nulls)
-            case _ => None
-          }
+    val live = fss.filter(_.rows > 0)
+
+    def extremum(name: String,
+        dt: org.apache.spark.sql.types.DataType, isMin: Boolean)
+        : Option[Any] = {
+      // float/double are NEVER extremum-provable: parquet writers
+      // omit NaN from min/max envelopes (and may omit the envelope
+      // for an all-NaN chunk while nulls=0), so a finite recorded
+      // max=1.5 over a file holding {1.5, NaN} silently contradicts
+      // Spark's NaN-is-greatest answer — an envelope cannot prove
+      // NaN's absence, so the scan must
+      dt match {
+        case org.apache.spark.sql.types.FloatType |
+            org.apache.spark.sql.types.DoubleType => return None
+        case _ =>
+      }
+      val tag = statsTag(dt).getOrElse(return None)
+      val key = name.toLowerCase(java.util.Locale.ROOT)
+      val cs = live.map(f => (f.rows, f.cols.get(key)))
+      if (cs.exists { case (_, c) => c.isEmpty || c.get.tag != tag })
+        return None
+      // a value-less envelope only PROVES emptiness when the null
+      // count accounts for every row; anything else (unknown nulls,
+      // one-sided envelope) is refused, not guessed
+      val sides = cs.map { case (rows, cOpt) =>
+        val c = cOpt.get
+        (if (isMin) c.min else c.max) match {
+          case Some(v) => Some(Some(v))
+          case None if c.min.isEmpty && c.max.isEmpty &&
+              c.nulls == rows => Some(None)
+          case None => None
         }
-        if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum)
+      }
+      if (sides.exists(_.isEmpty)) return None
+      val vals = sides.flatten.flatten
+      if (vals.isEmpty) Some(null) // zero rows or provably all null
+      else
+        try {
+          val picked: Any =
+            if (tag == "b") {
+              val bs = vals.map(java.util.Base64.getDecoder.decode)
+              if (isMin) bs.min(bytesOrder) else bs.max(bytesOrder)
+            } else {
+              val ns = vals.map(new java.math.BigDecimal(_))
+              val ord = Ordering.fromLessThan[java.math.BigDecimal](
+                _.compareTo(_) < 0)
+              if (isMin) ns.min(ord) else ns.max(ord)
+            }
+          decodeValue(picked, dt)
+        } catch { case scala.util.control.NonFatal(_) => None }
     }
-    if (per.exists(_.isEmpty)) None else Some(per.flatten)
+
+    val per = reqs.map {
+      case RowCount => Some(total)
+      case NonNullCount(name) =>
+        val key = name.toLowerCase(java.util.Locale.ROOT)
+        val counts = live.map(_.cols.get(key) match {
+          case Some(c) if c.nulls >= 0 => Some(c.nulls)
+          case _ => None
+        })
+        if (counts.exists(_.isEmpty)) None
+        else Some(live.map(_.rows).sum - counts.flatten.sum)
+      case ColMin(name, dt) => extremum(name, dt, isMin = true)
+      case ColMax(name, dt) => extremum(name, dt, isMin = false)
+    }
+    if (per.exists(_.isEmpty)) None else Some(per.map(_.get))
+  }
+
+  private def statsTag(dt: org.apache.spark.sql.types.DataType)
+      : Option[String] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType | DateType |
+          TimestampType | TimestampNTZType | BooleanType => Some("l")
+      case FloatType | DoubleType => Some("d")
+      case st: StringType if st == StringType => Some("b")
+      case _ => None
+    }
+  }
+
+  private val bytesOrder: Ordering[Array[Byte]] = (x, y) => {
+    val n = math.min(x.length, y.length)
+    var i = 0
+    var c = 0
+    while (i < n && c == 0) {
+      c = java.lang.Integer.compare(x(i) & 0xff, y(i) & 0xff)
+      i += 1
+    }
+    if (c != 0) c else java.lang.Integer.compare(x.length, y.length)
+  }
+
+  /** Stats-domain value → Catalyst internal value of `dt`. */
+  private def decodeValue(v: Any,
+      dt: org.apache.spark.sql.types.DataType): Option[Any] = {
+    import org.apache.spark.sql.types._
+    (v, dt) match {
+      case (b: Array[Byte], st: StringType) if st == StringType =>
+        Some(org.apache.spark.unsafe.types.UTF8String.fromBytes(b))
+      case (n: java.math.BigDecimal, _) => dt match {
+        case LongType | TimestampType | TimestampNTZType =>
+          Some(n.longValueExact)
+        case IntegerType | DateType => Some(n.intValueExact)
+        case ShortType => Some(n.shortValueExact)
+        case ByteType => Some(n.byteValueExact)
+        case DoubleType => Some(n.doubleValue)
+        case FloatType => Some(n.floatValue)
+        case BooleanType => Some(n.signum != 0)
+        case _ => None
+      }
+      case _ => None
+    }
   }
 
   // ----------------------------------------------------------- delete
@@ -394,6 +503,15 @@ final class GraftSnapshotTable(ident: String, val path: String,
 }
 
 object GraftSnapshotTable {
+
+  /** One aggregate a metadata-only query asks of the manifest. */
+  sealed trait MetaReq
+  case object RowCount extends MetaReq
+  final case class NonNullCount(col: String) extends MetaReq
+  final case class ColMin(col: String,
+      dt: org.apache.spark.sql.types.DataType) extends MetaReq
+  final case class ColMax(col: String,
+      dt: org.apache.spark.sql.types.DataType) extends MetaReq
 
   private[etl] def translatable(f: Filter): Boolean = f match {
     case _: sources.EqualTo | _: sources.EqualNullSafe |

@@ -203,7 +203,19 @@ object Snapshot {
     val fids = assignFields(
       fieldsOf(fs, root, versionsIn(fs, root).lastOption),
       df.schema.map(_.name).toSeq)
-    withFieldIds(df, fids).write.parquet(dir.toString)
+    // snapshot data files always write timestamps as INT64 micros:
+    // INT96 (Spark's legacy default) is deprecated in parquet and
+    // carries no usable chunk statistics, so it would exempt every
+    // timestamp column from '#stats=' pruning and the metadata-only
+    // min/max path (session conf restored after the eager write)
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val saved = df.sparkSession.conf.getOption(tsKey)
+    df.sparkSession.conf.set(tsKey, "TIMESTAMP_MICROS")
+    try withFieldIds(df, fids).write.parquet(dir.toString)
+    finally saved match {
+      case Some(prev) => df.sparkSession.conf.set(tsKey, prev)
+      case None => df.sparkSession.conf.unset(tsKey)
+    }
     listNames(fs, dir).filter(_.endsWith(".parquet"))
       .map(n => s"data/$dirName/$n").sorted
   }

@@ -236,19 +236,23 @@ case class GraftReadRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
 
     import org.apache.spark.sql.catalyst.expressions.{Alias, Literal}
-    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count}
-    val counted: Seq[Option[Option[String]]] = agg.aggregateExpressions.map {
-      case Alias(AggregateExpression(Count(Seq(l: Literal)), _, false, None, _), _)
-          if l.value != null => Some(None)
-      case Alias(AggregateExpression(Count(Seq(a: AttributeReference)), _, false, None, _), _) =>
-        Some(Some(a.name))
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
+    import graft.etl.GraftSnapshotTable._
+    val reqs: Seq[Option[MetaReq]] = agg.aggregateExpressions.map {
+      case Alias(AggregateExpression(fn, _, false, None, _), _) => fn match {
+        case Count(Seq(l: Literal)) if l.value != null => Some(RowCount)
+        case Count(Seq(a: AttributeReference)) => Some(NonNullCount(a.name))
+        case Min(a: AttributeReference) => Some(ColMin(a.name, a.dataType))
+        case Max(a: AttributeReference) => Some(ColMax(a.name, a.dataType))
+        case _ => None
+      }
       case _ => None
     }
-    if (counted.exists(_.isEmpty)) return None
+    if (reqs.exists(_.isEmpty)) return None
 
     for {
       t <- bare(agg.child)
-      vals <- t.metadataCounts(counted.flatten)
+      vals <- t.metadataAnswer(reqs.flatten)
     } yield LocalRelation(agg.output,
       Seq(org.apache.spark.sql.catalyst.InternalRow.fromSeq(vals)))
   }

@@ -79,6 +79,81 @@ class MetaCountSpec extends AnyFunSuite {
     assert(v1.collect()(0).getLong(0) === 3L)
   }
 
+  test("min/max answer from the manifest envelopes; NaN and all-null " +
+      "columns behave") {
+    import spark.implicits._
+    val path = s"$wh/db/mm"
+    Snapshot.commitOverwrite(
+      Seq((3L, Option("banana"), Option(2.5)),
+        (1L, Option.empty[String], Option(0.5))).toDF("id", "v", "d"), path)
+    Snapshot.commitAppend(
+      Seq((9L, Option("apple"), Option.empty[Double]))
+        .toDF("id", "v", "d"), path)
+
+    val q = spark.sql(
+      "SELECT min(id) AS a, max(id) AS b, min(v) AS c, max(v) AS e, " +
+        "count(d) AS f, count(*) AS n FROM graft.db.mm")
+    assert(isMetadataAnswered(q))
+    val r = q.collect()(0)
+    assert(r.getLong(0) === 1L)
+    assert(r.getLong(1) === 9L)
+    assert(r.getString(2) === "apple") // min ignores the null v
+    assert(r.getString(3) === "banana")
+    assert(r.getLong(4) === 2L)
+    assert(r.getLong(5) === 3L)
+
+    // double extrema are categorically NOT provable from envelopes
+    // (parquet writers omit NaN from min/max, so finite stats can't
+    // prove NaN's absence) — whole-statement fallback, same answer
+    val dq = spark.sql("SELECT min(d) AS f, max(d) AS g FROM graft.db.mm")
+    assert(scansFiles(dq))
+    val dr = dq.collect()(0)
+    assert(dr.getDouble(0) === 0.5)
+    assert(dr.getDouble(1) === 2.5)
+
+    // timestamps: the freshness probe min(ts)/max(ts)
+    val ts = s"$wh/db/mmts"
+    Snapshot.commitOverwrite(
+      Seq(java.sql.Timestamp.valueOf("2026-01-02 03:04:05.678"),
+        java.sql.Timestamp.valueOf("2026-06-07 08:09:10.111"))
+        .toDF("t"), ts)
+    val tq = spark.sql(
+      "SELECT min(t) AS lo, max(t) AS hi FROM graft.db.mmts")
+    assert(isMetadataAnswered(tq))
+    val tr = tq.collect()(0)
+    assert(tr.getTimestamp(0) ===
+      java.sql.Timestamp.valueOf("2026-01-02 03:04:05.678"))
+    assert(tr.getTimestamp(1) ===
+      java.sql.Timestamp.valueOf("2026-06-07 08:09:10.111"))
+
+    // an all-null column's extrema are NULL — still metadata-answered
+    val nul = s"$wh/db/mmnull"
+    Snapshot.commitOverwrite(
+      Seq((1L, Option.empty[String]), (2L, Option.empty[String]))
+        .toDF("id", "v"), nul)
+    val nq = spark.sql("SELECT min(v) AS a, max(v) AS b, count(v) AS n " +
+      "FROM graft.db.mmnull")
+    assert(isMetadataAnswered(nq))
+    val nr = nq.collect()(0)
+    assert(nr.isNullAt(0) && nr.isNullAt(1))
+    assert(nr.getLong(2) === 0L)
+
+    // the NaN trap the double exclusion exists for: a file holding
+    // {1.5, NaN} can carry a finite envelope that says max=1.5, but
+    // Spark's NaN-is-greatest answer is NaN — only the scan knows
+    val nan = s"$wh/db/mmnan"
+    Snapshot.commitOverwrite(
+      Seq((1L, 1.5), (2L, Double.NaN)).toDF("id", "d"), nan)
+    val xq = spark.sql("SELECT max(d) AS m FROM graft.db.mmnan")
+    assert(scansFiles(xq))
+    assert(xq.collect()(0).getDouble(0).isNaN)
+
+    // sum/avg have no envelope — whole-statement fallback, same answer
+    val sq = spark.sql("SELECT sum(id) AS s, min(id) AS m FROM graft.db.mm")
+    assert(scansFiles(sq))
+    assert(sq.collect()(0).getLong(0) === 13L)
+  }
+
   test("non-provable shapes fall back to the scan, same answers") {
     val path = s"$wh/db/mc"
 
