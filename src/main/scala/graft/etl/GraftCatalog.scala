@@ -90,8 +90,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def loadTable(ident: Identifier): Table = {
     val path = tablePath(ident)
-    if (Snapshot.versions(path).isEmpty) throw new NoSuchTableException(ident)
-    new GraftSnapshotTable(ident.toString, path, None)
+    if (Snapshot.versions(path).nonEmpty)
+      return new GraftSnapshotTable(ident.toString, path, None)
+    // Iceberg-style metadata tables: `graft.db.t.history` (one row per
+    // surviving version) and `graft.db.t.files` (the live file
+    // inventory with stats coverage) — the trailing name selects the
+    // view over the base table the namespace points at. A REAL table
+    // always shadows (checked above), and an unknown suffix stays a
+    // loud missing-table error.
+    if (ident.namespace.nonEmpty) {
+      val base = nsPath(ident.namespace)
+      if (Snapshot.versions(base).nonEmpty)
+        ident.name.toLowerCase(java.util.Locale.ROOT) match {
+          case "history" =>
+            return new GraftMetaTable(ident.toString,
+              () => Snapshot.history(spark, base))
+          case "files" =>
+            return new GraftMetaTable(ident.toString,
+              () => Snapshot.filesOf(spark, base))
+          case _ =>
+        }
+    }
+    throw new NoSuchTableException(ident)
   }
 
   /** `FOR VERSION AS OF v` — Spark routes the SQL time-travel clause
@@ -499,6 +519,39 @@ final class GraftSnapshotTable(ident: String, val path: String,
       .reduceOption(_ && _).getOrElse(lit(true))
     Snapshot.deleteWhere(spark, path, pred)
     ()
+  }
+}
+
+/** A read-only metadata table (`graft.db.t.history` / `.files`): the
+  * DataFrame is rebuilt per scan — manifest-sized, driver-computed —
+  * through the V1Scan fallback ([[graft.plans.GraftSqlRules]] leaves
+  * non-snapshot tables alone, so no native-scan rewrite applies).
+  */
+final class GraftMetaTable(ident: String,
+    df: () => DataFrame) extends Table with SupportsRead {
+
+  override def name(): String = ident
+
+  override lazy val schema: StructType = df().schema
+
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = { () =>
+    val s = schema
+    val thunk = df
+    new V1Scan {
+      override def readSchema(): StructType = s
+      override def toV1TableScan[T <: BaseRelation with TableScan](
+          ctx: SQLContext): T =
+        new BaseRelation with TableScan {
+          override def sqlContext: SQLContext = ctx
+          override def schema: StructType = s
+          override def buildScan(): org.apache.spark.rdd.RDD[Row] =
+            thunk().rdd
+        }.asInstanceOf[T]
+    }: Scan
   }
 }
 

@@ -100,6 +100,72 @@ object Snapshot {
     }
   }
 
+  /** DESCRIBE HISTORY: one row per surviving version, computed purely
+    * from the manifests — commit stamp, file count, files
+    * added/removed vs the PREVIOUS SURVIVING version (vacuum may have
+    * reclaimed older manifests, so deltas are relative to what still
+    * exists; the first surviving version counts all its files as
+    * added), deletion-vector sidecar count, and the recorded schema
+    * DDL. O(versions × manifest lines) driver-side metadata — the
+    * same cost class as any manifest read — and SQL-visible as the
+    * Iceberg-style metadata table `graft.db.t.history`.
+    */
+  def history(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val (fs, root) = resolve(path)
+    var prev = Option.empty[Set[String]]
+    val rows = versionsIn(fs, root).map { v =>
+      val hdr = headerOf(fs, root, v)
+      val files = fileEntries(fs, root, v)
+      val cur = files.toSet
+      val ts = hdr.collectFirst { case l if l.startsWith("#ts=") =>
+        new java.sql.Timestamp(l.drop(4).toLong) }.orNull
+      val added = prev.map(p => (cur -- p).size).getOrElse(files.size)
+      val removed = prev.map(p => (p -- cur).size).getOrElse(0)
+      prev = Some(cur)
+      org.apache.spark.sql.Row(v, ts, files.size, added, removed,
+        dvEntries(hdr).size,
+        hdr.collectFirst { case l if l.startsWith("#schema=") =>
+          l.drop(8) }.orNull)
+    }
+    val schema = StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("timestamp", TimestampType, nullable = true),
+      StructField("n_files", IntegerType, nullable = false),
+      StructField("n_added", IntegerType, nullable = false),
+      StructField("n_removed", IntegerType, nullable = false),
+      StructField("n_dv_files", IntegerType, nullable = false),
+      StructField("schema", StringType, nullable = true)))
+    spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, schema)
+  }
+
+  /** A version's live file inventory from its manifest: resolved
+    * path, stats-recorded row count (null for a statless file), and
+    * whether a skipping envelope exists — the pruning-debug view,
+    * SQL-visible as the metadata table `graft.db.t.files`.
+    */
+  def filesOf(spark: SparkSession, path: String,
+      version: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.types._
+    val (fs, root) = resolve(path)
+    val v = version.orElse(versionsIn(fs, root).lastOption).getOrElse(
+      throw new IllegalStateException(s"no snapshot versions at $path"))
+    val stats = statsOf(fs, root, v)
+    val rows = fileEntries(fs, root, v).map { e =>
+      val st = stats.get(e)
+      org.apache.spark.sql.Row(resolveEntry(fs, root, e).toString,
+        st.map(s => java.lang.Long.valueOf(s.rows)).orNull,
+        st.isDefined)
+    }
+    val schema = StructType(Seq(
+      StructField("file", StringType, nullable = false),
+      StructField("rows", LongType, nullable = true),
+      StructField("has_stats", BooleanType, nullable = false)))
+    spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, schema)
+  }
+
   /** Manifest lines: '#'-prefixed header (schema, txn markers), then
     * one referenced file path per line (relative to the table root).
     */

@@ -155,6 +155,40 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(e2.getMessage != null) // narrow-or-incompatible widen refused
   }
 
+  test("metadata tables: graft.db.t.history and graft.db.t.files") {
+    import spark.implicits._
+    val path = s"$wh/db/meta"
+    Snapshot.commitOverwrite(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1), path)
+    Snapshot.commitAppend(Seq((3L, "c")).toDF("id", "v").coalesce(1), path)
+    Snapshot.deleteWhereMergeOnRead(spark, path, col("id") === lit(1L))
+
+    val h = spark.sql(
+      "SELECT * FROM graft.db.meta.history ORDER BY version").collect()
+    assert(h.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(h.forall(r => r.getTimestamp(1) != null)) // '#ts=' stamps
+    assert(h.map(_.getInt(2)).toSeq == Seq(1, 2, 2)) // n_files
+    assert(h.map(_.getInt(3)).toSeq == Seq(1, 1, 0)) // n_added
+    assert(h.map(_.getInt(4)).toSeq == Seq(0, 0, 0)) // n_removed
+    assert(h.map(_.getInt(5)).toSeq == Seq(0, 0, 1)) // n_dv_files
+    assert(h.forall(r => r.getString(6).contains("id")))
+
+    val f = spark.sql("SELECT * FROM graft.db.meta.files").collect()
+    assert(f.length == 2)
+    assert(f.forall(_.getBoolean(2))) // every live file stats-covered
+    assert(f.map(_.getLong(1)).sum == 3L) // manifest rows (pre-DV)
+    assert(f.forall(_.getString(0).endsWith(".parquet")))
+
+    // equals the Scala API
+    assert(fp(spark.sql("SELECT * FROM graft.db.meta.history")) ==
+      fp(Snapshot.history(spark, path)))
+    // an unknown suffix is still a loud missing table
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graft.db.meta.nope").collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("SQL WHERE prunes planned files through manifest stats " +
       "(SnapshotSourceSpec's witness, catalog edition)") {
     import spark.implicits._
