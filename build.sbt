@@ -49,4 +49,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // disabling the compiler.
   "-XX:ReservedCodeCacheSize=768m",
   "-XX:+UseCodeCacheFlushing",
+  // Whole-stage-codegen CLASS cache (static conf, so set as a system
+  // property before any session exists). The default is 100 entries —
+  // a 184-query sweep holds thousands of distinct codegen units, so
+  // the LRU thrashes and every re-run of a complex plan re-compiles
+  // its generated classes through janino AND re-JITs them from zero.
+  // Measured on the 4 heaviest queries (xr8/xr13/xd5/xs7b, median-of-3
+  // protocol): 30.2 s -> 19.4 s wall (-36%), sweep JIT time 236 s ->
+  // 153 s. Sized to hold the full registry's units (~30/query) with
+  // headroom; entries are (source string -> compiled class), ~30 KB
+  // each, bounded ~150 MB worst case on the 8 g heap.
+  "-Dspark.sql.codegen.cache.maxEntries=5000",
 )
