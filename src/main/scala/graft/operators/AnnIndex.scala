@@ -211,24 +211,25 @@ object AnnIndex {
       k: Int, nprobe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.VectorOps.register(spark)
-    val cents = broadcast(spark.read.parquet(s"$path/centroids"))
+    val cents = spark.read.parquet(s"$path/centroids")
     val q = queries
       .select(col("query_id"), col("embedding").cast("array<double>").as("qv"))
       .withColumn("qn", sqrt(expr("vec_dot(qv, qv)")))
       .filter(col("qn") > 0) // zero-norm queries have no direction
-    // materialized once (eager executor-local checkpoint): both the
-    // probed-cid collect and the scoring join read these blocks — an
-    // unpersisted plan would re-run the routing crossJoin + window
-    // shuffle twice per micro-batch; blocks are reclaimed by the
-    // ContextCleaner once the batch's result frame is unreachable
-    val ranked = q.crossJoin(cents)
-      .select(col("query_id"), col("qv"), col("qn"), col("cid"),
-        (col("cnrm2") - lit(2.0) * expr("vec_dot(qv, cv)")).as("dist"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("dist").asc, col("cid").asc)))
-      .filter(col("rn") <= nprobe)
-      .select("query_id", "qv", "qn", "cid")
-      .localCheckpoint(true)
+    // Routing is a scan-stage argmin over the literal centroid array
+    // (the same rankedCells form the build-side assignment uses —
+    // bounded by the constant K): per query, sort the K (dist, cid)
+    // pairs in-row and explode the first nprobe. The r14 form's
+    // crossJoin + row_number window shuffled queries×K rows and
+    // needed an eager localCheckpoint so its two consumers wouldn't
+    // re-run that shuffle; the narrow projection re-computes for
+    // pennies, so the checkpoint (and its block residue) is gone too.
+    val ranked = q.select(col("query_id"), col("qv"), col("qn"),
+        explode(slice(
+          graft.queries.Similarity.rankedCells(
+            graft.queries.Similarity.centroidsLitOf(cents), col("qv")),
+          1, nprobe)).as("pc"))
+      .select(col("query_id"), col("qv"), col("qn"), col("pc.cid").as("cid"))
     val cids = ranked.select("cid").distinct().collect().map(_.getInt(0))
     if (cids.isEmpty)
       // empty THROUGH the input projection so query_id keeps the

@@ -1059,13 +1059,16 @@ object Dedup {
       val c = Ctx(s, d)
       // (doc_in, doc_of) is unique by construction (groups partition
       // docs; each directed pair is emitted once) — sort the 8M-row
-      // output on the two-long key prefix, not the double too. The
-      // pair stream is persisted first: a global orderBy executes its
-      // child TWICE (range-boundary sampling, then the sort), and
-      // re-running the expansion costs more than caching its narrow
-      // 3-column rows (MEMORY_AND_DISK — spills, never OOMs).
-      val pairs = own(containmentPairs(setGroups(c.documents), 0.9).persist())
-      canonBy(pairs, "doc_in", "doc_of")
+      // output on the two-long key prefix, not the double too.
+      // canonBy's preSort localCheckpoint already materializes the
+      // pair stream ONCE before the global orderBy's two passes
+      // (range-boundary sampling, then the sort) — the r13 persist()
+      // on top of it wrote the same 8M narrow rows into the block
+      // store a second time for no extra reuse (measured: the two
+      // copies were ~500 MB of block residue and ~3.5 s of GC inside
+      // this query's window; guide §5 — unpersist what isn't reused).
+      canonBy(containmentPairs(setGroups(c.documents), 0.9),
+        "doc_in", "doc_of")
     },
     Some(
       """WITH tok AS (

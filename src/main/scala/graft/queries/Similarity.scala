@@ -133,15 +133,69 @@ object Similarity {
     * Shared by the IVF top-k (xs2) and the IVF-blocked semantic dedup
     * (xd7).
     */
+  /** The centroid table as a SCAN-STAGE literal: an
+    * array<struct<cid, cv, cnrm2>> column sorted by cid ascending.
+    * The table is bounded by the constant K (≤ Cells rows — the same
+    * bound that lets trainCentroids collect it), so routing against
+    * it is per-row arithmetic over a constant, not a join: the
+    * crossJoin fan-out, the row_number exchange+sort, and the
+    * assignment groupBy it replaces were n×K-row shuffles that exist
+    * only to compute a per-row argmin (guide §2.4 — remove shuffles
+    * outright). cnrm2 is the same left-to-right fold as vec_dot(cv,cv)
+    * (VectorDot's documented accumulation order), so distances are
+    * bit-identical to the joined form.
+    */
+  private def centroidsLit(cents: Array[(Int, Array[Double])])
+      : org.apache.spark.sql.Column =
+    if (cents.isEmpty) // typed NULL: explode/slice of it emit no rows
+      lit(null).cast("array<struct<cid:int,cv:array<double>,cnrm2:double>>")
+    else array(cents.sortBy(_._1).map { case (cid, cv) =>
+      var n2 = 0.0
+      var i = 0
+      while (i < cv.length) { n2 += cv(i) * cv(i); i += 1 }
+      struct(lit(cid).as("cid"), typedlit(cv.toSeq).as("cv"),
+        lit(n2).as("cnrm2"))
+    }.toIndexedSeq: _*)
+
+  /** Collect a (cid, cv, cnrm2) centroid frame (≤ Cells rows by
+    * construction) into the scan-stage literal form. Shared with
+    * AnnIndex.probeBatch (its centroid table comes off disk).
+    */
+  private[graft] def centroidsLitOf(centroidDf: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.Column =
+    centroidsLit(centroidDf.select(col("cid"), col("cv")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)))
+
+  /** Per-row (dist, cid) ranking of `v` against the literal centroid
+    * array, ascending — array_sort's struct order (dist, then cid) is
+    * exactly the window order (dist asc, cid asc) of the joined form,
+    * and min_by(cid, struct(dist, cid))'s tie-break.
+    */
+  private[graft] def rankedCells(cents: org.apache.spark.sql.Column,
+      v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    array_sort(transform(cents, c =>
+      struct((c.getField("cnrm2") -
+          lit(2.0) * call_function("vec_dot", v, c.getField("cv")))
+          .as("dist"),
+        c.getField("cid").as("cid"))))
+
   /** Deterministic k-means over `train` (init = lowest-xxhash K-sample,
     * LloydIters assignment/re-center passes), returned as a broadcast
     * (cid, cv, cnrm2) table. Only K centroid rows ever reach the
     * driver (bounded by the constant K, not the corpus).
+    *
+    * Each Lloyd pass assigns via the scan-stage argmin over the
+    * literal centroid array — the r14 form's crossJoin + min_by
+    * groupBy + join-back-for-v was 3 exchanges per pass whose only
+    * output is a per-row argmin of K constants (guide §2.4); the
+    * re-center aggregate (posexplode → per-(cell, dim) avg rounded to
+    * 6 decimals) is unchanged, so centroids are identical.
     */
   private[graft] def trainCentroids(train: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val s = train.sparkSession
     import s.implicits._
+    graft.functions.VectorOps.register(s)
     // deterministic K-sample init
     var centroids = train
       .withColumn("h", xxhash64(col("vec_id")))
@@ -154,39 +208,53 @@ object Similarity {
       broadcast(rows.toDF("cid", "cv")
         .withColumn("cnrm2", expr("vec_dot(cv, cv)")))
     }
-    // argmin_c ||v-c||² = argmin_c (c·c - 2 v·c): v·v is constant per row
-    def assigned = train.crossJoin(centroidDf)
-      .select(col("vec_id"), col("v"),
-        col("cid"), (col("cnrm2") - lit(2.0) * expr("vec_dot(v, cv)")).as("dist"))
-      .groupBy("vec_id")
-      .agg(min_by(col("cid"), struct(col("dist"), col("cid"))).as("cid"))
+    if (centroids.isEmpty) return centroidDf // empty train: no cells
+    // argmin_c ||v-c||² = argmin_c (c·c - 2 v·c): v·v is constant per
+    // row; element 1 of the (dist, cid)-sorted array is min_by's pick.
+    // Re-center as ONE aggregation — dim avg columns per cell instead
+    // of posexplode + per-(cell, dim) rows + a second groupBy: the
+    // same per-dim means rounded to 6 decimals, one exchange of
+    // cells×dim partial sums instead of two over n×dim exploded rows.
+    val dim = centroids.head._2.length
     for (_ <- 1 to LloydIters) {
-      centroids = assigned.join(train, "vec_id")
-        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("cid", "pos")
-        .agg(round(avg("x"), 6).as("m"))
+      val assignCid =
+        element_at(rankedCells(centroidsLit(centroids), col("v")), 1)
+          .getField("cid")
+      val aggs = (0 until dim).map(i => round(avg(col("v")(i)), 6).as(s"m$i"))
+      centroids = train
+        .select(assignCid.as("cid"), col("v"))
         .groupBy("cid")
-        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), p -> p.m)").as("cv"))
+        .agg(aggs.head, aggs.tail: _*)
         .collect()
-        .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+        .map(r => (r.getInt(0), Array.tabulate(dim)(i => r.getDouble(i + 1))))
     }
     centroidDf
   }
 
-  /** Rank `e`'s vectors against a trained centroid table: one pass
-    * over the (vector × centroid) distances, rn ascending by distance.
-    * rn == 1 is the cell assignment (the inverted file), rn <= NProbe
-    * the probe list.
+  /** Rank `e`'s vectors against a trained centroid table: one
+    * scan-stage pass computing each vector's NProbe nearest centroids
+    * as a sorted (dist, cid) array, exploded to the joined form's
+    * output shape. rn == 1 is the cell assignment (the inverted
+    * file), rn <= NProbe the probe list. No shuffle: the r14 form's
+    * crossJoin + row_number window exchanged n×K rows to rank K
+    * constants per row (guide §2.4).
     */
   private[graft] def rankAgainst(e: org.apache.spark.sql.DataFrame,
       centroidDf: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame =
-    e.crossJoin(centroidDf)
+      : org.apache.spark.sql.DataFrame = {
+    graft.functions.VectorOps.register(e.sparkSession)
+    val cents = centroidDf.select(col("cid"), col("cv")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    if (cents.isEmpty) // no centroids (empty train): no assignments
+      return e.select(col("vec_id"), col("v"), col("nrm"),
+        lit(0).as("cid"), lit(0.0).as("dist"), lit(1).as("rn")).limit(0)
+    e.select(col("vec_id"), col("v"), col("nrm"),
+        posexplode(slice(rankedCells(centroidsLit(cents), col("v")), 1, NProbe))
+          .as(Seq("p", "pc")))
       .select(col("vec_id"), col("v"), col("nrm"),
-        col("cid"), (col("cnrm2") - lit(2.0) * expr("vec_dot(v, cv)")).as("dist"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("dist").asc, col("cid").asc)))
-      .filter(col("rn") <= NProbe)
+        col("pc.cid").as("cid"), col("pc.dist").as("dist"),
+        (col("p") + 1).cast("int").as("rn"))
+  }
 
   private[queries] def ivfRanked(e: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
@@ -452,18 +520,38 @@ object Similarity {
         expr(s"slice(v, $start, $sub)").as("sv"))
   }
 
+  /** The PqM codebooks as one scan-stage literal: element m+1 is
+    * subspace m's array<struct<cid, cv, cnrm2>> sorted by code —
+    * bounded by the constants PqM·PqCodes, the same bound that lets
+    * trainPqCodebooks collect the books. Reuses the centroid struct
+    * shape so rankedCells ranks within a subspace unchanged.
+    */
+  private def codebooksLit(cb: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.Column = {
+    val books = cb.select(col("m"), col("code"), col("cv")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    array((0 until PqM).map { m =>
+      centroidsLit(books.collect { case (`m`, code, cv) => (code, cv) })
+    }: _*)
+  }
+
   /** Nearest-code assignment of subvectors against a codebook table:
     * (vec_id, m, code). argmin_c ||sv-c||² = argmin_c (c·c - 2 sv·c);
     * distance ties break by lowest code. Shared by the Lloyd passes
-    * (training) and the corpus encode.
+    * (training) and the corpus encode. Assignment is the scan-stage
+    * argmin over the literal codebooks (element_at by m) — the r14
+    * form's (m)-join fan-out (rows × PqCodes) + min_by groupBy were
+    * an exchange pair whose only output is a per-row argmin of
+    * constants (guide §2.4).
     */
   private[graft] def pqAssign(sv: org.apache.spark.sql.DataFrame,
-      cb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    sv.join(cb, "m")
-      .select(col("vec_id"), col("m"), col("code"),
-        (col("cnrm2") - lit(2.0) * expr("vec_dot(sv, cv)")).as("dist"))
-      .groupBy("vec_id", "m")
-      .agg(min_by(col("code"), struct(col("dist"), col("code"))).as("code"))
+      cb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    graft.functions.VectorOps.register(sv.sparkSession)
+    sv.select(col("vec_id"), col("m"),
+      element_at(
+        rankedCells(element_at(codebooksLit(cb), col("m") + 1), col("sv")), 1)
+        .getField("cid").as("code"))
+  }
 
   /** Deterministic per-subspace k-means over the subvector frame —
     * trainCentroids' discipline applied to all PqM subspaces in ONE
@@ -495,16 +583,30 @@ object Similarity {
     // (a driver-planned action); measured recall at 1 vs 2 passes is
     // within the sample's noise on every SF while the second pass
     // costs ~1.5s of the query's wall — PQ centroids only seed the
-    // CODE GEOMETRY, the exact-rescore tail does the precision work
+    // CODE GEOMETRY, the exact-rescore tail does the precision work.
+    // Assignment rides the scan-stage codebook argmin (pqAssign's
+    // literal form), and sv carries through the same projection, so
+    // the r14 join-back on (vec_id, m) — a second exchange purely to
+    // re-attach sv — is gone (guide §2.4); the re-center aggregate is
+    // unchanged, so the books are identical.
     for (_ <- 1 to 1) {
-      books = pqAssign(sv, bookDf).join(sv, Seq("vec_id", "m"))
-        .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
-        .groupBy("m", "code", "pos")
-        .agg(round(avg("x"), 6).as("cm"))
+      graft.functions.VectorOps.register(s)
+      val assignCode = element_at(
+        rankedCells(element_at(codebooksLit(bookDf), col("m") + 1), col("sv")),
+        1).getField("cid")
+      // one aggregation (subdim avg columns per (m, code)) — same
+      // per-dim means rounded to 6 decimals as the posexplode +
+      // second-groupBy form, one exchange instead of two
+      val subdim = books.head._3.length
+      val aggs =
+        (0 until subdim).map(i => round(avg(col("sv")(i)), 6).as(s"cm$i"))
+      books = sv
+        .select(col("m"), assignCode.as("code"), col("sv"))
         .groupBy("m", "code")
-        .agg(expr("transform(array_sort(collect_list(struct(pos, cm))), p -> p.cm)").as("cv"))
+        .agg(aggs.head, aggs.tail: _*)
         .collect()
-        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+        .map(r => (r.getInt(0), r.getInt(1),
+          (0 until subdim).map(i => r.getDouble(i + 2))))
     }
     bookDf
   }

