@@ -471,16 +471,30 @@ object Bench {
     var restarts = 0
     def reclaim(): Unit = {
       spark.catalog.clearCache()
+      // blocking=true: the r14 fire-and-forget removal raced the next
+      // query — untimed code, determinism is worth the wait
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
       System.gc()
       var tries = 0
-      while (blkUsedMb > 256 && tries < 3) {
-        Thread.sleep(200L << tries) // ContextCleaner drains async
+      while (blkUsedMb > 256 && tries < 6) {
+        Thread.sleep(150L << tries) // ContextCleaner drains async
+        // twice per try: the first GC clears broadcast/RDD weak refs
+        // into the cleaner's queue, the second reaps objects freed BY
+        // that drain — one pass per cycle left the r15 baseline sweep
+        // at a 500-750 MB steady state for dozens of queries
         System.gc()
         tries += 1
       }
-      if (blkUsedMb > 768) {
+      // 384, not 768: the r15 baseline sweep showed sessions limping
+      // along UNDER the old threshold with 500-700 MB of undrainable
+      // residue in the 4.6 GB pool — the sweep tail then measured GC,
+      // not queries (q61 2.87 s with 3.8 s of gc in its window vs
+      // 1.57 s in a clean session). A restart costs ~5 s of UNTIMED
+      // wall (JIT + the global codegen class cache survive) and
+      // provably zeroes the block store — cheap insurance against
+      // charging one query's residue to every query after it.
+      if (blkUsedMb > 384) {
         restarts += 1
         spark.stop()
         spark = buildSession()

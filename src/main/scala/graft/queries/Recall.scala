@@ -49,14 +49,21 @@ object Recall {
     own(df.select(cols.map(col): _*).persist())
 
   /** |exact ∩ approx| / |exact| over the given key columns, all
-    * distributed (semi-join + counts); 1.0 on an empty exact set.
-    * Callers pass keySet-persisted frames.
+    * distributed; 1.0 on an empty exact set. Callers pass
+    * keySet-persisted frames whose key tuples are UNIQUE by
+    * construction (pair sets / per-(query, rank) lists), which is
+    * what lets the denominator and the intersection ride ONE
+    * left-join aggregate — the r14 count + semi-join-count pair was
+    * two jobs re-reading the same persisted frames.
     */
   private def recallOf(approx: DataFrame, exact: DataFrame,
       cols: Seq[String]): Double = {
-    val n = exact.count()
-    if (n == 0) 1.0
-    else exact.join(approx, cols, "left_semi").count().toDouble / n
+    val r = exact
+      .join(approx.withColumn("ap", lit(1)), cols, "left")
+      .agg(count(lit(1)).as("n"), count(col("ap")).as("inter"))
+      .head
+    if (r.getLong(0) == 0) 1.0
+    else r.getLong(1).toDouble / r.getLong(0)
   }
 
   /** approx ⊆ exact over the given key columns (precision 1.0).
@@ -657,11 +664,19 @@ object Recall {
         .join(broadcast(refDf), Seq("doc_id"), "left")
         .withColumn("rep_ref", coalesce(col("rep_ref"), col("doc_id")))
       val mismatches = cmp.filter(col("rep_id") =!= col("rep_ref")).count()
-      val nKeep = got.filter(col("keep")).count()
-      val nReps = got.select("rep_id").distinct().count()
-      val sizeSum = got.filter(col("keep"))
-        .agg(sum(col("cluster_size"))).head.getLong(0)
-      val nDocs = got.count()
+      // one aggregate over the persisted frame instead of four
+      // separate count jobs (keepers, distinct reps, keeper size sum,
+      // row count) — same scalars, 4 job round-trips fewer
+      val bk = got.agg(
+        count(lit(1)).as("nDocs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("nKeep"),
+        countDistinct(col("rep_id")).as("nReps"),
+        coalesce(sum(when(col("keep"), col("cluster_size"))), lit(0L))
+          .as("sizeSum")).head
+      val nDocs = bk.getLong(0)
+      val nKeep = bk.getLong(1)
+      val nReps = bk.getLong(2)
+      val sizeSum = bk.getLong(3)
       val booksOk = nKeep == nReps && sizeSum == nDocs
       System.err.println(
         s"[recall] xr13_cluster_cert mismatches=$mismatches " +
@@ -700,13 +715,21 @@ object Recall {
       val incr = own(assign(batch).persist())
       val full = own(assign(all).persist())
       val nAll = all.count()
-      val conservation = full.count() == nAll &&
-        full.select("vec_id").distinct().count() == nAll
+      // conservation's two counts ride one aggregate; the batch-side
+      // row count, the incremental row count, and the agreement count
+      // ride one left-join aggregate — 6 count jobs -> 3 (the scalars
+      // and the certified booleans are unchanged)
+      val fs = full.agg(count(lit(1)).as("n"),
+        countDistinct(col("vec_id")).as("nd")).head
+      val conservation = fs.getLong(0) == nAll && fs.getLong(1) == nAll
       val nBatch = batch.count()
-      val agree = incr
-        .join(full.withColumnRenamed("cid", "cid_full"), "vec_id")
-        .filter(col("cid") === col("cid_full")).count()
-      val equiv = agree == nBatch && incr.count() == nBatch
+      val as = incr
+        .join(full.withColumnRenamed("cid", "cid_full"), Seq("vec_id"), "left")
+        .agg(count(lit(1)).as("nIncr"),
+          sum(when(col("cid") === col("cid_full"), 1L).otherwise(0L))
+            .as("agree")).head
+      val agree = if (as.isNullAt(1)) 0L else as.getLong(1)
+      val equiv = agree == nBatch && as.getLong(0) == nBatch
       System.err.println(
         s"[recall] xr14_ivf_incr_cert conservation=$conservation " +
           s"agree=$agree batch=$nBatch")
@@ -765,10 +788,6 @@ object Recall {
       val nDocs = s.read.parquet(s"$d/documents.parquet").count()
       val nMedia = media.count()
       val nFeats = feats.count()
-      val crcMismatch = feats.select(col("doc_id"), col("checksum"))
-        .join(media.toDF().select(col("doc_id"),
-          crc32(col("content")).as("crc_sql")), "doc_id")
-        .filter(col("checksum") =!= col("crc_sql")).count()
       // independent geometry: the planted closed forms over doc_id
       // (video geometry comes from the DECODED y4m stream: vidWidth/
       // vidHeight/vidFrames at 40 ms per frame)
@@ -780,67 +799,86 @@ object Recall {
         "WHEN 1 THEN (400 + (doc_id % 60) * 40) / 8 " +
         "ELSE (2 + (doc_id % 4)) * 40 END")
       def e(i: Int) = element_at(col("embedding"), i).cast("double")
-      val geomBad = feats.filter(
+      // Per-family recompute helpers in ONE chained projection, each
+      // behind its media_type CASE guard (CASE is lazy — audio rows
+      // never run the image fold and vice versa), so ALL invariant
+      // counters ride ONE aggregate pass over the persisted frame +
+      // one crc join pass. r14 ran crc/geometry/pixel/pcm/video/shape
+      // as six separate filter().count() jobs over the same rows
+      // (guide §5 — every driver count is a full job).
+      def guarded(mt: String, sql: String): org.apache.spark.sql.Column =
+        expr(s"CASE WHEN media_type = '$mt' THEN $sql ELSE NULL END")
+      val withStats = feats
+        // independent sample stats: pure-arithmetic HOFs over the
+        // planted rules — pixel p of a w-wide image is (p % w, p DIV w)
+        .withColumn("iw", guarded("image", "8 + (doc_id % 16) * 4"))
+        .withColumn("in_", guarded("image", "(8 + (doc_id % 16) * 4) * (8 + (doc_id % 9) * 4)"))
+        .withColumn("s1", guarded("image", "aggregate(sequence(0, (8 + (doc_id % 16) * 4) * (8 + (doc_id % 9) * 4) - 1), CAST(0 AS BIGINT), " +
+          "(a, p) -> a + ((p % (8 + (doc_id % 16) * 4)) * 7 + (p DIV (8 + (doc_id % 16) * 4)) * 13 + doc_id) % 256)"))
+        .withColumn("s2", guarded("image", "aggregate(sequence(0, (8 + (doc_id % 16) * 4) * (8 + (doc_id % 9) * 4) - 1), CAST(0 AS BIGINT), " +
+          "(a, p) -> a + ((p % (8 + (doc_id % 16) * 4)) * 3 + (p DIV (8 + (doc_id % 16) * 4)) * 5 + doc_id * 2) % 256)"))
+        .withColumn("s3", guarded("image", "aggregate(sequence(0, (8 + (doc_id % 16) * 4) * (8 + (doc_id % 9) * 4) - 1), CAST(0 AS BIGINT), " +
+          "(a, p) -> a + ((p % (8 + (doc_id % 16) * 4)) + (p DIV (8 + (doc_id % 16) * 4)) + doc_id * 3) % 256)"))
+        .withColumn("rch", guarded("image", "transform(sequence(0, (8 + (doc_id % 16) * 4) * (8 + (doc_id % 9) * 4) - 1), " +
+          "p -> ((p % (8 + (doc_id % 16) * 4)) * 7 + (p DIV (8 + (doc_id % 16) * 4)) * 13 + doc_id) % 256)"))
+        .withColumn("an", guarded("audio", "400 + (doc_id % 60) * 40"))
+        .withColumn("sa", guarded("audio", "aggregate(sequence(0, (400 + (doc_id % 60) * 40) - 1), CAST(0 AS BIGINT), " +
+          "(a, i) -> a + abs((doc_id * 31 + i * 17) % 4096 - 2048))"))
+        .withColumn("smp", guarded("audio", "transform(sequence(0, (400 + (doc_id % 60) * 40) - 1), " +
+          "i -> (doc_id * 31 + i * 17) % 4096 - 2048)"))
+        // independent VIDEO stats: the y4m planes' planted rules, flat
+        // sample index p of a (w, h, nf) stream -> (p % w,
+        // (p DIV w) % h, p DIV (w*h)) — sums are order-free, so any
+        // enumeration works
+        .withColumn("vw", guarded("video", "8 + (doc_id % 8) * 4"))
+        .withColumn("vh", guarded("video", "8 + (doc_id % 6) * 4"))
+        .withColumn("vn", guarded("video", "(8 + (doc_id % 8) * 4) * (8 + (doc_id % 6) * 4) * (2 + (doc_id % 4))"))
+        .withColumn("sy", guarded("video", "aggregate(sequence(0, (8 + (doc_id % 8) * 4) * (8 + (doc_id % 6) * 4) * (2 + (doc_id % 4)) - 1), CAST(0 AS BIGINT), " +
+          "(a, p) -> a + ((p % (8 + (doc_id % 8) * 4)) * 7 + ((p DIV (8 + (doc_id % 8) * 4)) % (8 + (doc_id % 6) * 4)) * 13 + (p DIV ((8 + (doc_id % 8) * 4) * (8 + (doc_id % 6) * 4))) * 19 + doc_id) % 256)"))
+        .withColumn("su", guarded("video", "aggregate(sequence(0, (8 + (doc_id % 8) * 4) * (8 + (doc_id % 6) * 4) * (2 + (doc_id % 4)) - 1), CAST(0 AS BIGINT), " +
+          "(a, p) -> a + ((p % (8 + (doc_id % 8) * 4)) * 3 + ((p DIV (8 + (doc_id % 8) * 4)) % (8 + (doc_id % 6) * 4)) * 5 + (p DIV ((8 + (doc_id % 8) * 4) * (8 + (doc_id % 6) * 4))) * 7 + doc_id * 2) % 256)"))
+        .withColumn("sv", guarded("video", "aggregate(sequence(0, (8 + (doc_id % 8) * 4) * (8 + (doc_id % 6) * 4) * (2 + (doc_id % 4)) - 1), CAST(0 AS BIGINT), " +
+          "(a, p) -> a + ((p % (8 + (doc_id % 8) * 4)) + ((p DIV (8 + (doc_id % 8) * 4)) % (8 + (doc_id % 6) * 4)) + (p DIV ((8 + (doc_id % 8) * 4) * (8 + (doc_id % 6) * 4))) * 3 + doc_id * 3) % 256)"))
+        .withColumn("ych", guarded("video", "transform(sequence(0, (8 + (doc_id % 8) * 4) * (8 + (doc_id % 6) * 4) * (2 + (doc_id % 4)) - 1), " +
+          "p -> ((p % (8 + (doc_id % 8) * 4)) * 7 + ((p DIV (8 + (doc_id % 8) * 4)) % (8 + (doc_id % 6) * 4)) * 13 + (p DIV ((8 + (doc_id % 8) * 4) * (8 + (doc_id % 6) * 4))) * 19 + doc_id) % 256)"))
+      val geomBadC =
         abs(e(1) - w.cast("double") / 4096d) > 1e-6 ||
           abs(e(2) - h.cast("double") / 4096d) > 1e-6 ||
-          abs(e(3) - dur.cast("double") / 1000d / 256d) > 1e-6)
-        .count()
-      // independent sample stats: pure-arithmetic HOFs over the
-      // planted rules — pixel p of a w-wide image is (p % w, p DIV w)
-      val pixBad = feats.filter(col("media_type") === "image")
-        .withColumn("w", expr("8 + (doc_id % 16) * 4"))
-        .withColumn("n", expr("w * (8 + (doc_id % 9) * 4)"))
-        .withColumn("s1", expr("aggregate(sequence(0, n - 1), CAST(0 AS BIGINT), " +
-          "(a, p) -> a + ((p % w) * 7 + (p DIV w) * 13 + doc_id) % 256)"))
-        .withColumn("s2", expr("aggregate(sequence(0, n - 1), CAST(0 AS BIGINT), " +
-          "(a, p) -> a + ((p % w) * 3 + (p DIV w) * 5 + doc_id * 2) % 256)"))
-        .withColumn("s3", expr("aggregate(sequence(0, n - 1), CAST(0 AS BIGINT), " +
-          "(a, p) -> a + ((p % w) + (p DIV w) + doc_id * 3) % 256)"))
-        .withColumn("rch", expr("transform(sequence(0, n - 1), " +
-          "p -> ((p % w) * 7 + (p DIV w) * 13 + doc_id) % 256)"))
-        .filter(
-          abs(e(4) - col("s1").cast("double") / col("n") / 255d) > 1e-6 ||
-            abs(e(5) - col("s2").cast("double") / col("n") / 255d) > 1e-6 ||
-            abs(e(6) - col("s3").cast("double") / col("n") / 255d) > 1e-6 ||
-            abs(e(7) - expr("array_max(rch)").cast("double") / 255d) > 1e-6 ||
-            abs(e(8) - expr("array_min(rch)").cast("double") / 255d) > 1e-6)
-        .count()
-      val pcmBad = feats.filter(col("media_type") === "audio")
-        .withColumn("n", expr("400 + (doc_id % 60) * 40"))
-        .withColumn("sa", expr("aggregate(sequence(0, n - 1), CAST(0 AS BIGINT), " +
-          "(a, i) -> a + abs((doc_id * 31 + i * 17) % 4096 - 2048))"))
-        .withColumn("smp", expr("transform(sequence(0, n - 1), " +
-          "i -> (doc_id * 31 + i * 17) % 4096 - 2048)"))
-        .filter(
-          abs(e(4) - col("sa").cast("double") / col("n") / 32768d) > 1e-6 ||
-            abs(e(5) - (expr("array_min(smp)").cast("double") + 32768d) / 65536d) > 1e-6 ||
-            abs(e(6) - (expr("array_max(smp)").cast("double") + 32768d) / 65536d) > 1e-6)
-        .count()
-      // independent VIDEO stats: the y4m planes' planted rules, flat
-      // sample index p of a (w, h, nf) stream -> (p % w, (p DIV w) % h,
-      // p DIV (w*h)) — sums are order-free, so any enumeration works
-      val vidBad = feats.filter(col("media_type") === "video")
-        .withColumn("w", expr("8 + (doc_id % 8) * 4"))
-        .withColumn("h", expr("8 + (doc_id % 6) * 4"))
-        .withColumn("n", expr("w * h * (2 + (doc_id % 4))"))
-        .withColumn("sy", expr("aggregate(sequence(0, n - 1), CAST(0 AS BIGINT), " +
-          "(a, p) -> a + ((p % w) * 7 + ((p DIV w) % h) * 13 + (p DIV (w * h)) * 19 + doc_id) % 256)"))
-        .withColumn("su", expr("aggregate(sequence(0, n - 1), CAST(0 AS BIGINT), " +
-          "(a, p) -> a + ((p % w) * 3 + ((p DIV w) % h) * 5 + (p DIV (w * h)) * 7 + doc_id * 2) % 256)"))
-        .withColumn("sv", expr("aggregate(sequence(0, n - 1), CAST(0 AS BIGINT), " +
-          "(a, p) -> a + ((p % w) + ((p DIV w) % h) + (p DIV (w * h)) * 3 + doc_id * 3) % 256)"))
-        .withColumn("ych", expr("transform(sequence(0, n - 1), " +
-          "p -> ((p % w) * 7 + ((p DIV w) % h) * 13 + (p DIV (w * h)) * 19 + doc_id) % 256)"))
-        .filter(
-          abs(e(4) - col("sy").cast("double") / col("n") / 255d) > 1e-6 ||
-            abs(e(5) - col("su").cast("double") / col("n") / 255d) > 1e-6 ||
-            abs(e(6) - col("sv").cast("double") / col("n") / 255d) > 1e-6 ||
-            abs(e(7) - expr("array_max(ych)").cast("double") / 255d) > 1e-6 ||
-            abs(e(8) - expr("array_min(ych)").cast("double") / 255d) > 1e-6)
-        .count()
-      val shapeBad = feats.filter(size(col("embedding")) =!= 8 ||
+          abs(e(3) - dur.cast("double") / 1000d / 256d) > 1e-6
+      val pixBadC = col("media_type") === "image" && (
+        abs(e(4) - col("s1").cast("double") / col("in_") / 255d) > 1e-6 ||
+          abs(e(5) - col("s2").cast("double") / col("in_") / 255d) > 1e-6 ||
+          abs(e(6) - col("s3").cast("double") / col("in_") / 255d) > 1e-6 ||
+          abs(e(7) - expr("array_max(rch)").cast("double") / 255d) > 1e-6 ||
+          abs(e(8) - expr("array_min(rch)").cast("double") / 255d) > 1e-6)
+      val pcmBadC = col("media_type") === "audio" && (
+        abs(e(4) - col("sa").cast("double") / col("an") / 32768d) > 1e-6 ||
+          abs(e(5) - (expr("array_min(smp)").cast("double") + 32768d) / 65536d) > 1e-6 ||
+          abs(e(6) - (expr("array_max(smp)").cast("double") + 32768d) / 65536d) > 1e-6)
+      val vidBadC = col("media_type") === "video" && (
+        abs(e(4) - col("sy").cast("double") / col("vn") / 255d) > 1e-6 ||
+          abs(e(5) - col("su").cast("double") / col("vn") / 255d) > 1e-6 ||
+          abs(e(6) - col("sv").cast("double") / col("vn") / 255d) > 1e-6 ||
+          abs(e(7) - expr("array_max(ych)").cast("double") / 255d) > 1e-6 ||
+          abs(e(8) - expr("array_min(ych)").cast("double") / 255d) > 1e-6)
+      val shapeBadC = size(col("embedding")) =!= 8 ||
         exists(slice(col("embedding"), 4, 5),
-          x => x < lit(0f) || x > lit(1f))).count()
+          x => x < lit(0f) || x > lit(1f))
+      def cnt(c: org.apache.spark.sql.Column) =
+        sum(when(c, 1L).otherwise(0L))
+      val inv = withStats
+        .join(media.toDF().select(col("doc_id"),
+          crc32(col("content")).as("crc_sql")), "doc_id")
+        .agg(cnt(col("checksum") =!= col("crc_sql")).as("crc"),
+          cnt(geomBadC).as("geom"), cnt(pixBadC).as("pix"),
+          cnt(pcmBadC).as("pcm"), cnt(vidBadC).as("vid"),
+          cnt(shapeBadC).as("shape")).head
+      val crcMismatch = inv.getLong(0)
+      val geomBad = inv.getLong(1)
+      val pixBad = inv.getLong(2)
+      val pcmBad = inv.getLong(3)
+      val vidBad = inv.getLong(4)
+      val shapeBad = inv.getLong(5)
       val again = mm.extractFeaturesReal(media).toDF()
         .select(col("doc_id"), col("checksum").as("ck2"),
           col("embedding").as("emb2"))
