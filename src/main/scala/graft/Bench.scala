@@ -494,8 +494,14 @@ object Bench {
       // wall (JIT + the global codegen class cache survive) and
       // provably zeroes the block store — cheap insurance against
       // charging one query's residue to every query after it.
-      if (blkUsedMb > 384) {
+      // env-tunable for protocol experiments (GRAFT_BENCH_RESTART_MB=1
+      // forces a rebuild after every query; huge disables)
+      val restartMb = sys.env.get("GRAFT_BENCH_RESTART_MB")
+        .map(_.toLong).getOrElse(384L)
+      if (blkUsedMb > restartMb) {
         restarts += 1
+        System.err.println(s"[bench] session restart #$restarts " +
+          s"(residue ${blkUsedMb}MB > ${restartMb}MB)")
         spark.stop()
         spark = buildSession()
         warmUp(spark)
@@ -581,6 +587,12 @@ object Bench {
           // the environment destroyed.
           if (r1(mid) > 2.0 && (r1(mid) > 2 * r1(0) || jitBlk > 3000)) {
             reclaim()
+            // don't re-measure INSIDE the same compiler storm: the r15
+            // sweeps caught xr15 at 17 s (warm 2.3 s) with 13 s of C2
+            // time in its window, and the immediate retry re-measured
+            // the storm, not the query — wait for the compiler to go
+            // quiescent (bounded) before the second block
+            jitSettle()
             val r2 = block()
             math.min(r1(mid), r2(mid))
           } else r1(mid)
